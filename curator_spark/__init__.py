@@ -1,0 +1,27 @@
+"""curator_spark — a PySpark-native quality-filter / data-curation engine.
+
+A brand-new implementation (NOT a port) of the data-curation capabilities of
+bespokelabs/curator, re-expressed Spark-first: the reference's fault-tolerant,
+cached, row-parallel map over a tabular dataset (see
+/root/reference/src/bespokelabs/curator/llm/llm.py:187-206) becomes a chain of
+DataFrame -> DataFrame stages driven by Catalyst, with pandas/Arrow UDFs only
+for the model-backed stages (language-ID, perplexity) and the byte-exact regex
+scrub.
+
+Layout
+------
+functions/   pure, deterministic, vectorized text/quality functions shared by
+             the Spark stages AND the single-process oracle (byte-equality by
+             construction).
+sources/     corpus generation + readers/writers (parquet "Iceberg-shaped"
+             tables, atomic-commit checkpoint sinks).
+operators/   relational + curation operators (dedup, similarity, text
+             analysis, multimodal plumbing) over DataFrames.
+engine/      the resumable-map core: fingerprints, batch-granular checkpoint
+             commits, anti-join resume, per-partition lineage/metrics.
+plans/       the end-to-end pipelines (quality filter) and plan inspection
+             helpers.
+streaming/   Structured Streaming variant of the filter stage chain.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,20 @@
+"""The resumable-map core: fingerprints, atomic batch-granular checkpoint
+commits, anti-join resume, per-partition lineage/metric rows.
+
+This is the Spark re-expression of curator's one fundamental engine piece —
+the fault-tolerant, cached, resumable row-parallel map
+(reference: request_processor/base_request_processor.py:103-143 ``run``):
+
+* run/stage fingerprint  <- curator's xxh64 run fingerprint
+  (llm/llm.py:144-169)
+* committed batch dirs   <- curator's append-only responses_*.jsonl
+  checkpoints (base_online_request_processor.py:612-634)
+* anti-join resume       <- curator's completed-id skip
+  (base_request_processor.py:609-651)
+* lineage table          <- curator's SQLite MetadataDB (db.py:86-105) +
+  status-tracker counters (online_status_tracker.py:45-95)
+"""
+
+from .checkpoint import ResumableStage, StageResult
+from .fingerprint import config_fingerprint, run_fingerprint
+from .lineage import LINEAGE_SCHEMA, read_lineage

@@ -1,0 +1,219 @@
+"""Batch-granular, atomically-committed, resumable stage execution.
+
+Spark re-expression of curator's resumable map
+(reference: base_request_processor.py:103-143):
+
+1. **Shard** — the stage input is written ONCE, hash-partitioned into
+   ``n_batches`` shards by ``pmod(xxhash64(key_cols), n_batches)``
+   (curator's ``create_request_files`` -> requests_{i}.jsonl,
+   base_request_processor.py:204-319). Hashing the full file identity
+   spreads monorepo hot keys uniformly — the salting the north rule asks
+   for. The shard column becomes a *directory partition*, so each batch run
+   reads exactly its shard via partition pruning (no rescans).
+2. **Process batch-by-batch** — each shard is transformed and written to a
+   temp dir, then atomically ``rename``d to ``batch=<b>/`` (curator's
+   append-only responses checkpoint, base_online_request_processor.py:612-634;
+   atomic-rename emulates an Iceberg snapshot commit — swap in a real
+   catalog by replacing ``_commit_dir``). Within a batch, all of Spark's
+   executors work in parallel; the batch is purely the commit granule.
+3. **Resume** — a re-run lists committed ``batch=*`` dirs and processes only
+   the missing ones (curator's completed-id skip,
+   base_request_processor.py:609-651). The anti-join semantics hold by
+   construction: a key's shard is deterministic, so committed keys are never
+   reprocessed. ``failed_rows`` is the left-anti join of input vs output
+   (curator's failed_requests.jsonl, base_request_processor.py:508-537).
+4. **Lineage** — every batch commit appends per-partition metric rows
+   (rows_in/rows_out/bytes/wall_ms) to the run's lineage table
+   (curator's MetadataDB + trackers, db.py:86-105).
+
+At cluster scale nothing here is driver-bound: shard listing and commit are
+O(n_batches) filesystem metadata operations; all data movement is executor
+parquet IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fingerprint import config_fingerprint
+from .lineage import append_lineage
+
+BATCH_COL = "__batch"
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (no Spark job)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()
+
+
+def _parquet_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+@dataclass
+class StageResult:
+    name: str
+    fingerprint: str
+    out_dir: str
+    batches_run: list[int]
+    batches_skipped: list[int]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "batch=*"))
+
+
+class StageInterrupted(RuntimeError):
+    """Raised by the fail-injection hook in resume tests."""
+
+
+class ResumableStage:
+    def __init__(
+        self,
+        name: str,
+        key_cols: list[str],
+        work_dir: str,
+        config: dict | None = None,
+        n_batches: int = 8,
+        run_hash: str = "",
+    ) -> None:
+        self.name = name
+        self.key_cols = key_cols
+        self.n_batches = n_batches
+        self.fingerprint = config_fingerprint(name, config)
+        self.run_hash = run_hash or self.fingerprint
+        self.stage_dir = os.path.join(work_dir, f"{name}-{self.fingerprint}")
+        self.input_dir = os.path.join(self.stage_dir, "input")
+        self.lineage_dir = os.path.join(work_dir, "_lineage")
+
+    # -- commit primitives ---------------------------------------------------
+    def _commit_dir(self, tmp: str, final: str) -> None:
+        """Atomic publish: os.rename of a completed directory. The Iceberg
+        analog is a snapshot commit; swap this method to use a catalog."""
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def _batch_dir(self, b: int) -> str:
+        return os.path.join(self.stage_dir, f"batch={b}")
+
+    def committed_batches(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.stage_dir):
+            return out
+        for d in os.listdir(self.stage_dir):
+            if d.startswith("batch=") and os.path.exists(
+                os.path.join(self.stage_dir, d, "_SUCCESS")
+            ):
+                out.append(int(d.split("=", 1)[1]))
+        return sorted(out)
+
+    # -- sharding ------------------------------------------------------------
+    def _ensure_input_shards(self, df: DataFrame) -> None:
+        if os.path.exists(os.path.join(self.input_dir, "_SHARDS_OK")):
+            return
+        tmp = self.input_dir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            df.withColumn(
+                BATCH_COL,
+                F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_batches)).cast("int"),
+            )
+            .write.partitionBy(BATCH_COL)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        open(os.path.join(tmp, "_SHARDS_OK"), "w").write(self.fingerprint)
+        self._commit_dir(tmp, self.input_dir)
+
+    # -- the run loop ----------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        fail_after_batches: int | None = None,
+    ) -> StageResult:
+        """Execute the stage; safe to re-invoke after a kill — committed
+        batches are skipped, exactly like curator's "Already Completed" skip.
+        """
+        os.makedirs(self.stage_dir, exist_ok=True)
+        self._ensure_input_shards(df)
+        done = set(self.committed_batches())
+        ran: list[int] = []
+        for b in range(self.n_batches):
+            if b in done:
+                continue
+            if fail_after_batches is not None and len(ran) >= fail_after_batches:
+                raise StageInterrupted(
+                    f"fail-injection: stopping {self.name} after {len(ran)} batches"
+                )
+            t0 = time.time()
+            shard = spark.read.parquet(self.input_dir).filter(
+                F.col(BATCH_COL) == b
+            ).drop(BATCH_COL)
+            out = transform(shard)
+            # "_tmp-" prefix keeps partial writes out of the "batch=*" glob
+            tmp = os.path.join(self.stage_dir, f"_tmp-batch-{b}")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            out.write.mode("overwrite").parquet(tmp)
+            self._commit_dir(tmp, self._batch_dir(b))
+            wall_ms = int((time.time() - t0) * 1000)
+            shard_in_dir = os.path.join(self.input_dir, f"{BATCH_COL}={b}")
+            append_lineage(
+                spark,
+                self.lineage_dir,
+                [
+                    {
+                        "run_hash": self.run_hash,
+                        "stage": self.name,
+                        "partition_id": b,
+                        "rows_in": _parquet_rows(shard_in_dir),
+                        "rows_out": _parquet_rows(self._batch_dir(b)),
+                        "bytes_in": _parquet_bytes(shard_in_dir),
+                        "wall_ms": wall_ms,
+                    }
+                ],
+            )
+            ran.append(b)
+        meta = {
+            "stage": self.name,
+            "fingerprint": self.fingerprint,
+            "n_batches": self.n_batches,
+            "key_cols": self.key_cols,
+        }
+        with open(os.path.join(self.stage_dir, "_STAGE_META.json"), "w") as f:
+            json.dump(meta, f)
+        return StageResult(
+            name=self.name,
+            fingerprint=self.fingerprint,
+            out_dir=self.stage_dir,
+            batches_run=ran,
+            batches_skipped=sorted(done),
+        )
+
+    # -- derived views ---------------------------------------------------------
+    def output(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.stage_dir, "batch=*"))
+
+    def failed_rows(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Input rows with no committed output — curator's
+        failed_requests.jsonl as a left-anti join."""
+        out_keys = self.output(spark).select(*self.key_cols)
+        return df.join(out_keys, on=self.key_cols, how="left_anti")

@@ -1,0 +1,32 @@
+"""Run/stage fingerprints — deterministic cache keys.
+
+Curator names its cache dir with xxh64(dataset fingerprint, prompt-func dill
+hash, model, params) (reference: llm/llm.py:144-169) so an identical run
+short-circuits entirely and a changed parse func re-derives from cached
+responses. Here the analog key is (input identity, stage name, config dict,
+code version); a stage whose fingerprint matches an existing committed
+checkpoint is skipped wholesale, and a config change invalidates exactly
+that stage and everything downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+from .. import __version__
+
+
+def config_fingerprint(stage_name: str, config: dict[str, Any] | None) -> str:
+    payload = json.dumps(
+        {"stage": stage_name, "config": config or {}, "code_version": __version__},
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def run_fingerprint(input_token: str, stage_fingerprints: list[str]) -> str:
+    payload = json.dumps({"input": input_token, "stages": stage_fingerprints})
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -1,0 +1,53 @@
+"""Per-partition lineage + metric rows — curator's MetadataDB (db.py:86-105)
+and status-tracker counters (online_status_tracker.py:45-95) as a small
+append-only parquet table next to the run's checkpoints.
+
+Append-only semantics: every batch commit writes one new parquet file into
+``_lineage/`` (mode=append), mirroring curator's append-only
+responses/metadata logs; readers just scan the directory. On a real
+deployment this is an Iceberg side table and each append is a snapshot.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_hash", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_out", T.LongType(), True),
+        T.StructField("bytes_in", T.LongType(), True),
+        T.StructField("wall_ms", T.LongType(), True),
+        T.StructField("finished_at", T.TimestampType(), True),
+    ]
+)
+
+
+def append_lineage(spark: SparkSession, lineage_dir: str, rows: list[dict]) -> None:
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    data = [
+        (
+            r["run_hash"],
+            r["stage"],
+            int(r["partition_id"]),
+            int(r.get("rows_in", 0)),
+            int(r.get("rows_out", 0)),
+            int(r.get("bytes_in", 0)),
+            int(r.get("wall_ms", 0)),
+            now,
+        )
+        for r in rows
+    ]
+    spark.createDataFrame(data, LINEAGE_SCHEMA).coalesce(1).write.mode("append").parquet(
+        lineage_dir
+    )
+
+
+def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)

@@ -1,0 +1,13 @@
+"""Pure, deterministic, vectorized functions shared by the Spark stages and
+the single-process oracle.
+
+Everything in this package operates on pandas/numpy batches (the shape Arrow
+hands a pandas UDF) and has NO Spark dependency, so the exact same code runs:
+
+* inside ``F.pandas_udf`` on executors (vectorized over Arrow RecordBatches —
+  the "no per-row Python" requirement), and
+* inside the plain-Python oracle that produces the reference labels.
+
+This is how the per-row invariant (scrubbed-content sha256 equality) holds by
+construction: one implementation, two callers.
+"""

@@ -1,0 +1,156 @@
+"""Language identification — a fastText-style linear bag-of-marker-token
+classifier, deterministic and dependency-free.
+
+Two classifiers:
+
+* :func:`detect_prog_lang_batch` — programming-language ID for source-code
+  files (the corpus fixed by BASELINE.json.input_hint). Keyword-profile
+  scoring, vectorized with pandas ``str.count``.
+* :func:`detect_nat_lang_batch` — natural-language ID (en/es/de/fr/zh) for
+  prose documents (the ``documents`` testdata table). Stopword-profile
+  scoring. Deliberately simple enough to ALSO be expressible as pure SQL
+  (see ``curator_spark/operators/text_analysis.py``) so the DuckDB oracle can
+  verify it.
+
+Reference behavior being reproduced: curator's "execute-map" stage runs an
+expensive per-row model; its offline processor loads the model once and
+batch-infers (reference: request_processor/vllm_offline_request_processor.py:41-53,
+192-197). Here the "model" is a marker-token weight table applied to a whole
+Arrow batch at once.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Programming-language profiles. Each marker is a regex counted per document;
+# score(lang) = sum(count(marker) * weight). Highest score >= MIN_SCORE wins,
+# else "unknown". Patterns are ASCII-only and RE2/Java/Python-re compatible.
+# ---------------------------------------------------------------------------
+PROG_LANG_MARKERS: dict[str, list[tuple[str, float]]] = {
+    "python": [
+        (r"\bdef [a-z_]", 3.0),
+        (r"\bimport [a-z_]", 2.0),
+        (r"\bself\b", 1.5),
+        (r"\belif\b", 2.0),
+        (r"\blambda\b", 1.0),
+        (r"#[^\n!]", 0.2),
+    ],
+    "javascript": [
+        (r"\bfunction\b", 2.0),
+        (r"\bconst\b", 1.5),
+        (r"\bvar\b", 1.0),
+        (r"=>", 1.5),
+        (r"\bconsole\.log\b", 2.0),
+        (r"===", 1.5),
+    ],
+    "c": [
+        (r"#include\b", 3.0),
+        (r"\bint main\b", 3.0),
+        (r"\bprintf\b", 2.0),
+        (r"\bvoid\b", 1.0),
+        (r"->", 0.5),
+        (r";\n", 0.3),
+    ],
+    "java": [
+        (r"\bpublic (?:static |final )*(?:void|class|int|String)\b", 3.0),
+        (r"\bSystem\.out\.println\b", 3.0),
+        (r"\bnew [A-Z][A-Za-z]*\(", 1.0),
+        (r"\bextends\b", 1.0),
+        (r"@Override\b", 2.0),
+    ],
+    "go": [
+        (r"\bfunc [a-zA-Z]", 3.0),
+        (r"\bpackage [a-z]", 3.0),
+        (r":=", 2.0),
+        (r"\bfmt\.Print", 2.0),
+        (r"\bgo func\b", 2.0),
+    ],
+    "markdown": [
+        (r"(?m)^#{1,6} ", 3.0),
+        (r"(?m)^- ", 1.0),
+        (r"\[[^\]]+\]\([^)]+\)", 2.0),
+        (r"```", 2.0),
+    ],
+    "json": [
+        (r'"[a-zA-Z_]+": ', 2.0),
+        (r"(?m)^\s*[{}[\]],?\s*$", 1.0),
+    ],
+}
+
+PROG_MIN_SCORE = 3.0
+
+# ---------------------------------------------------------------------------
+# Natural-language stopword profiles (space-padded whole words, lowercase).
+# Counting " word " occurrences keeps this expressible in plain SQL.
+# ---------------------------------------------------------------------------
+NAT_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "para", "con", "del"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "pas"],
+}
+# zh: detected by CJK character presence instead of stopwords.
+CJK_RE = re.compile(r"[一-鿿]")
+
+NAT_LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+
+def _compiled_prog_profiles() -> list[tuple[str, list[tuple[re.Pattern, float]]]]:
+    return [
+        (lang, [(re.compile(pat), w) for pat, w in markers])
+        for lang, markers in PROG_LANG_MARKERS.items()
+    ]
+
+
+_PROG_PROFILES = _compiled_prog_profiles()
+
+
+def detect_prog_lang_batch(texts: pd.Series) -> pd.Series:
+    """Programming-language ID for a batch of file contents.
+
+    Vectorized: one ``str.count`` pass per marker over the whole batch.
+    Returns 'unknown' when no profile reaches PROG_MIN_SCORE.
+    """
+    texts = texts.fillna("")
+    n = len(texts)
+    langs = list(PROG_LANG_MARKERS)
+    scores = np.zeros((n, len(langs)), dtype=np.float64)
+    for j, (lang, markers) in enumerate(_PROG_PROFILES):
+        for pat, w in markers:
+            scores[:, j] += texts.str.count(pat).to_numpy(dtype=np.float64) * w
+    best = scores.argmax(axis=1)
+    best_score = scores.max(axis=1)
+    out = np.array(langs, dtype=object)[best]
+    out[best_score < PROG_MIN_SCORE] = "unknown"
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+def detect_nat_lang_batch(texts: pd.Series) -> pd.Series:
+    """Natural-language ID (en/es/de/fr/zh/unknown) for prose documents.
+
+    Semantics (mirrored exactly by the SQL oracle in
+    operators/text_analysis.py): lowercase, pad with spaces, count
+    ``' word '`` occurrences per language; any CJK char => 'zh';
+    all-zero scores => 'unknown'; ties broken by NAT_LANG_ORDER.
+    """
+    texts = texts.fillna("")
+    padded = (" " + texts.str.lower() + " ").str.replace(
+        r"[^a-z一-鿿]+", " ", regex=True
+    )
+    n = len(texts)
+    scores = np.zeros((n, len(NAT_LANG_ORDER)), dtype=np.int64)
+    for j, lang in enumerate(NAT_LANG_ORDER):
+        for word in NAT_LANG_STOPWORDS[lang]:
+            scores[:, j] += padded.str.count(f" {word} ").to_numpy(dtype=np.int64)
+    is_zh = texts.str.contains(CJK_RE).to_numpy()
+    best = scores.argmax(axis=1)  # argmax takes the FIRST max -> NAT_LANG_ORDER tie-break
+    best_score = scores.max(axis=1)
+    out = np.array(NAT_LANG_ORDER, dtype=object)[best]
+    out[best_score <= 0] = "unknown"
+    out[is_zh] = "zh"
+    return pd.Series(out, index=texts.index, dtype=object)

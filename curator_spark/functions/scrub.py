@@ -1,0 +1,80 @@
+"""PII / toxicity scrub — an ordered, deterministic regex-replace chain.
+
+This is the byte-exactness-critical stage: the per-row invariant is
+``sha256(scrubbed_content)`` equality between the Spark pipeline and the
+reference labels (BASELINE.json.input_hint). Both the Spark pandas UDF and
+the oracle call :func:`scrub_batch` / :func:`scrub_one`, so equality holds by
+construction (reference analog: curator's golden sha256 hash_book tests,
+tests/integrations/test_all.py:59-62).
+
+Patterns are ASCII-only, free of lookbehind/backreferences, and therefore
+behave identically under Python ``re``, Java regex (Spark ``regexp_replace``)
+and RE2 (DuckDB) — which lets the driver's DuckDB oracle re-run the exact
+same chain in SQL. Pattern ORDER is part of the contract: replacements are
+applied top to bottom, each over the output of the previous one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+# (name, pattern, replacement) — order matters and is part of the contract.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    # emails first, so user@host is not half-eaten by later rules
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # AWS-style access key ids
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<APIKEY>"),
+    # generic api-key-shaped secrets: prefix + separator + long token
+    ("api_key", r"(?:sk|pk|api|key|token|secret)[-_][A-Za-z0-9]{16,64}", "<APIKEY>"),
+    # IPv4 addresses (word-bounded so version strings like 1.2.3 survive)
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # NANP-ish phone numbers: optional +1, 3-3-4 groups with separators
+    ("phone", r"\+?1?[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    # US SSN-shaped
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # tiny toxicity lexicon (placeholder class, case-insensitive)
+    ("toxicity", r"(?i)\b(?:dumbass|moron|idiot)\b", "<TOX>"),
+]
+
+_COMPILED = [(re.compile(pat), repl) for _, pat, repl in SCRUB_PATTERNS]
+
+
+def scrub_one(text: str) -> str:
+    for pat, repl in _COMPILED:
+        text = pat.sub(repl, text)
+    return text
+
+
+def scrub_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized scrub: pandas str.replace (C-looped) per pattern."""
+    out = texts.fillna("")
+    for pat, repl in _COMPILED:
+        out = out.str.replace(pat, repl, regex=True)
+    return out
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def sha256_batch(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(sha256_hex)
+
+
+def scrub_sql_chain(col_expr: str) -> str:
+    """Render the scrub chain as nested DuckDB regexp_replace calls.
+
+    DuckDB-targeted (the driver's oracle): standard SQL string literals keep
+    backslashes verbatim, so ``\\b`` reaches RE2 intact, and the ``'g'`` flag
+    makes the replace global (Python re.sub / Spark regexp_replace are global
+    by default). The patterns themselves are RE2/Java/Python-re portable, so
+    this chain is semantically identical to :func:`scrub_one`.
+    """
+    expr = col_expr
+    for _, pat, repl in SCRUB_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return expr

@@ -1,0 +1,46 @@
+"""Single-process reference implementation (the "oracle").
+
+Produces the golden labels the Spark pipeline must reproduce — the stand-in
+for curator's reference labels / golden sha256 hash_book
+(reference: tests/integrations/test_all.py:59-62, 101-104).
+
+It runs the exact same pure functions as the Spark stages
+(curator_spark.functions.*) in one process over a pandas DataFrame, so:
+
+* keep/drop labels: F1 vs the Spark pipeline must be >= 0.99 (in practice
+  1.0 — same code, same thresholds);
+* scrubbed content: sha256 equality per row holds by construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .functions.langid import detect_prog_lang_batch
+from .functions.perplexity import perplexity_batch
+from .functions.rules import DEFAULT_RULES, RuleConfig, evaluate_rules_batch, text_metrics_batch
+from .functions.scrub import scrub_batch, sha256_batch
+
+
+def reference_labels(corpus: pd.DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> pd.DataFrame:
+    """Golden labels for a corpus DataFrame with columns
+    (repo, path, commit, lang, content).
+
+    Returns (repo, path, commit, lang_pred, ppl, keep, drop_reasons,
+    scrubbed_content, scrubbed_sha256) — the `corpus_expected` schema of
+    FIXTURES.md §2 plus the scrubbed text itself.
+    """
+    content = corpus["content"]
+    lang_pred = detect_prog_lang_batch(content)
+    ppl = perplexity_batch(content)
+    metrics = text_metrics_batch(content)
+    verdict = evaluate_rules_batch(metrics, lang_pred, ppl, cfg)
+    scrubbed = scrub_batch(content)
+    out = corpus[["repo", "path", "commit"]].copy()
+    out["lang_pred"] = lang_pred
+    out["ppl"] = ppl
+    out["keep"] = verdict["keep"]
+    out["drop_reasons"] = verdict["drop_reasons"]
+    out["scrubbed_content"] = scrubbed
+    out["scrubbed_sha256"] = sha256_batch(scrubbed)
+    return out

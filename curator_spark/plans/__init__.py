@@ -1,0 +1,1 @@
+"""End-to-end pipelines (the quality filter) and plan-inspection helpers."""

@@ -1,0 +1,187 @@
+"""The quality-filter pipeline — langid -> perplexity -> heuristic rules ->
+PII/toxicity scrub — as a chain of DataFrame transforms.
+
+Spark-first design (NOT a port of curator's asyncio engine):
+
+* The heuristic rules are PURE COLUMN EXPRESSIONS (whole-stage codegen;
+  zero Python in that hot path). They mirror
+  ``curator_spark.functions.rules.text_metrics_batch`` exactly.
+* langid + perplexity are model stages -> ONE combined pandas UDF (one
+  Arrow transfer of ``content`` per row, struct result). Models are
+  module-level singletons per Python worker — the executor-local-model
+  pattern curator's offline processor uses (reference:
+  request_processor/vllm_offline_request_processor.py:41-53,192-197: load
+  once, batch-infer).
+* The scrub runs as a pandas UDF sharing the same Python ``re`` chain as
+  the oracle (curator_spark.functions.scrub), so scrubbed bytes — and hence
+  sha256 — are identical by construction while staying Arrow-vectorized.
+* Scale notes: the input is repartitioned by ``xxhash64(repo, path,
+  commit)`` before the UDF stages — file identity is unique, so hashing it
+  spreads a monorepo hot key across all partitions (map-stage salting).
+  Downstream per-repo aggregations use explicit two-phase salted rollups
+  (see operators/repo_stats.py). Filters on lang/repo stay as expressions
+  above the scan so Catalyst pushes them into parquet/Iceberg.
+
+Per-row parity contract vs the oracle (curator_spark.oracle):
+keep/drop F1 >= 0.99 (in practice exact) and scrubbed-content sha256
+equality — asserted by tests/test_golden_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.langid import detect_prog_lang_batch
+from ..functions.perplexity import perplexity_batch
+from ..functions.rules import (
+    BOILERPLATE_RE,
+    DEFAULT_RULES,
+    RULE_ORDER,
+    RuleConfig,
+    WS_CLASS,
+)
+from ..functions.scrub import scrub_batch
+
+KEY_COLS = ["repo", "path", "commit"]
+
+# ---------------------------------------------------------------------------
+# Model stage: one pandas UDF, one Arrow pass, struct(lang_pred, ppl) out.
+# ---------------------------------------------------------------------------
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("ppl", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_SCORE_SCHEMA)
+def score_content(content: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "lang_pred": detect_prog_lang_batch(content),
+            "ppl": perplexity_batch(content),
+        }
+    )
+
+
+@F.pandas_udf(T.StringType())
+def scrub_content(content: pd.Series) -> pd.Series:
+    return scrub_batch(content)
+
+
+# ---------------------------------------------------------------------------
+# Heuristic metrics as pure Spark column expressions (codegen path).
+# Each definition mirrors functions/rules.py::text_metrics_batch EXACTLY —
+# ASCII character classes only, so Java regex == Python re semantics.
+# ---------------------------------------------------------------------------
+def rule_metric_cols(content: Column) -> dict[str, Column]:
+    n_chars = F.length(content)
+    lines = F.split(content, "\n", -1)
+    line_lens = F.transform(lines, lambda x: F.length(x))
+    words = F.filter(F.split(content, WS_CLASS, -1), lambda w: w != F.lit(""))
+    word_count = F.size(words)
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "max_line_len": F.coalesce(F.array_max(line_lens), F.lit(0)).cast("long"),
+        "alnum_ratio": F.length(F.regexp_replace(content, "[^A-Za-z0-9]", "")) / denom,
+        "digit_ratio": F.length(F.regexp_replace(content, "[^0-9]", "")) / denom,
+        "word_count": word_count.cast("long"),
+        "distinct_word_ratio": F.size(F.array_distinct(words))
+        / F.greatest(word_count, F.lit(1)).cast("double"),
+        "has_boilerplate": content.rlike(BOILERPLATE_RE),
+    }
+
+
+def rule_fired_cols(cfg: RuleConfig = DEFAULT_RULES) -> dict[str, Column]:
+    """Boolean per-rule columns over the metric columns (+ lang_pred, ppl)."""
+    c = F.col
+    if cfg.allowed_langs:
+        langid_bad = ~c("lang_pred").isin(list(cfg.allowed_langs))
+    else:
+        langid_bad = c("lang_pred") == "unknown"
+    return {
+        "too_short": c("n_chars") < cfg.min_chars,
+        "too_long": c("n_chars") > cfg.max_chars,
+        "long_lines": c("max_line_len") > cfg.max_line_len,
+        "low_alnum": c("alnum_ratio") < cfg.min_alnum_ratio,
+        "high_digit": c("digit_ratio") > cfg.max_digit_ratio,
+        "repetition": (c("word_count") >= cfg.repetition_min_words)
+        & (c("distinct_word_ratio") < cfg.min_distinct_word_ratio),
+        "boilerplate": c("has_boilerplate"),
+        "langid": langid_bad,
+        "perplexity": c("ppl") > cfg.max_perplexity,
+    }
+
+
+def drop_reasons_col(fired: dict[str, Column]) -> Column:
+    """Ordered array<string> of fired rule names (RULE_ORDER order)."""
+    parts = [
+        F.when(fired[name], F.array(F.lit(name))).otherwise(
+            F.array().cast("array<string>")
+        )
+        for name in RULE_ORDER
+    ]
+    return F.concat(*parts)
+
+
+# ---------------------------------------------------------------------------
+# The pipeline
+# ---------------------------------------------------------------------------
+def annotate(
+    df: DataFrame,
+    cfg: RuleConfig = DEFAULT_RULES,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Full annotation: every input row, plus lang_pred, ppl, metric cols,
+    keep, drop_reasons, scrubbed_content, scrubbed_sha256.
+
+    Used by the correctness tests (compares all rows vs the oracle).
+    """
+    if repartition_to:
+        # file identity is unique -> hashing it spreads any monorepo hot key
+        df = df.repartition(repartition_to, F.xxhash64(*KEY_COLS))
+    scored = df.withColumn("_score", score_content(F.col("content"))).select(
+        "*", "_score.lang_pred", "_score.ppl"
+    ).drop("_score")
+    metrics = rule_metric_cols(F.col("content"))
+    for name, col in metrics.items():
+        scored = scored.withColumn(name, col)
+    fired = rule_fired_cols(cfg)
+    annotated = scored.withColumn("drop_reasons", drop_reasons_col(fired)).withColumn(
+        "keep", F.size(F.col("drop_reasons")) == 0
+    )
+    return annotated.withColumn(
+        "scrubbed_content", scrub_content(F.col("content"))
+    ).withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_content"), 256))
+
+
+def curate(
+    df: DataFrame,
+    cfg: RuleConfig = DEFAULT_RULES,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Production path: filter first, scrub only the kept rows (scrub cost
+    scales with the keep rate, not the corpus size)."""
+    if repartition_to:
+        df = df.repartition(repartition_to, F.xxhash64(*KEY_COLS))
+    scored = df.withColumn("_score", score_content(F.col("content"))).select(
+        "*", "_score.lang_pred", "_score.ppl"
+    ).drop("_score")
+    metrics = rule_metric_cols(F.col("content"))
+    for name, col in metrics.items():
+        scored = scored.withColumn(name, col)
+    fired = rule_fired_cols(cfg)
+    kept = scored.withColumn("drop_reasons", drop_reasons_col(fired)).filter(
+        F.size(F.col("drop_reasons")) == 0
+    )
+    return (
+        kept.withColumn("content", scrub_content(F.col("content")))
+        .withColumn("scrubbed_sha256", F.sha2(F.col("content"), 256))
+        .select(*KEY_COLS, "lang", "lang_pred", "ppl", "content", "scrubbed_sha256")
+    )

@@ -1,0 +1,107 @@
+"""QualityFilterRun — the end-to-end, resumable quality-filter job.
+
+Two checkpointed stages over the corpus (stage boundaries = materialized,
+independently-resumable tables, exactly like curator's composite pipelines
+where every LLM stage is a cached dataset —
+reference: blocks/simplestrat.py:199-206):
+
+  stage "filter":  score (langid+ppl pandas UDF) + heuristic rule
+                   expressions -> keep/drop + drop_reasons, kept rows only
+  stage "scrub":   PII/toxicity regex chain on kept rows + sha256
+
+Each stage commits in ``n_batches`` atomic slices and resumes from the last
+committed slice after a kill (see engine/checkpoint.py). The rule config is
+part of each stage's fingerprint, so changing scrub patterns re-runs only
+the scrub stage from the committed filter output — curator's
+parse_func_hash partial-reuse semantics (llm/llm.py:275-281).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.checkpoint import ResumableStage, StageResult
+from ..engine.fingerprint import run_fingerprint
+from ..functions.rules import DEFAULT_RULES, RuleConfig
+from ..functions.scrub import SCRUB_PATTERNS
+from .quality_pipeline import (
+    KEY_COLS,
+    drop_reasons_col,
+    rule_fired_cols,
+    rule_metric_cols,
+    score_content,
+    scrub_content,
+)
+
+
+class QualityFilterRun:
+    def __init__(
+        self,
+        work_dir: str,
+        cfg: RuleConfig = DEFAULT_RULES,
+        n_batches: int = 8,
+    ) -> None:
+        self.work_dir = work_dir
+        self.cfg = cfg
+        self.n_batches = n_batches
+        self.filter_stage = ResumableStage(
+            "filter",
+            KEY_COLS,
+            work_dir,
+            config={"rules": cfg.to_dict()},
+            n_batches=n_batches,
+        )
+        self.scrub_stage = ResumableStage(
+            "scrub",
+            KEY_COLS,
+            work_dir,
+            config={"patterns": SCRUB_PATTERNS},
+            n_batches=n_batches,
+        )
+        self.run_hash = run_fingerprint(
+            work_dir, [self.filter_stage.fingerprint, self.scrub_stage.fingerprint]
+        )
+        self.filter_stage.run_hash = self.run_hash
+        self.scrub_stage.run_hash = self.run_hash
+
+    # -- stage transforms ------------------------------------------------------
+    def _filter_transform(self, df: DataFrame) -> DataFrame:
+        scored = (
+            df.withColumn("_score", score_content(F.col("content")))
+            .select("*", "_score.lang_pred", "_score.ppl")
+            .drop("_score")
+        )
+        for name, col in rule_metric_cols(F.col("content")).items():
+            scored = scored.withColumn(name, col)
+        fired = rule_fired_cols(self.cfg)
+        return (
+            scored.withColumn("drop_reasons", drop_reasons_col(fired))
+            .withColumn("keep", F.size(F.col("drop_reasons")) == 0)
+            .filter(F.col("keep"))
+            .select(*KEY_COLS, "lang", "lang_pred", "ppl", "content")
+        )
+
+    def _scrub_transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("content", scrub_content(F.col("content"))).withColumn(
+            "scrubbed_sha256", F.sha2(F.col("content"), 256)
+        )
+
+    # -- orchestration -----------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        fail_after_batches: int | None = None,
+    ) -> tuple[StageResult, StageResult]:
+        r1 = self.filter_stage.run(
+            spark, corpus, self._filter_transform, fail_after_batches=fail_after_batches
+        )
+        kept = self.filter_stage.output(spark)
+        r2 = self.scrub_stage.run(
+            spark, kept, self._scrub_transform, fail_after_batches=fail_after_batches
+        )
+        return r1, r2
+
+    def output(self, spark: SparkSession) -> DataFrame:
+        return self.scrub_stage.output(spark)

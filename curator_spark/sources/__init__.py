@@ -1,0 +1,2 @@
+"""Sources & sinks: deterministic synthetic corpus generation, parquet
+"Iceberg-shaped" table helpers, atomic-commit checkpoint sinks."""

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from curator_spark.session import get_spark
+from curator_spark.sources.corpus import generate_pandas
+
+CORPUS_N = 1200
+CORPUS_SEED = 42
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("curator_spark_tests", cores=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def corpus_pdf() -> pd.DataFrame:
+    return generate_pandas(CORPUS_N, seed=CORPUS_SEED)
+
+
+@pytest.fixture(scope="session")
+def corpus_path(spark, corpus_pdf, tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("corpus") / "corpus.parquet")
+    spark.createDataFrame(corpus_pdf).repartition(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus_path):
+    return spark.read.parquet(corpus_path)

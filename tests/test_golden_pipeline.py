@@ -1,0 +1,73 @@
+"""Golden-label parity: the Spark pipeline vs the single-process oracle.
+
+Mirrors the reference's golden sha256 hash_book tests
+(/root/reference/tests/integrations/test_all.py:59-62, 101-128):
+keep/drop F1 >= 0.99 (expected exact) and per-row scrubbed-content sha256
+equality — the BASELINE.json.input_hint invariant.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from curator_spark.oracle import reference_labels
+from curator_spark.plans.quality_pipeline import annotate, curate
+
+
+def _f1(pred: pd.Series, truth: pd.Series) -> float:
+    tp = int((pred & truth).sum())
+    fp = int((pred & ~truth).sum())
+    fn = int((~pred & truth).sum())
+    if tp == 0:
+        return 0.0
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * p * r / (p + r)
+
+
+def test_annotate_matches_oracle(spark, corpus_df, corpus_pdf):
+    golden = reference_labels(corpus_pdf).set_index(["repo", "path", "commit"]).sort_index()
+    got = (
+        annotate(corpus_df, repartition_to=8)
+        .select(
+            "repo", "path", "commit", "lang_pred", "ppl", "keep",
+            "drop_reasons", "scrubbed_sha256",
+        )
+        .toPandas()
+        .set_index(["repo", "path", "commit"])
+        .sort_index()
+    )
+    assert len(got) == len(golden)
+
+    # language-ID and perplexity: same code on both sides -> exact
+    assert (got["lang_pred"] == golden["lang_pred"]).all()
+    assert (got["ppl"] - golden["ppl"]).abs().max() < 1e-9
+
+    # keep/drop: F1 >= 0.99 required; exact expected
+    f1 = _f1(got["keep"].astype(bool), golden["keep"].astype(bool))
+    assert f1 >= 0.99, f"keep/drop F1 {f1} < 0.99"
+    assert (got["keep"].astype(bool) == golden["keep"].astype(bool)).all()
+
+    # drop_reasons ordered arrays match exactly
+    assert (
+        got["drop_reasons"].map(list) == golden["drop_reasons"].map(list)
+    ).all()
+
+    # the per-row invariant: scrubbed content sha256 equality
+    assert (got["scrubbed_sha256"] == golden["scrubbed_sha256"]).all()
+
+
+def test_curate_returns_only_kept_scrubbed(spark, corpus_df, corpus_pdf):
+    golden = reference_labels(corpus_pdf)
+    kept_golden = golden[golden["keep"]]
+    got = curate(corpus_df, repartition_to=8).toPandas()
+    assert len(got) == len(kept_golden)
+    merged = got.merge(
+        kept_golden[["repo", "path", "commit", "scrubbed_sha256"]],
+        on=["repo", "path", "commit"],
+        suffixes=("", "_gold"),
+    )
+    assert len(merged) == len(kept_golden)
+    assert (merged["scrubbed_sha256"] == merged["scrubbed_sha256_gold"]).all()
+    # scrub must have removed every raw PII email
+    assert not got["content"].str.contains("@example.com").any()

@@ -1,0 +1,89 @@
+"""Checkpoint/resume semantics — the kill-and-rerun contract.
+
+Mirrors the reference's resume tests (kill mid-run, rerun, assert the
+completed rows are skipped — /root/reference/tests/integrations/test_all.py:234-249)
+and the partial-commit fixtures of FIXTURES.md §4.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.engine.checkpoint import ResumableStage, StageInterrupted
+from curator_spark.engine.lineage import read_lineage
+from curator_spark.oracle import reference_labels
+from curator_spark.plans.runner import QualityFilterRun
+
+
+def test_kill_and_resume_skips_committed(spark, corpus_df, corpus_pdf, tmp_path):
+    work = str(tmp_path / "run1")
+    run = QualityFilterRun(work, n_batches=6)
+
+    # first attempt dies after 2 committed filter batches
+    with pytest.raises(StageInterrupted):
+        run.run(spark, corpus_df, fail_after_batches=2)
+    committed_before = run.filter_stage.committed_batches()
+    assert len(committed_before) == 2
+
+    # rerun completes, skipping exactly the 2 committed batches
+    run2 = QualityFilterRun(work, n_batches=6)
+    r1, r2 = run2.run(spark, corpus_df)
+    assert sorted(r1.batches_skipped) == sorted(committed_before)
+    assert len(r1.batches_run) == 6 - 2
+    assert len(r2.batches_run) == 6
+
+    # output equals a clean one-shot run (no dups, no holes)
+    golden = reference_labels(corpus_pdf)
+    kept = golden[golden["keep"]]
+    out = run2.output(spark).toPandas()
+    assert len(out) == len(kept)
+    assert out.duplicated(["repo", "path", "commit"]).sum() == 0
+    merged = out.merge(
+        kept[["repo", "path", "commit", "scrubbed_sha256"]],
+        on=["repo", "path", "commit"],
+        suffixes=("", "_gold"),
+    )
+    assert (merged["scrubbed_sha256"] == merged["scrubbed_sha256_gold"]).all()
+
+
+def test_rerun_is_fully_cached(spark, corpus_df, tmp_path):
+    work = str(tmp_path / "run2")
+    QualityFilterRun(work, n_batches=4).run(spark, corpus_df)
+    r1, r2 = QualityFilterRun(work, n_batches=4).run(spark, corpus_df)
+    assert r1.batches_run == [] and r2.batches_run == []
+
+
+def test_config_change_invalidates_stage(spark, corpus_df, tmp_path):
+    from curator_spark.functions.rules import RuleConfig
+
+    work = str(tmp_path / "run3")
+    QualityFilterRun(work, n_batches=4).run(spark, corpus_df)
+    # different rule config -> different filter fingerprint -> fresh stage dir
+    changed = QualityFilterRun(work, cfg=RuleConfig(min_chars=64), n_batches=4)
+    assert changed.filter_stage.committed_batches() == []
+
+
+def test_failed_rows_anti_join(spark, corpus_df, tmp_path):
+    stage = ResumableStage("ident", ["repo", "path", "commit"], str(tmp_path / "s"), n_batches=4)
+    with pytest.raises(StageInterrupted):
+        stage.run(spark, corpus_df, lambda d: d, fail_after_batches=3)
+    pending = stage.failed_rows(spark, corpus_df)
+    total = corpus_df.count()
+    done = stage.output(spark).count()
+    assert pending.count() == total - done
+
+
+def test_lineage_rows(spark, corpus_df, corpus_pdf, tmp_path):
+    work = str(tmp_path / "run4")
+    run = QualityFilterRun(work, n_batches=4)
+    run.run(spark, corpus_df)
+    lin = read_lineage(spark, f"{work}/_lineage")
+    rows = lin.toPandas()
+    assert set(rows["stage"]) == {"filter", "scrub"}
+    filt = rows[rows["stage"] == "filter"]
+    assert filt["rows_in"].sum() == len(corpus_pdf)
+    golden = reference_labels(corpus_pdf)
+    assert filt["rows_out"].sum() == int(golden["keep"].sum())
+    assert (rows["wall_ms"] >= 0).all()
+    assert (rows["run_hash"] == run.run_hash).all()

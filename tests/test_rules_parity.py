@@ -1,0 +1,61 @@
+"""Exact row-by-row parity between the Spark column-expression metrics
+(whole-stage codegen path) and the pandas mirror used by the oracle.
+
+This is the guard against Java-regex vs Python-re divergence: every metric
+is defined with ASCII-explicit character classes so both engines agree on
+every row of the synthetic corpus (which includes binary-ish blobs, empty
+strings, unicode-free junk, very long lines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from curator_spark.functions.rules import text_metrics_batch
+from curator_spark.plans.quality_pipeline import rule_metric_cols
+
+METRICS = [
+    "n_chars",
+    "n_lines",
+    "max_line_len",
+    "alnum_ratio",
+    "digit_ratio",
+    "word_count",
+    "distinct_word_ratio",
+    "has_boilerplate",
+]
+
+
+def test_metric_expressions_match_pandas(spark, corpus_df, corpus_pdf):
+    expected = text_metrics_batch(corpus_pdf["content"])
+    expected.index = corpus_pdf.set_index(["repo", "path", "commit"]).index
+
+    df = corpus_df
+    for name, col in rule_metric_cols(F.col("content")).items():
+        df = df.withColumn(name, col)
+    got = (
+        df.select("repo", "path", "commit", *METRICS)
+        .toPandas()
+        .set_index(["repo", "path", "commit"])
+    )
+    expected = expected.loc[got.index]
+
+    for m in ["n_chars", "n_lines", "max_line_len", "word_count"]:
+        assert (got[m].to_numpy() == expected[m].to_numpy()).all(), m
+    for m in ["alnum_ratio", "digit_ratio", "distinct_word_ratio"]:
+        assert np.allclose(got[m].to_numpy(), expected[m].to_numpy(), atol=1e-12), m
+    assert (
+        got["has_boilerplate"].to_numpy() == expected["has_boilerplate"].to_numpy()
+    ).all()
+
+
+def test_rules_plan_is_codegen_only(spark, corpus_df):
+    """The heuristic-metric stage must stay JVM-side: no Python UDF /
+    ArrowEvalPython node in the physical plan."""
+    df = corpus_df
+    for name, col in rule_metric_cols(F.col("content")).items():
+        df = df.withColumn(name, col)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
