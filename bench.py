@@ -1,0 +1,94 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline: end-to-end quality-filter+scrub throughput (files/sec) on the
+generated source-code corpus, plus representative operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+The corpus for the pipeline benchmark is generated deterministically once
+and cached under .bench/ (distributed generation, seed=42).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "equi_join_agg",
+    "broadcast_join",
+    "anti_join",
+    "window_moving_avg",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "quality_filter_documents",
+]
+
+CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from curator_spark.operators import QUERIES
+    from curator_spark.plans.quality_pipeline import curate
+    from curator_spark.session import get_spark
+    from curator_spark.sources.corpus import write_corpus
+
+    spark = get_spark("curator_spark_bench", cores=cores, shuffle_partitions=cores)
+
+    timings: dict[str, float] = {}
+
+    # --- headline: corpus filter+scrub end to end ---------------------------
+    corpus_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench", f"corpus_{CORPUS_ROWS}"
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        write_corpus(spark, corpus_dir, CORPUS_ROWS, seed=42, partitions=cores * 4)
+
+    corpus = spark.read.parquet(corpus_dir)
+    t0 = time.time()
+    kept = curate(corpus, repartition_to=cores * 4).count()
+    dt = time.time() - t0
+    timings["corpus_filter_scrub"] = round(dt, 3)
+    files_per_sec = CORPUS_ROWS / dt
+
+    # --- operator queries ----------------------------------------------------
+    for name in BENCH_QUERIES:
+        spec = QUERIES[name]
+        t0 = time.time()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        if n == 0 and name not in ("dedup_exact",):
+            print(f"warning: {name} returned 0 rows", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end filter+scrub + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "corpus_rows": CORPUS_ROWS,
+                "corpus_files_per_sec": round(files_per_sec, 1),
+                "corpus_kept_rows": kept,
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

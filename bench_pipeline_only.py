@@ -1,0 +1,54 @@
+"""Single-measurement worker for scripts/bench_scaling.py: run ONLY the
+end-to-end filter+scrub pipeline at SPARK_GRAFT_CPUS cores and print one
+JSON line {"wall_sec": ..., "files_per_sec": ..., "cores": ...}.
+
+Separated from bench.py so each parallelism level gets a fresh JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
+
+    from curator_spark.plans.quality_pipeline import curate
+    from curator_spark.session import get_spark
+    from curator_spark.sources.corpus import write_corpus
+
+    spark = get_spark(f"scaling_bench_{cores}", cores=cores, shuffle_partitions=cores)
+    corpus_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench", f"corpus_{rows}"
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        write_corpus(spark, corpus_dir, rows, seed=42, partitions=128)
+
+    corpus = spark.read.parquet(corpus_dir)
+    # warm-up pass primes python workers / JIT so the measurement reflects
+    # steady-state throughput, not session startup
+    corpus.limit(2000).count()
+
+    t0 = time.time()
+    curate(corpus, repartition_to=cores * 4).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "wall_sec": round(dt, 3),
+                "files_per_sec": round(rows / dt, 1),
+                "cores": cores,
+                "rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""Operator inventory — every relational/curation operator from SURVEY.md §2
+plus the large-scale training-data-pipeline operations (dedup, similarity
+search, text analysis, multimodal plumbing), each as a named query with a
+DuckDB oracle where SQL-expressible.
+
+``QUERIES`` maps name -> QuerySpec(fn, oracle_sql). The driver harness runs
+``fn(spark, sf_dir)`` and the oracle side-by-side at sf=0.01.
+"""
+
+from __future__ import annotations
+
+from .registry import QUERIES, QuerySpec, load  # noqa: F401
+
+# importing the submodules populates QUERIES
+from . import relational  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import text_analysis  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402

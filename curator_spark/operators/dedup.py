@@ -1,0 +1,290 @@
+"""Deduplication operators over the ``documents`` corpus table — the
+training-data-pipeline staples: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Engine-portability trick for the oracles: every hash used is ``md5`` of a
+string (identical in Spark and DuckDB), so even the MinHash signatures and
+SimHash bit planes are bit-identical between the Spark implementation and
+the DuckDB oracle — the driver can verify approximate dedup EXACTLY, not
+just by row count.
+
+Scale notes (100 TB): all variants are shuffle-on-shingle/band/bucket joins
+— no driver-side state, no cross-product. Exact dedup is a single
+hash-aggregate; MinHash/LSH shuffles one (band_key) row per doc per band;
+pair generation happens only within buckets (self-join on the band key).
+At 10^12 docs you'd additionally salt giant buckets and cap bucket width;
+here bucket width is bounded by the corpus design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# Shared shingling: words = whitespace-split of trim(text); shingle = 3-gram
+# joined by single spaces; DISTINCT per doc.
+_WORDS_SPARK = "filter(split(text, '[ \\t\\n]+'), w -> w != '')"
+_SHINGLES_SPARK = (
+    f"array_distinct(transform(sequence(0, greatest(size({_WORDS_SPARK}) - 3, -1)),"
+    f" i -> concat_ws(' ', {_WORDS_SPARK}[i], {_WORDS_SPARK}[i+1], {_WORDS_SPARK}[i+2])))"
+)
+
+# DuckDB mirror (1-based list indexing).
+_WORDS_DUCK = "list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')"
+_SHINGLES_DUCK = (
+    f"list_distinct(list_transform(range(0, greatest(len({_WORDS_DUCK}) - 2, 0)),"
+    f" i -> {_WORDS_DUCK}[i+1] || ' ' || {_WORDS_DUCK}[i+2] || ' ' || {_WORDS_DUCK}[i+3]))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content digest; canonical = min doc_id.
+# ---------------------------------------------------------------------------
+_Q_EXACT_ORACLE = """
+SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact", _Q_EXACT_ORACLE, "exact dedup via content-digest groupBy")
+def dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join: explode distinct shingles,
+# self-join on shingle, |A∩B| / |A∪B| >= threshold.
+# ---------------------------------------------------------------------------
+_Q_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle,
+         len({_SHINGLES_DUCK}) AS n_sh
+  FROM documents WHERE len({_SHINGLES_DUCK}) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS inter, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.6
+"""
+
+
+@register("dedup_ngram_jaccard", _Q_JACCARD_ORACLE, "exact 3-gram Jaccard similarity join")
+def dedup_ngram_jaccard(spark, sf_dir, threshold: float = 0.6):
+    d = load(spark, sf_dir, "documents").withColumn("sh", F.expr(_SHINGLES_SPARK))
+    sh = (
+        d.filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: signature h_s(doc) = min over shingles of md5(s || ':' ||
+# shingle); band key = md5 of the band's concatenated minhashes; candidate
+# pairs = docs sharing any band key. md5-based => bit-identical in DuckDB.
+# ---------------------------------------------------------------------------
+_N_HASHES = 8
+_BAND_SIZE = 2  # 4 bands of 2 -> catches jaccard >~ 0.5 with high prob
+
+_Q_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+  FROM documents WHERE len({_SHINGLES_DUCK}) > 0
+),
+mh AS (
+  SELECT doc_id, s.seed AS seed, min(md5(s.seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {_N_HASHES})) AS seed) s
+  GROUP BY doc_id, s.seed
+),
+sig AS (
+  SELECT doc_id, string_agg(minhash, ',' ORDER BY seed) AS signature
+  FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band AS band,
+         md5(cast(b.band AS VARCHAR) || '|' ||
+             string_split(signature, ',')[b.band * {_BAND_SIZE} + 1] || ',' ||
+             string_split(signature, ',')[b.band * {_BAND_SIZE} + 2]) AS band_key
+  FROM sig, (SELECT unnest(range(0, {_N_HASHES} // {_BAND_SIZE})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
+         AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _Q_MINHASH_ORACLE, "MinHash+LSH candidate pairs (md5-portable)")
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").withColumn("sh", F.expr(_SHINGLES_SPARK))
+    sh = d.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("shingle"))
+    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    )
+    sig = mh.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).minhash, ",").alias(
+            "signature"
+        )
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    bands_df = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    parts = F.split(F.col("signature"), ",")
+    bands = (
+        sig.crossJoin(F.broadcast(bands_df))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.concat_ws(
+                        "|",
+                        F.col("band").cast("string"),
+                        F.concat_ws(
+                            ",",
+                            F.element_at(parts, F.col("band") * _BAND_SIZE + 1),
+                            F.element_at(parts, F.col("band") * _BAND_SIZE + 2),
+                        ),
+                    ),
+                )
+            ).alias("band_key"),
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 60-bit signature from md5 of tokens (15 hex chars -> bigint via
+# conv/0x-cast, portable); near-dup = equal signature bucket here (strict);
+# a banded hamming-distance variant is the LSH path above.
+# ---------------------------------------------------------------------------
+_Q_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS_DUCK}) AS w FROM documents
+  WHERE len({_WORDS_DUCK}) > 0
+),
+tokbits AS (
+  SELECT doc_id, bit.b AS b,
+         CASE WHEN (('0x' || substr(md5(w), 1, 15))::BIGINT >> bit.b) & 1 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM tok, (SELECT unnest(range(0, 60)) AS b) bit
+),
+plane AS (
+  SELECT doc_id, b, sum(v) AS s FROM tokbits GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+  FROM plane GROUP BY doc_id
+)
+SELECT simhash, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+FROM sig GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+@register("dedup_simhash", _Q_SIMHASH_ORACLE, "SimHash buckets (md5-bit-portable)")
+def dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = F.expr(_WORDS_SPARK)
+    tok = d.filter(F.size(words) > 0).select("doc_id", F.explode(words).alias("w"))
+    bits = spark.range(60).select(F.col("id").cast("int").alias("b"))
+    tokbits = tok.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "b",
+        F.expr(
+            "CASE WHEN (shiftright(cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint), b) & 1) = 1"
+            " THEN 1 ELSE -1 END"
+        ).alias("v"),
+    )
+    plane = tokbits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    sig = (
+        plane.withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(F.struct("b", "bit"))).bit, "").alias(
+                "simhash"
+            )
+        )
+    )
+    return (
+        sig.groupBy("simhash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact pair join over unit vectors. The DuckDB
+# oracle folds the dot product the same way (element-wise double multiply,
+# sequential sum); threshold chosen away from any pair's value to keep the
+# comparison float-robust.
+# ---------------------------------------------------------------------------
+_Q_EMB_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> cast(x[1] AS DOUBLE) * cast(x[2] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 3) AS cos_sim FROM pairs WHERE cos >= 0.5
+"""
+
+
+@register("dedup_embedding_cosine", _Q_EMB_ORACLE, "embedding cosine near-dup pairs")
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.5):
+    e = load(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(dot.format(a="emb_a", b="emb_b")) / (
+        F.sqrt(F.expr(dot.format(a="emb_a", b="emb_a")))
+        * F.sqrt(F.expr(dot.format(a="emb_b", b="emb_b")))
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 3).alias("cos_sim"))
+    )

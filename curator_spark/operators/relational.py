@@ -1,0 +1,458 @@
+"""Relational operator coverage — the SURVEY.md §2 inventory as named
+queries over the driver's TPC-H-ish testdata, each with a DuckDB oracle.
+
+Spark-first notes per query are in the docstrings; the common themes:
+filters/projections stay above the scan so Catalyst pushes them into
+parquet (PushedFilters), small dimension sides are broadcast explicitly,
+aggregates use built-in functions only (map-side partial agg for free),
+and floating aggregates are ROUNDed identically on both sides so the
+driver's value-hash is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# A1/A3: groupBy aggregation with partial (map-side) combine — TPC-H Q1 shape.
+# ---------------------------------------------------------------------------
+_Q_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _Q_PRICING_ORACLE, "SURVEY §2.5 A1/A3: partial-agg groupBy")
+def pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F3: predicate + projection (pushed into the parquet scan).
+# ---------------------------------------------------------------------------
+_Q_FILTER_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+"""
+
+
+@register("filter_project", _Q_FILTER_ORACLE, "SURVEY §2.3 F2/F3: pushdown filter+project")
+def filter_project(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: equi hash join + aggregation (shuffle join on the fact side).
+# ---------------------------------------------------------------------------
+_Q_EQUI_ORACLE = """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*)                    AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("equi_join_agg", _Q_EQUI_ORACLE, "SURVEY §2.4 J1: equi join + rollup")
+def equi_join_agg(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: broadcast join — dimension side explicitly broadcast (no shuffle of
+# the fact table; at 100 TB this is the difference between a map-side join
+# and a full fact shuffle).
+# ---------------------------------------------------------------------------
+_Q_BCAST_ORACLE = """
+SELECT p.p_brand AS brand,
+       count(*) AS n_items,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 10
+GROUP BY p.p_brand
+"""
+
+
+@register("broadcast_join", _Q_BCAST_ORACLE, "SURVEY §2.4 J3: broadcast dim join")
+def broadcast_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/J4: left-anti join — the resume/failed-rows primitive.
+# ---------------------------------------------------------------------------
+_Q_ANTI_ORACLE = """
+SELECT c_mktsegment AS mktsegment, count(*) AS n_customers_no_urgent
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@register("anti_join", _Q_ANTI_ORACLE, "SURVEY §2.3 F4 / §2.4 J4: left-anti resume primitive")
+def anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_customers_no_urgent"))
+    )
+
+
+_Q_SEMI_ORACLE = """
+SELECT s_nationkey AS nationkey, count(*) AS n_suppliers_with_items
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+GROUP BY s_nationkey
+"""
+
+
+@register("semi_join", _Q_SEMI_ORACLE, "left-semi join (EXISTS)")
+def semi_join(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers_with_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2/O3: union + order-restoring sort + limit (curator's concatenate +
+# output-order restoration, base_request_processor.py:556-561).
+# ---------------------------------------------------------------------------
+_Q_UNION_ORACLE = """
+SELECT * FROM (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment FROM customer
+  WHERE c_mktsegment = 'MACHINERY'
+) ORDER BY acctbal DESC, c_custkey LIMIT 50
+"""
+
+
+@register("union_sort_limit", _Q_UNION_ORACLE, "SURVEY §2.6 O1-O3: union + sort + limit")
+def union_sort_limit(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "c_mktsegment"
+    )
+    a = c.filter(F.col("c_mktsegment") == "BUILDING")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY")
+    return a.unionByName(b).orderBy(F.desc("acctbal"), "c_custkey").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# M7: text chunker — flatMap via posexplode (curator blocks/raft.py:181-186).
+# ---------------------------------------------------------------------------
+_Q_CHUNK_ORACLE = """
+SELECT doc_id, t.i AS chunk_id,
+       substring(text, cast(t.i * 100 + 1 AS INT), 100) AS chunk
+FROM documents,
+LATERAL (SELECT unnest(range(0, cast(ceil(length(text) / 100.0) AS BIGINT))) AS i) t
+"""
+
+
+@register("chunk_documents", _Q_CHUNK_ORACLE, "SURVEY §2.2 M7: chunker as posexplode")
+def chunk_documents(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    chunks = F.expr(
+        "transform(sequence(0, int(ceil(length(text)/100.0)) - 1),"
+        " i -> substring(text, i*100 + 1, 100))"
+    )
+    return (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: moving average window (curator's deque-50 output-token window,
+# base_online_request_processor.py:584-588).
+# ---------------------------------------------------------------------------
+_Q_MOVAVG_ORACLE = """
+SELECT event_id, user_id,
+       round(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) * 1.0 /
+             (100 * count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)), 6) AS mov_avg
+FROM events
+"""
+
+
+@register("window_moving_avg", _Q_MOVAVG_ORACLE, "SURVEY §2.5 A4: rows-window moving average")
+def window_moving_avg(spark, sf_dir):
+    # float-robust across engines: sum integer cents, then one IEEE division
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-49, 0)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    mov = F.sum(cents).over(w) * F.lit(1.0) / (F.lit(100) * F.count(F.lit(1)).over(w))
+    return e.select("event_id", "user_id", F.round(mov, 6).alias("mov_avg"))
+
+
+# ---------------------------------------------------------------------------
+# A6: groupBy-collect collate (curator blocks/simplestrat.py:141-145).
+# Deterministic ordering: sort the collected list on both sides.
+# ---------------------------------------------------------------------------
+_Q_COLLATE_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY event_type) AS types,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+@register("groupby_collect", _Q_COLLATE_ORACLE, "SURVEY §2.9: collate UDAF as collect+sort")
+def groupby_collect(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), "|").alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/O4: distinct.
+# ---------------------------------------------------------------------------
+_Q_DISTINCT_ORACLE = "SELECT DISTINCT event_type FROM events"
+
+
+@register("distinct_types", _Q_DISTINCT_ORACLE, "SURVEY §2.5 A8: distinct-id set")
+def distinct_types(spark, sf_dir):
+    return load(spark, sf_dir, "events").select("event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group — window row_number (the reference's .take(n) per source
+# pattern, generate_numina_data.py:74-99, generalized per-group).
+# ---------------------------------------------------------------------------
+_Q_TOPK_ORACLE = """
+SELECT event_type, event_id, round(value, 2) AS value, rn FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+"""
+
+
+@register("topk_per_group", _Q_TOPK_ORACLE, "top-k per group via row_number window")
+def topk_per_group(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction — curator's per-row generation_params JSON column
+# (prompt_formatter.py:116-127) as get_json_object.
+# ---------------------------------------------------------------------------
+_Q_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+"""
+
+
+@register("json_extract", _Q_JSON_ORACLE, "SURVEY §2.7: JSON decode of per-row params")
+def json_extract(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select("event_id", k.alias("k_val")).filter(F.col("k_val") >= 90)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — lag + cumulative sum over gaps (stateful pattern; the
+# batch analog of streaming session windows).
+# ---------------------------------------------------------------------------
+_Q_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+@register("sessionize", _Q_SESSION_ORACLE, "sessionization: lag + gap cumsum")
+def sessionize(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.expr("cast(cast(ts as timestamp_ltz) as bigint)")
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    marked = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — conditional aggregation (portable form).
+# ---------------------------------------------------------------------------
+_Q_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+@register("pivot_counts", _Q_PIVOT_ORACLE, "pivot as conditional aggregation")
+def pivot_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (multi-level aggregate in one pass).
+# ---------------------------------------------------------------------------
+_Q_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_agg", _Q_ROLLUP_ORACLE, "rollup grouping sets")
+def rollup_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time window — batch form of the streaming windowed count.
+# ---------------------------------------------------------------------------
+_Q_TUMBLE_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("tumbling_window", _Q_TUMBLE_ORACLE, "SURVEY §2.8: event-time tumbling window")
+def tumbling_window(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation — the skew-defusing rollup the north rule
+# asks for. Results are identical to a plain groupBy (the oracle), but the
+# physical plan first aggregates on (key, salt) — spreading a hot key over
+# SALT partitions — then combines the partials. At 10^12 rows with a
+# monorepo holding 30% of files, this is the difference between one straggler
+# reducer and uniform load.
+# ---------------------------------------------------------------------------
+_Q_SALTED_ORACLE = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+@register("salted_repo_stats", _Q_SALTED_ORACLE, "two-phase salted agg over a skewed key")
+def salted_repo_stats(spark, sf_dir, salt: int = 16):
+    d = load(spark, sf_dir, "documents")
+    partial = (
+        d.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
+        .groupBy("source", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("n_chars").alias("_sum"),
+        )
+    )
+    return partial.groupBy("source").agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_sum").alias("total_chars"),
+        F.round(F.sum("_sum") / F.sum("_n"), 4).alias("avg_chars"),
+    )

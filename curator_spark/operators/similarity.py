@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table.
+
+* ``ann_bruteforce_topk`` — exact cosine top-k: the correctness baseline.
+  Query side is broadcast (tiny), so the big side streams with no shuffle —
+  the right plan at 100 TB when the query set is small.
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets via the
+  md5-bit trick (portable to the DuckDB oracle bit-for-bit). Candidates are
+  generated only inside matching buckets, then exact cosine re-ranks. With
+  multi-probe (here: all 2^m within distance 0 — i.e., exact bucket match
+  across R independent tables), recall is tunable by R.
+
+Float robustness for the oracle compare: both sides fold the dot product as
+sequential double adds and ROUND the reported cosine; ranks are decided on
+the rounded value with vec_id tie-breaks, so a sub-ULP summation difference
+cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+_DOT_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> cast(x[1] AS DOUBLE) * cast(x[2] AS DOUBLE)))"
+)
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+_Q_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cos_sim
+  FROM q JOIN c ON q_id != c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("ann_bruteforce_topk", _Q_ANN_ORACLE, "exact cosine top-k, broadcast query side")
+def ann_bruteforce_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="q_emb", b="c_emb"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+            * F.sqrt(F.expr(_DOT.format(a="c_emb", b="c_emb")))
+        ),
+        6,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant: sign of dot(v, hyperplane) for _N_PLANES pseudo-random
+# hyperplanes; hyperplane p component j = (md5 bit) ? +1 : -1 — derived from
+# md5(p || ':' || j), so Spark and DuckDB build the SAME planes.
+# ---------------------------------------------------------------------------
+_N_PLANES = 6
+_DIM = 64
+
+# component sign for plane p, dim j (portable): bit 0 of ('0x'||substr(md5,1,15))
+_SIGN_DUCK = (
+    "CASE WHEN (('0x' || substr(md5(cast({p} AS VARCHAR) || ':' || cast({j} AS VARCHAR)), 1, 15))::BIGINT & 1) = 1 "
+    "THEN 1.0 ELSE -1.0 END"
+)
+
+_Q_ANN_LSH_ORACLE = f"""
+WITH planes AS (
+  SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
+       (SELECT unnest(range(0, {_DIM})) AS j) j
+),
+sigs AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN sum(cast(e.embedding[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
+),
+q AS (SELECT b.vec_id AS q_id, b.bucket, e.embedding AS q_emb
+      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id < {_N_QUERIES}),
+c AS (SELECT b.vec_id AS c_id, b.bucket, e.embedding AS c_emb
+      FROM buckets b JOIN embeddings e USING (vec_id)),
+cand AS (
+  SELECT q.q_id, c.c_id, q.q_emb, c.c_emb FROM q JOIN c ON q.bucket = c.bucket
+  WHERE q.q_id != c.c_id
+),
+scored AS (
+  SELECT q_id, c_id,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("ann_lsh_topk", _Q_ANN_LSH_ORACLE, "random-hyperplane LSH buckets + exact re-rank")
+def ann_lsh_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(_N_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(_DIM).select(F.col("id").cast("int").alias("j")))
+        .withColumn(
+            "sign",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("j"))), 1, 15), 16, 10
+                )
+                .cast("bigint")
+                .bitwiseAND(1)
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+    )
+    sigs = (
+        e.select("vec_id", F.posexplode("embedding").alias("j", "x"))
+        .join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.when(F.sum(F.col("x").cast("double") * F.col("sign")) > 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit")
+        )
+    )
+    buckets = sigs.groupBy("vec_id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct("p", "bit"))).bit, "").alias("bucket")
+    )
+    withb = e.join(buckets, "vec_id")
+    q = withb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("bucket"), F.col("embedding").alias("q_emb")
+    )
+    c = withb.select(
+        F.col("vec_id").alias("c_id"), F.col("bucket").alias("c_bucket"), F.col("embedding").alias("c_emb")
+    )
+    cand = q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")))
+    cos = F.round(
+        F.expr(_DOT.format(a="q_emb", b="c_emb"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+            * F.sqrt(F.expr(_DOT.format(a="c_emb", b="c_emb")))
+        ),
+        6,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,310 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, document fingerprinting, PII scrub — the
+SQL-expressible faces of the quality-filter pipeline, each with a DuckDB
+oracle.
+
+The natural-language ID here is the SQL-expressible mirror of
+``curator_spark.functions.langid.detect_nat_lang_batch`` (same stopword
+profiles, same normalize-count-argmax semantics, same tie-break order);
+``tests/test_operators.py`` asserts the three-way agreement
+pandas == Spark SQL == DuckDB SQL.
+
+The scrub query runs the REAL pipeline scrub (pandas UDF, Python ``re``)
+on the Spark side while the oracle runs the same patterns through DuckDB's
+RE2 — a standing proof that the scrub chain is engine-portable, which is
+what makes the sha256 invariant meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.langid import NAT_LANG_ORDER, NAT_LANG_STOPWORDS
+from ..functions.rules import DEFAULT_RULES
+from ..functions.scrub import scrub_sql_chain
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# Portable natural-language-ID SQL (no backslashes -> identical literal in
+# Spark SQL and DuckDB; only the regex-match function name differs).
+# ---------------------------------------------------------------------------
+_NORM = "(' ' || regexp_replace(lower({col}), '[^a-z一-鿿]+', ' ', 'g') || ' ')"
+_NORM_SPARK = "(' ' || regexp_replace(lower({col}), '[^a-z一-鿿]+', ' ') || ' ')"
+
+
+def _score_expr(norm: str, lang: str) -> str:
+    terms = [
+        f"(length({norm}) - length(replace({norm}, ' {w} ', ''))) / {len(w) + 2}"
+        for w in NAT_LANG_STOPWORDS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def natlang_pred_sql(col: str, dialect: str) -> str:
+    """CASE expression computing the nat-lang prediction for ``col``."""
+    norm = (_NORM if dialect == "duckdb" else _NORM_SPARK).format(col=col)
+    s = {lang: _score_expr(norm, lang) for lang in NAT_LANG_ORDER}
+    if dialect == "duckdb":
+        zh = f"regexp_matches({col}, '[一-鿿]')"
+    else:
+        zh = f"{col} rlike '[一-鿿]'"
+    return (
+        "CASE "
+        f"WHEN {zh} THEN 'zh' "
+        f"WHEN {s['en']} <= 0 AND {s['es']} <= 0 AND {s['de']} <= 0 AND {s['fr']} <= 0 THEN 'unknown' "
+        f"WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['de']} AND {s['en']} >= {s['fr']} THEN 'en' "
+        f"WHEN {s['es']} >= {s['de']} AND {s['es']} >= {s['fr']} THEN 'es' "
+        f"WHEN {s['de']} >= {s['fr']} THEN 'de' "
+        "ELSE 'fr' END"
+    )
+
+
+_Q_LANGID_ORACLE = f"""
+SELECT doc_id, lang AS lang_claimed,
+       {natlang_pred_sql('text', 'duckdb')} AS lang_pred,
+       (lang = {natlang_pred_sql('text', 'duckdb')}) AS is_match
+FROM documents
+"""
+
+
+@register("langid_documents", _Q_LANGID_ORACLE, "n-gram-heuristic language ID (SQL-expressible)")
+def langid_documents(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pred = F.expr(natlang_pred_sql("text", "spark"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_claimed"),
+        pred.alias("lang_pred"),
+        (F.col("lang") == pred).alias("is_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace words + a BPE-ish regex token count + the
+# len/4 heuristic curator uses as fallback
+# (reference: litellm_online_request_processor.py:231-252).
+# ---------------------------------------------------------------------------
+_TOKEN_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+_Q_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')) AS n_words,
+       len(regexp_extract_all(text, '{_TOKEN_PAT}')) AS n_tokens_bpe,
+       cast(floor(length(text) / 4) AS BIGINT) AS n_tokens_len4
+FROM documents
+"""
+
+
+@register("token_stats", _Q_TOKENS_ORACLE, "SURVEY §2.7: token counting family")
+def token_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = F.expr("filter(split(text, '[ \\t\\n]+'), w -> w != '')")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit(_TOKEN_PAT)).cast("long").alias("n_tokens_bpe"),
+        F.floor(F.length("text") / 4).cast("long").alias("n_tokens_len4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: the heuristic-rule metrics as SQL (documents flavor).
+# ---------------------------------------------------------------------------
+_CFG = DEFAULT_RULES
+
+_Q_QUALITY_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
+             greatest(length(text), 1) AS alnum_ratio,
+         len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
+             greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)
+             AS distinct_word_ratio,
+         len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')) AS word_count
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       round(alnum_ratio, 4) AS alnum_ratio,
+       round(distinct_word_ratio, 4) AS distinct_word_ratio,
+       (n_chars >= {_CFG.min_chars} AND n_chars <= {_CFG.max_chars}
+        AND alnum_ratio >= {_CFG.min_alnum_ratio}
+        AND NOT (word_count >= {_CFG.repetition_min_words}
+                 AND distinct_word_ratio < {_CFG.min_distinct_word_ratio})) AS keep
+FROM m
+"""
+
+
+@register("doc_quality", _Q_QUALITY_ORACLE, "heuristic quality scoring as pure SQL")
+def doc_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = F.expr("filter(split(text, '[ \\t\\n]+'), w -> w != '')")
+    n_chars = F.length("text")
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    alnum_ratio = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")) / denom
+    wc = F.size(words)
+    dr = F.size(F.array_distinct(words)) / F.greatest(wc, F.lit(1)).cast("double")
+    keep = (
+        (n_chars >= _CFG.min_chars)
+        & (n_chars <= _CFG.max_chars)
+        & (alnum_ratio >= _CFG.min_alnum_ratio)
+        & ~((wc >= _CFG.repetition_min_words) & (dr < _CFG.min_distinct_word_ratio))
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.round(alnum_ratio, 4).alias("alnum_ratio"),
+        F.round(dr, 4).alias("distinct_word_ratio"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII/toxicity scrub over documents — Spark side uses the REAL pipeline
+# pandas-UDF scrub; oracle replays the same chain in RE2.
+# ---------------------------------------------------------------------------
+_Q_SCRUB_ORACLE = f"""
+SELECT doc_id, sha256({scrub_sql_chain('text')}) AS scrubbed_sha256
+FROM documents
+"""
+
+
+@register("scrub_documents", _Q_SCRUB_ORACLE, "pipeline scrub; oracle re-runs chain in RE2")
+def scrub_documents(spark, sf_dir):
+    from ..plans.quality_pipeline import scrub_content
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.sha2(scrub_content(F.col("text")), 256).alias("scrubbed_sha256")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: min-shingle-hash (winnowing-style) + exact sha.
+# ---------------------------------------------------------------------------
+_WORDS_DUCK = "list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')"
+_SHINGLES_DUCK = (
+    f"list_transform(range(0, greatest(len({_WORDS_DUCK}) - 2, 0)),"
+    f" i -> {_WORDS_DUCK}[i+1] || ' ' || {_WORDS_DUCK}[i+2] || ' ' || {_WORDS_DUCK}[i+3])"
+)
+
+_Q_FP_ORACLE = f"""
+SELECT doc_id,
+       list_min(list_transform({_SHINGLES_DUCK}, s -> md5(s))) AS min_shingle_hash,
+       sha256(text) AS content_sha256
+FROM documents WHERE len({_SHINGLES_DUCK}) > 0
+"""
+
+
+@register("doc_fingerprint", _Q_FP_ORACLE, "winnowing-style min-shingle-hash fingerprint")
+def doc_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = "filter(split(text, '[ \\t\\n]+'), w -> w != '')"
+    shingles = (
+        f"transform(sequence(0, greatest(size({words}) - 3, -1)),"
+        f" i -> concat_ws(' ', {words}[i], {words}[i+1], {words}[i+2]))"
+    )
+    return (
+        d.withColumn("sh", F.expr(shingles))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.array_min(F.transform(F.col("sh"), lambda s: F.md5(s))).alias(
+                "min_shingle_hash"
+            ),
+            F.sha2("text", 256).alias("content_sha256"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP: the full SQL-expressible quality filter over documents —
+# langid + heuristic rules + scrub + sha, one query. (Perplexity needs the
+# model UDF, so it is exercised by the corpus pipeline tests instead.)
+# ---------------------------------------------------------------------------
+_Q_FLAGSHIP_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         {natlang_pred_sql('text', 'duckdb')} AS lang_pred,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
+             greatest(length(text), 1) AS alnum_ratio,
+         len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
+             greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)
+             AS distinct_word_ratio,
+         len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')) AS word_count
+  FROM documents
+)
+SELECT doc_id, lang_pred, n_chars,
+       concat_ws(',',
+         CASE WHEN n_chars < {_CFG.min_chars} THEN 'too_short' END,
+         CASE WHEN alnum_ratio < {_CFG.min_alnum_ratio} THEN 'low_alnum' END,
+         CASE WHEN word_count >= {_CFG.repetition_min_words}
+                   AND distinct_word_ratio < {_CFG.min_distinct_word_ratio}
+              THEN 'repetition' END,
+         CASE WHEN lang_pred = 'unknown' THEN 'langid' END) AS reasons,
+       (n_chars >= {_CFG.min_chars} AND alnum_ratio >= {_CFG.min_alnum_ratio}
+        AND NOT (word_count >= {_CFG.repetition_min_words}
+                 AND distinct_word_ratio < {_CFG.min_distinct_word_ratio})
+        AND lang_pred != 'unknown') AS keep,
+       sha256({scrub_sql_chain('text')}) AS scrubbed_sha256
+FROM m
+"""
+
+
+@register(
+    "quality_filter_documents",
+    _Q_FLAGSHIP_ORACLE,
+    "FLAGSHIP: langid + rules + scrub + sha over documents",
+)
+def quality_filter_documents(spark, sf_dir):
+    from ..plans.quality_pipeline import scrub_content
+
+    d = load(spark, sf_dir, "documents")
+    pred = F.expr(natlang_pred_sql("text", "spark"))
+    words = F.expr("filter(split(text, '[ \\t\\n]+'), w -> w != '')")
+    n_chars = F.length("text")
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    alnum_ratio = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")) / denom
+    wc = F.size(words)
+    dr = F.size(F.array_distinct(words)) / F.greatest(wc, F.lit(1)).cast("double")
+    m = d.select(
+        "doc_id",
+        "text",
+        pred.alias("lang_pred"),
+        n_chars.cast("long").alias("n_chars"),
+        alnum_ratio.alias("alnum_ratio"),
+        dr.alias("distinct_word_ratio"),
+        wc.alias("word_count"),
+    )
+    c = F.col
+    reasons = F.concat_ws(
+        ",",
+        F.when(c("n_chars") < _CFG.min_chars, "too_short"),
+        F.when(c("alnum_ratio") < _CFG.min_alnum_ratio, "low_alnum"),
+        F.when(
+            (c("word_count") >= _CFG.repetition_min_words)
+            & (c("distinct_word_ratio") < _CFG.min_distinct_word_ratio),
+            "repetition",
+        ),
+        F.when(c("lang_pred") == "unknown", "langid"),
+    )
+    keep = (
+        (c("n_chars") >= _CFG.min_chars)
+        & (c("alnum_ratio") >= _CFG.min_alnum_ratio)
+        & ~(
+            (c("word_count") >= _CFG.repetition_min_words)
+            & (c("distinct_word_ratio") < _CFG.min_distinct_word_ratio)
+        )
+        & (c("lang_pred") != "unknown")
+    )
+    return m.select(
+        "doc_id",
+        "lang_pred",
+        "n_chars",
+        reasons.alias("reasons"),
+        keep.alias("keep"),
+        F.sha2(scrub_content(F.col("text")), 256).alias("scrubbed_sha256"),
+    )

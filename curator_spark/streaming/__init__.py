@@ -1,0 +1,5 @@
+"""Structured Streaming variants of the engine's stages.
+
+Curator itself is batch-only (SURVEY.md §2.8) — these exist because a
+production curation service consumes corpora incrementally. Same stage
+functions, readStream in, writeStream out."""

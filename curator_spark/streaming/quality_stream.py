@@ -1,0 +1,85 @@
+"""Streaming quality filter + streaming metrics.
+
+* :func:`stream_quality_filter` — the batch pipeline's filter+scrub chain
+  applied to a file-source stream of corpus parquet (micro-batch = commit
+  granule, the streaming analog of the engine's checkpoint batches).
+  Identical transforms as plans/quality_pipeline.py -> identical labels.
+* :func:`stream_event_metrics` — event-time windowed counts with a
+  watermark for late data (the streaming analog of the lineage metric
+  rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rules import DEFAULT_RULES, RuleConfig
+from ..plans.quality_pipeline import (
+    drop_reasons_col,
+    rule_fired_cols,
+    rule_metric_cols,
+    score_content,
+    scrub_content,
+)
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: RuleConfig = DEFAULT_RULES,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """readStream(parquet dir) -> filter+scrub -> streaming DataFrame.
+
+    Sink/trigger choice is the caller's (tests use the memory sink with
+    processAllAvailable; production uses a parquet/Iceberg sink with
+    checkpointLocation for exactly-once)."""
+    src = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    scored = (
+        src.withColumn("_score", score_content(F.col("content")))
+        .select("*", "_score.lang_pred", "_score.ppl")
+        .drop("_score")
+    )
+    for name, col in rule_metric_cols(F.col("content")).items():
+        scored = scored.withColumn(name, col)
+    fired = rule_fired_cols(cfg)
+    kept = scored.withColumn("drop_reasons", drop_reasons_col(fired)).filter(
+        F.size(F.col("drop_reasons")) == 0
+    )
+    return kept.withColumn("content", scrub_content(F.col("content"))).select(
+        "repo", "path", "commit", "lang", "lang_pred", "ppl", "content"
+    )
+
+
+def stream_event_metrics(
+    spark: SparkSession, source_dir: str, schema: T.StructType
+) -> DataFrame:
+    """Event-time tumbling-window counts with a 10-minute watermark."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )

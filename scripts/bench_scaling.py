@@ -1,0 +1,61 @@
+"""Scaling-efficiency evidence for the north rule: run the SAME end-to-end
+filter+scrub job at two parallelism levels (local[8] vs local[32] — the
+sandbox proxy for N vs 4N executors) on the SAME input, report throughput
+at both and efficiency = (T_N / T_4N) / 4.
+
+Each level runs in its own subprocess (one JVM cannot change master).
+Writes BENCH_SCALING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cores: int, rows: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
+    env["CURATOR_BENCH_CORPUS_ROWS"] = str(rows)
+    env["CURATOR_BENCH_PIPELINE_ONLY"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench_pipeline_only.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=1800,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    rows = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
+    n, n4 = 8, 32
+    r_n = run_at(n, rows)
+    r_n4 = run_at(n4, rows)
+    eff = (r_n["wall_sec"] / r_n4["wall_sec"]) / (n4 / n)
+    result = {
+        "rows": rows,
+        "cores_N": n,
+        "cores_4N": n4,
+        "wall_sec_N": r_n["wall_sec"],
+        "wall_sec_4N": r_n4["wall_sec"],
+        "files_per_sec_N": r_n["files_per_sec"],
+        "files_per_sec_4N": r_n4["files_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count + schema-insensitive sorted values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        try:
+            import numpy as np
+
+            if np.issubdtype(df[c].dtype, np.floating):
+                df[c] = df[c].round(9)
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]").astype(str)
+        except Exception:
+            pass
+        if df[c].dtype == bool:
+            df[c] = df[c].astype(int)
+        if str(df[c].dtype) in ("int32", "int64", "Int32", "Int64", "uint64", "int8", "int16"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from curator_spark.operators import QUERIES
+    from curator_spark.session import get_spark
+
+    spark = get_spark("oracle_check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            got = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            if len(got) == 0:
+                failures.append((name, "0 rows"))
+            continue
+        try:
+            exp = con.execute(spec.oracle).df()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        g, e2 = norm(got), norm(exp)
+        if list(g.columns) != list(e2.columns):
+            failures.append((name, f"columns {list(g.columns)} vs {list(e2.columns)}"))
+            print(f"FAIL {name}: column mismatch {list(g.columns)} vs {list(e2.columns)}")
+            continue
+        if len(g) != len(e2):
+            failures.append((name, f"rows {len(g)} vs {len(e2)}"))
+            print(f"FAIL {name}: row count {len(g)} vs {len(e2)}")
+            continue
+        eq = g.equals(e2)
+        if not eq:
+            diff_cols = [c for c in g.columns if not g[c].equals(e2[c])]
+            failures.append((name, f"values differ in {diff_cols}"))
+            print(f"FAIL {name}: value mismatch in {diff_cols}")
+            for c in diff_cols[:2]:
+                mask = g[c] != e2[c]
+                print("  spark:", g.loc[mask, c].head(3).tolist())
+                print("  duck :", e2.loc[mask, c].head(3).tolist())
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
