@@ -1,19 +1,13 @@
 """KenLM-style character-trigram perplexity scorer — deterministic,
-dependency-free, numpy-vectorized.
+dependency-free, fully numpy-vectorized (see trigram.py for the shared
+encode/score machinery).
 
-The reference pipeline's perplexity stage loads a KenLM model once per worker
-and scores batches (template: curator's offline processor loads a model once
-and bulk-infers — reference request_processor/vllm_offline_request_processor.py:41-53).
-Here the model is a dense log-prob table over a 64-symbol alphabet
-(64^3 floats ~= 1 MiB), built deterministically at import from an embedded
-"well-formed code" seed corpus with add-k smoothing. Scoring a document is
-three numpy gathers — no per-row Python.
-
-Executor-side usage: the table is a module-level singleton, so with
-``spark.python.worker.reuse=true`` each Python worker builds it once
-(the executor-local-model pattern; no pickling of the model through the
-closure). Both the Spark pandas UDF and the plain-Python oracle call
-:func:`perplexity_batch`, so scores agree bit-for-bit by construction.
+The model is a dense trigram log-prob table built at import from an
+embedded "well-formed code" seed corpus with add-k smoothing. Scoring a
+batch is one concatenated encode + one gather + one segment-sum — no
+per-row Python (the executor-local load-once/batch-infer pattern of
+curator's offline processor, reference:
+request_processor/vllm_offline_request_processor.py:41-53,192-197).
 """
 
 from __future__ import annotations
@@ -21,13 +15,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# 64-symbol alphabet: a-z (0-25), 0-9 -> one DIGIT bucket (26), common
-# punctuation classes, whitespace, OTHER. Uppercase folds to lowercase.
-_SYMBOLS = "abcdefghijklmnopqrstuvwxyz"
-DIGIT, SPACE, NEWLINE, PUNCT_OPEN, PUNCT_CLOSE, PUNCT_OP, PUNCT_QUOTE, OTHER = (
-    26, 27, 28, 29, 30, 31, 32, 33,
-)
-N_SYM = 34
+from .trigram import BatchEncoding, build_logprob_table, encode, N_SYM
+
+_EMPTY_PPL = 10_000.0  # documents with < 3 symbols: worst-case score
 
 _SEED_CORPUS = """
 def parse_config(path):
@@ -92,88 +82,36 @@ The quick brown fox jumps over the lazy dog. A well formed sentence
 contains a subject and a verb, and it usually ends with a period.
 """
 
-_ADD_K = 0.1
-
-
-def _build_char_map() -> np.ndarray:
-    m = np.full(256, OTHER, dtype=np.int32)
-    for i, c in enumerate(_SYMBOLS):
-        m[ord(c)] = i
-        m[ord(c.upper())] = i
-    for c in "0123456789":
-        m[ord(c)] = DIGIT
-    m[ord(" ")] = SPACE
-    m[ord("\t")] = SPACE
-    m[ord("\n")] = NEWLINE
-    m[ord("\r")] = NEWLINE
-    for c in "([{<":
-        m[ord(c)] = PUNCT_OPEN
-    for c in ")]}>":
-        m[ord(c)] = PUNCT_CLOSE
-    for c in "+-*/=%&|^~!?.,:;_@#$":
-        m[ord(c)] = PUNCT_OP
-    for c in "'\"`":
-        m[ord(c)] = PUNCT_QUOTE
-    return m
-
-
-_CHAR_MAP = _build_char_map()
-
-
-def _encode(text: str) -> np.ndarray:
-    b = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
-    return _CHAR_MAP[b]
-
-
-def _build_logprob_table() -> np.ndarray:
-    counts = np.full(N_SYM * N_SYM * N_SYM, _ADD_K, dtype=np.float64)
-    s = _encode(_SEED_CORPUS)
-    idx = s[:-2] * (N_SYM * N_SYM) + s[1:-1] * N_SYM + s[2:]
-    np.add.at(counts, idx, 1.0)
-    ctx_tot = counts.reshape(N_SYM * N_SYM, N_SYM).sum(axis=1)
-    logp = np.log(counts.reshape(N_SYM * N_SYM, N_SYM)) - np.log(ctx_tot)[:, None]
-    return logp.reshape(-1).astype(np.float64)
-
-
 _LOGP: np.ndarray | None = None
 
 
 def _table() -> np.ndarray:
     global _LOGP
     if _LOGP is None:
-        _LOGP = _build_logprob_table()
+        _LOGP = build_logprob_table(_SEED_CORPUS)
     return _LOGP
 
 
 def perplexity_one(text: str) -> float:
-    """Perplexity of one document under the char-trigram LM.
-
-    exp(-mean log P(c_i | c_{i-2} c_{i-1})); documents shorter than 3 symbols
-    score the worst-case uniform perplexity (N_SYM^... -> defined as 1e4).
-    """
-    s = _encode(text)
+    s = encode(text)
     if len(s) < 3:
-        return 10_000.0
+        return _EMPTY_PPL
     idx = s[:-2] * (N_SYM * N_SYM) + s[1:-1] * N_SYM + s[2:]
     return float(np.exp(-_table()[idx].mean()))
 
 
 def perplexity_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized batch scorer: one concatenated encode, one gather."""
-    texts = texts.fillna("")
-    # Encode the whole batch as one byte buffer with per-doc offsets.
-    joined = "\x00\x00".join(texts.tolist())
-    s = _encode(joined) if joined else np.empty(0, dtype=np.int32)
-    lens = texts.str.encode("utf-8", errors="replace").str.len().to_numpy()
-    out = np.empty(len(texts), dtype=np.float64)
-    table = _table()
-    pos = 0
-    for i, ln in enumerate(lens):
-        seg = s[pos : pos + ln]
-        pos += ln + 2  # skip the two NUL separators
-        if ln < 3:
-            out[i] = 10_000.0
-            continue
-        idx = seg[:-2] * (N_SYM * N_SYM) + seg[1:-1] * N_SYM + seg[2:]
-        out[i] = np.exp(-table[idx].mean())
+    enc = BatchEncoding(texts)
+    mean_lp = enc.mean_logprob(_table())
+    out = np.where(np.isnan(mean_lp), _EMPTY_PPL, np.exp(-mean_lp))
     return pd.Series(out, index=texts.index, dtype=np.float64)
+
+
+def batch_encoding(texts: pd.Series) -> BatchEncoding:
+    """Expose the shared encoding so langid can reuse the same pass."""
+    return BatchEncoding(texts)
+
+
+def ppl_from_encoding(enc: BatchEncoding) -> np.ndarray:
+    mean_lp = enc.mean_logprob(_table())
+    return np.where(np.isnan(mean_lp), _EMPTY_PPL, np.exp(-mean_lp))

@@ -1,0 +1,140 @@
+"""Shared char-trigram machinery: one encode pass, vectorized scoring for
+both the perplexity stage and the fastText-style language-ID stage.
+
+Everything is numpy over a 34-symbol alphabet; a batch of documents is
+scored with ONE concatenated encode, int32 trigram indexing, and
+cumulative-sum segment reductions — no per-row Python beyond the initial
+string join. Invalid positions (trigrams spanning a document boundary)
+index a dedicated zero slot appended to every table, so scoring needs no
+per-table masking. Tables are module-level singletons per Python worker
+(executor-local-model pattern; with ``spark.python.worker.reuse=true`` they
+build once per worker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# 34-symbol alphabet: a-z, DIGIT, SPACE, NEWLINE, (, ), operator-ish,
+# quote, OTHER. Uppercase folds to lowercase.
+_SYMBOLS = "abcdefghijklmnopqrstuvwxyz"
+DIGIT, SPACE, NEWLINE, PUNCT_OPEN, PUNCT_CLOSE, PUNCT_OP, PUNCT_QUOTE, OTHER = (
+    26, 27, 28, 29, 30, 31, 32, 33,
+)
+N_SYM = 34
+N_TRI = N_SYM * N_SYM * N_SYM
+ZERO_SLOT = N_TRI  # tables carry one extra 0.0 entry for invalid positions
+SEP = 255  # inter-document separator symbol (never a real class)
+
+_ADD_K = 0.1
+
+
+def _build_char_map() -> np.ndarray:
+    m = np.full(256, OTHER, dtype=np.int32)
+    for i, c in enumerate(_SYMBOLS):
+        m[ord(c)] = i
+        m[ord(c.upper())] = i
+    for c in "0123456789":
+        m[ord(c)] = DIGIT
+    m[ord(" ")] = SPACE
+    m[ord("\t")] = SPACE
+    m[ord("\n")] = NEWLINE
+    m[ord("\r")] = NEWLINE
+    for c in "([{<":
+        m[ord(c)] = PUNCT_OPEN
+    for c in ")]}>":
+        m[ord(c)] = PUNCT_CLOSE
+    for c in "+-*/=%&|^~!?.,:;_@#$":
+        m[ord(c)] = PUNCT_OP
+    for c in "'\"`":
+        m[ord(c)] = PUNCT_QUOTE
+    m[0] = SEP  # NUL acts as the separator everywhere
+    return m
+
+
+CHAR_MAP = _build_char_map()
+
+
+def encode(text: str) -> np.ndarray:
+    b = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
+    return CHAR_MAP[b]
+
+
+def build_logprob_table(seed_text: str) -> np.ndarray:
+    """Add-k-smoothed trigram log-prob table, flat N_TRI+1 float64 (the last
+    entry is the zero slot for boundary positions)."""
+    counts = np.full(N_TRI, _ADD_K, dtype=np.float64)
+    s = encode(seed_text)
+    s = s[s != SEP]
+    idx = s[:-2] * (N_SYM * N_SYM) + s[1:-1] * N_SYM + s[2:]
+    np.add.at(counts, idx, 1.0)
+    ctx_tot = counts.reshape(N_SYM * N_SYM, N_SYM).sum(axis=1)
+    logp = np.log(counts.reshape(N_SYM * N_SYM, N_SYM)) - np.log(ctx_tot)[:, None]
+    out = np.empty(N_TRI + 1, dtype=np.float64)
+    out[:N_TRI] = logp.reshape(-1)
+    out[N_TRI] = 0.0
+    return out
+
+
+class BatchEncoding:
+    """One concatenated encode of a batch + per-doc segment offsets.
+
+    ``idx`` holds the int32 trigram index at every byte position (boundary
+    trigrams point at ZERO_SLOT); ``starts``/``counts`` delimit each doc's
+    positions; ``mean_logprob(table)`` is one gather + one cumsum +
+    two fancy reads.
+    """
+
+    __slots__ = ("idx", "starts", "n_docs", "counts")
+
+    def __init__(self, texts: pd.Series) -> None:
+        texts = texts.fillna("")
+        joined = "\x00\x00\x00".join(texts.tolist())
+        s = encode(joined) if joined else np.zeros(0, dtype=np.int32)
+        lens = np.fromiter(
+            (len(t.encode("utf-8", errors="replace")) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        self.n_docs = len(texts)
+        if len(s) >= 3:
+            a, b, c = s[:-2], s[1:-1], s[2:]
+            invalid = (a == SEP) | (b == SEP) | (c == SEP)
+            idx = (
+                np.minimum(a, N_SYM - 1) * (N_SYM * N_SYM)
+                + np.minimum(b, N_SYM - 1) * N_SYM
+                + np.minimum(c, N_SYM - 1)
+            ).astype(np.int32, copy=False)
+            idx[invalid] = ZERO_SLOT
+            self.idx = idx
+        else:
+            self.idx = np.zeros(0, dtype=np.int32)
+        starts = np.zeros(self.n_docs, dtype=np.int64)
+        if self.n_docs > 1:
+            np.cumsum(lens[:-1] + 3, out=starts[1:])
+        self.starts = np.minimum(starts, max(len(self.idx), 0))
+        self.counts = np.maximum(lens - 2, 0)
+
+    def mean_logprob(self, table: np.ndarray) -> np.ndarray:
+        """Per-doc mean trigram log-prob under ``table`` (0-count -> nan)."""
+        if len(self.idx) == 0:
+            return np.full(self.n_docs, np.nan)
+        contrib = table[self.idx]
+        csum = np.empty(len(contrib) + 1, dtype=np.float64)
+        csum[0] = 0.0
+        np.cumsum(contrib, out=csum[1:])
+        ends = np.minimum(self.starts + self.counts, len(self.idx))
+        sums = csum[ends] - csum[self.starts]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(self.counts > 0, sums / np.maximum(self.counts, 1), np.nan)
+
+    def mean_logprob_multi(self, tables: np.ndarray) -> np.ndarray:
+        """Score L tables at once: ``tables`` is (L, N_TRI+1); returns
+        (n_docs, L). One fused gather via a stacked table keeps memory
+        traffic linear in the batch, not in L x batch."""
+        L = tables.shape[0]
+        out = np.empty((self.n_docs, L), dtype=np.float64)
+        for j in range(L):
+            out[:, j] = self.mean_logprob(tables[j])
+        return out

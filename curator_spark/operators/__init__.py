@@ -17,3 +17,4 @@ from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import text_analysis  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import code_exec  # noqa: F401,E402

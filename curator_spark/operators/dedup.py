@@ -139,42 +139,27 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
 
 @register("dedup_minhash_lsh", _Q_MINHASH_ORACLE, "MinHash+LSH candidate pairs (md5-portable)")
 def dedup_minhash_lsh(spark, sf_dir):
+    # Signatures and band keys are PURE per-row array expressions (codegen,
+    # zero shuffle); the only shuffle is the band-key self-join. The band
+    # key md5 includes the band index, so joining on band_key alone is
+    # equivalent to (band, band_key) — bands cannot cross-collide.
     d = load(spark, sf_dir, "documents").withColumn("sh", F.expr(_SHINGLES_SPARK))
-    sh = d.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("shingle"))
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    sig = d.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_N_HASHES - 1}),"
+            " s -> array_min(transform(sh, x -> md5(concat(cast(s as string), ':', x)))))"
+        ).alias("sig"),
     )
-    sig = mh.groupBy("doc_id").agg(
-        F.array_join(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).minhash, ",").alias(
-            "signature"
-        )
-    )
-    n_bands = _N_HASHES // _BAND_SIZE
-    bands_df = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    parts = F.split(F.col("signature"), ",")
-    bands = (
-        sig.crossJoin(F.broadcast(bands_df))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.concat_ws(
-                        "|",
-                        F.col("band").cast("string"),
-                        F.concat_ws(
-                            ",",
-                            F.element_at(parts, F.col("band") * _BAND_SIZE + 1),
-                            F.element_at(parts, F.col("band") * _BAND_SIZE + 2),
-                        ),
-                    ),
-                )
-            ).alias("band_key"),
-        )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_N_HASHES // _BAND_SIZE - 1}),"
+                f" b -> md5(concat(cast(b as string), '|',"
+                f" sig[b * {_BAND_SIZE}], ',', sig[b * {_BAND_SIZE} + 1])))"
+            )
+        ).alias("band_key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -182,7 +167,6 @@ def dedup_minhash_lsh(spark, sf_dir):
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

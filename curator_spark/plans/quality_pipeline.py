@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.langid import detect_prog_lang_batch
-from ..functions.perplexity import perplexity_batch
+from ..functions.perplexity import batch_encoding, ppl_from_encoding
 from ..functions.rules import (
     BOILERPLATE_RE,
     DEFAULT_RULES,
@@ -60,11 +60,15 @@ _SCORE_SCHEMA = T.StructType(
 
 @F.pandas_udf(_SCORE_SCHEMA)
 def score_content(content: pd.Series) -> pd.DataFrame:
+    # langid scores a 512-byte prefix (small encode), perplexity scores the
+    # full text (one encode + one gather + one cumsum); both vectorized
+    enc_full = batch_encoding(content)
     return pd.DataFrame(
         {
             "lang_pred": detect_prog_lang_batch(content),
-            "ppl": perplexity_batch(content),
-        }
+            "ppl": ppl_from_encoding(enc_full),
+        },
+        index=content.index,
     )
 
 
@@ -161,27 +165,61 @@ def annotate(
     ).withColumn("scrubbed_sha256", F.sha2(F.col("scrubbed_content"), 256))
 
 
+CHEAP_RULES = [
+    "too_short",
+    "too_long",
+    "long_lines",
+    "low_alnum",
+    "high_digit",
+    "repetition",
+    "boilerplate",
+]
+MODEL_RULES = ["langid", "perplexity"]
+
+
 def curate(
     df: DataFrame,
     cfg: RuleConfig = DEFAULT_RULES,
     repartition_to: int | None = None,
 ) -> DataFrame:
-    """Production path: filter first, scrub only the kept rows (scrub cost
-    scales with the keep rate, not the corpus size)."""
+    """Production path, staged for cost:
+
+    1. CHEAP rules first — pure codegen expressions drop the easy junk
+       before any Python runs (on the synthetic mix that's ~35-45% of rows
+       eliminated for the price of one expression pass).
+    2. Model UDF (langid+ppl) only on the survivors — one Arrow transfer of
+       `content` for the rows that still matter.
+    3. Scrub only on the final kept set.
+
+    Produces exactly the rows where NO rule fires (keep semantics identical
+    to :func:`annotate`; the staging is a pure physical optimization).
+    ``repartition_to`` adds an explicit spread shuffle — use it when the
+    input layout is skewed (one giant file / monorepo dump); leave None
+    when the source is already uniformly partitioned.
+    """
     if repartition_to:
         df = df.repartition(repartition_to, F.xxhash64(*KEY_COLS))
-    scored = df.withColumn("_score", score_content(F.col("content"))).select(
+    metrics = rule_metric_cols(F.col("content"))
+    staged = df
+    for name, col in metrics.items():
+        staged = staged.withColumn(name, col)
+    fired = rule_fired_cols(cfg)
+    cheap_pass = ~reduce_or([fired[r] for r in CHEAP_RULES])
+    survivors = staged.filter(cheap_pass)
+    scored = survivors.withColumn("_score", score_content(F.col("content"))).select(
         "*", "_score.lang_pred", "_score.ppl"
     ).drop("_score")
-    metrics = rule_metric_cols(F.col("content"))
-    for name, col in metrics.items():
-        scored = scored.withColumn(name, col)
-    fired = rule_fired_cols(cfg)
-    kept = scored.withColumn("drop_reasons", drop_reasons_col(fired)).filter(
-        F.size(F.col("drop_reasons")) == 0
-    )
+    model_fired = rule_fired_cols(cfg)
+    kept = scored.filter(~reduce_or([model_fired[r] for r in MODEL_RULES]))
     return (
         kept.withColumn("content", scrub_content(F.col("content")))
         .withColumn("scrubbed_sha256", F.sha2(F.col("content"), 256))
         .select(*KEY_COLS, "lang", "lang_pred", "ppl", "content", "scrubbed_sha256")
     )
+
+
+def reduce_or(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out

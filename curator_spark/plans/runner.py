@@ -27,7 +27,6 @@ from ..functions.rules import DEFAULT_RULES, RuleConfig
 from ..functions.scrub import SCRUB_PATTERNS
 from .quality_pipeline import (
     KEY_COLS,
-    drop_reasons_col,
     rule_fired_cols,
     rule_metric_cols,
     score_content,
@@ -67,20 +66,24 @@ class QualityFilterRun:
 
     # -- stage transforms ------------------------------------------------------
     def _filter_transform(self, df: DataFrame) -> DataFrame:
+        # cheap codegen rules first, model UDF only on the survivors
+        # (same staging as plans.quality_pipeline.curate)
+        from .quality_pipeline import CHEAP_RULES, MODEL_RULES, reduce_or
+
+        staged = df
+        for name, col in rule_metric_cols(F.col("content")).items():
+            staged = staged.withColumn(name, col)
+        fired = rule_fired_cols(self.cfg)
+        survivors = staged.filter(~reduce_or([fired[r] for r in CHEAP_RULES]))
         scored = (
-            df.withColumn("_score", score_content(F.col("content")))
+            survivors.withColumn("_score", score_content(F.col("content")))
             .select("*", "_score.lang_pred", "_score.ppl")
             .drop("_score")
         )
-        for name, col in rule_metric_cols(F.col("content")).items():
-            scored = scored.withColumn(name, col)
-        fired = rule_fired_cols(self.cfg)
-        return (
-            scored.withColumn("drop_reasons", drop_reasons_col(fired))
-            .withColumn("keep", F.size(F.col("drop_reasons")) == 0)
-            .filter(F.col("keep"))
-            .select(*KEY_COLS, "lang", "lang_pred", "ppl", "content")
-        )
+        model_fired = rule_fired_cols(self.cfg)
+        return scored.filter(
+            ~reduce_or([model_fired[r] for r in MODEL_RULES])
+        ).select(*KEY_COLS, "lang", "lang_pred", "ppl", "content")
 
     def _scrub_transform(self, df: DataFrame) -> DataFrame:
         return df.withColumn("content", scrub_content(F.col("content"))).withColumn(

@@ -17,7 +17,6 @@ from pyspark.sql import types as T
 
 from ..functions.rules import DEFAULT_RULES, RuleConfig
 from ..plans.quality_pipeline import (
-    drop_reasons_col,
     rule_fired_cols,
     rule_metric_cols,
     score_content,
@@ -51,17 +50,19 @@ def stream_quality_filter(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    from ..plans.quality_pipeline import CHEAP_RULES, MODEL_RULES, reduce_or
+
+    staged = src
+    for name, col in rule_metric_cols(F.col("content")).items():
+        staged = staged.withColumn(name, col)
+    fired = rule_fired_cols(cfg)
+    survivors = staged.filter(~reduce_or([fired[r] for r in CHEAP_RULES]))
     scored = (
-        src.withColumn("_score", score_content(F.col("content")))
+        survivors.withColumn("_score", score_content(F.col("content")))
         .select("*", "_score.lang_pred", "_score.ppl")
         .drop("_score")
     )
-    for name, col in rule_metric_cols(F.col("content")).items():
-        scored = scored.withColumn(name, col)
-    fired = rule_fired_cols(cfg)
-    kept = scored.withColumn("drop_reasons", drop_reasons_col(fired)).filter(
-        F.size(F.col("drop_reasons")) == 0
-    )
+    kept = scored.filter(~reduce_or([rule_fired_cols(cfg)[r] for r in MODEL_RULES]))
     return kept.withColumn("content", scrub_content(F.col("content"))).select(
         "repo", "path", "commit", "lang", "lang_pred", "ppl", "content"
     )

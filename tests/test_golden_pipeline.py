@@ -39,9 +39,17 @@ def test_annotate_matches_oracle(spark, corpus_df, corpus_pdf):
     )
     assert len(got) == len(golden)
 
-    # language-ID and perplexity: same code on both sides -> exact
+    # language-ID: same code on both sides -> exact
     assert (got["lang_pred"] == golden["lang_pred"]).all()
-    assert (got["ppl"] - golden["ppl"]).abs().max() < 1e-9
+    # perplexity: identical computation, but segment-sum float order varies
+    # with Arrow batch composition -> equal to ~1e-8 relative, far from the
+    # keep/drop threshold (margin guard below keeps the F1 contract exact)
+    rel = ((got["ppl"] - golden["ppl"]).abs() / golden["ppl"]).max()
+    assert rel < 1e-8, f"ppl relative drift {rel}"
+    from curator_spark.functions.rules import DEFAULT_RULES
+
+    margin = (golden["ppl"] - DEFAULT_RULES.max_perplexity).abs().min()
+    assert margin > 1e-4, f"a doc sits {margin} from the ppl threshold"
 
     # keep/drop: F1 >= 0.99 required; exact expected
     f1 = _f1(got["keep"].astype(bool), golden["keep"].astype(bool))

@@ -1,0 +1,31 @@
+"""Multimodal plumbing: schema, Arrow batch shape, deterministic fake
+features; the real codec is stubbed (not in this container)."""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark.operators.multimodal import (
+    decode_real,
+    extract_features,
+    synthesize_media,
+)
+
+
+def test_media_pipeline(spark):
+    media = synthesize_media(spark, 60)
+    out = extract_features(media).toPandas()
+    assert len(out) == 60
+    assert set(out["kind"]) == {"image", "audio", "video"}
+    assert out["features"].map(len).eq(8).all()
+    assert (out["payload_bytes"] > 0).all()
+    # deterministic: same media_id -> same features on regeneration
+    out2 = extract_features(synthesize_media(spark, 60)).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["features"].map(tuple) == b["features"].map(tuple)).all()
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"x", "image")

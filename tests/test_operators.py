@@ -1,0 +1,95 @@
+"""Operator registry sanity + a fast subset of the DuckDB-oracle gate.
+
+The FULL gate (all 32 queries) is scripts/check_oracles.py — run it before
+each round. Here we keep the suite fast: registry invariants, the flagship,
+and one representative per family at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+FAST_SUBSET = [
+    "pricing_summary",
+    "broadcast_join",
+    "anti_join",
+    "window_moving_avg",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "langid_documents",
+    "quality_filter_documents",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        if df[c].dtype == bool:
+            df[c] = df[c].astype(int)
+        if str(df[c].dtype) in ("int32", "Int32", "Int64", "uint64", "int8", "int16"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_registry_contract():
+    import __spark_entry__ as entrymod
+    from curator_spark.operators import QUERIES
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # >= 90% of queries must have a real SQL oracle (strong check)
+    assert len(oracles) / len(qs) >= 0.9
+    for name, spec in QUERIES.items():
+        assert callable(spec.fn), name
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    from curator_spark.operators import QUERIES
+
+    spec = QUERIES[name]
+    got = _norm(spec.fn(spark, SF_DIR).toPandas())
+    exp = _norm(duck.execute(spec.oracle).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.limit(10).collect()
+    assert len(rows) >= 0
+    assert "keep" in df.columns and "scrubbed_sha256" in df.columns

@@ -1,0 +1,68 @@
+"""Streaming variants: the filter chain over a file-source stream must
+produce exactly the batch pipeline's kept rows (micro-batch == commit
+granule), and the watermarked window agg must run to completion on a
+bounded backlog."""
+
+from __future__ import annotations
+
+from curator_spark.oracle import reference_labels
+from curator_spark.streaming.quality_stream import (
+    stream_event_metrics,
+    stream_quality_filter,
+)
+
+
+def test_stream_quality_filter_matches_batch(spark, corpus_path, corpus_pdf, tmp_path):
+    out = stream_quality_filter(spark, corpus_path, max_files_per_trigger=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_filter_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT repo, path, commit FROM stream_filter_out").toPandas()
+    golden = reference_labels(corpus_pdf)
+    assert len(got) == int(golden["keep"].sum())
+
+
+def test_stream_event_metrics(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "events_src")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(src)
+    )
+    agg = stream_event_metrics(spark, src, schema)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_metrics_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode emits only watermark-closed windows; with a bounded
+    # backlog the final window stays open, so just assert the query ran and
+    # the closed windows carry sane counts
+    got = spark.sql("SELECT * FROM stream_metrics_out").toPandas()
+    assert (got["n"] > 0).all()
