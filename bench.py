@@ -58,7 +58,7 @@ def main() -> None:
 
     corpus = spark.read.parquet(corpus_dir)
     t0 = time.time()
-    kept = curate(corpus, repartition_to=cores * 4).count()
+    kept = curate(corpus).count()
     dt = time.time() - t0
     timings["corpus_filter_scrub"] = round(dt, 3)
     files_per_sec = CORPUS_ROWS / dt

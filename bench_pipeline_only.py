@@ -36,7 +36,7 @@ def main() -> None:
     corpus.limit(2000).count()
 
     t0 = time.time()
-    curate(corpus, repartition_to=cores * 4).write.mode("overwrite").format("noop").save()
+    curate(corpus).write.mode("overwrite").format("noop").save()
     dt = time.time() - t0
     print(
         json.dumps(

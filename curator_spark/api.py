@@ -1,0 +1,174 @@
+"""Public API — the curator programming model, Spark-native.
+
+A user of the reference writes (reference: llm/llm.py:34-67):
+
+    class Poet(LLM):
+        def prompt(self, row): return f"write a poem about {row['topic']}"
+        def parse(self, row, response): return {"poem": response}
+
+and calls it on a dataset. :class:`SparkCurator` keeps those exact three
+hooks — ``prompt(row)``, ``parse(row, response)`` (dict or list-of-dicts =
+flatMap), and a declared ``response_schema`` — but executes them as
+Arrow-batched stages on a DataFrame:
+
+* ``prompt`` builds the request column (M1, prompt-map);
+* a pluggable ``execute_batch(prompts: pd.Series, params: pd.Series) ->
+  pd.Series`` runs the expensive map (M2) — an LLM client, a local model,
+  or any deterministic function; it is invoked per Arrow batch with the
+  executor-local-model pattern;
+* ``parse`` merges responses back into 0..n output rows (M4,
+  parse-flatMap); rows whose parse raises are captured in an ``__error``
+  column rather than lost (base_request_processor.py:387-420 drops with a
+  warning; here errors are data);
+* per-row ``generation_params`` (JSON string column) are merged over
+  defaults and handed to ``execute_batch`` (prompt_formatter.py:116-127).
+
+Resumability comes from wrapping the run in engine.ResumableStage keyed by
+a fingerprint of (hooks source, params, schema) — curator's run fingerprint
+(llm/llm.py:144-169) re-expressed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ERROR_COL = "__error"
+ROW_IDX_COL = "__row_idx"  # curator's __original_row_idx (constants.py:9)
+
+
+def _source_hash(*objs) -> str:
+    parts = []
+    for o in objs:
+        try:
+            parts.append(inspect.getsource(o))
+        except (TypeError, OSError):
+            parts.append(repr(o))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+class SparkCurator:
+    """Subclass and override ``prompt``, ``parse``, and ``execute_batch``.
+
+    ``response_schema`` declares the parse() output fields (curator's
+    pydantic response_format -> an explicit StructType, llm/llm.py:31).
+    """
+
+    response_schema: T.StructType = T.StructType(
+        [T.StructField("response", T.StringType())]
+    )
+    generation_params: dict = {}
+
+    # --- the three user hooks (same shapes as the reference) ---------------
+    def prompt(self, row: dict) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def parse(self, row: dict, response: str) -> dict | list[dict]:
+        return {"response": response}
+
+    def execute_batch(self, prompts: pd.Series, params: pd.Series) -> pd.Series:
+        """The expensive map. Override with your model/client; called once
+        per Arrow batch on executors."""
+        raise NotImplementedError
+
+    # --- execution -----------------------------------------------------------
+    def fingerprint(self) -> str:
+        """curator's run fingerprint: hooks source + params + schema
+        (llm/llm.py:144-169)."""
+        return _source_hash(
+            type(self).prompt,
+            type(self).parse,
+            type(self).execute_batch,
+            json.dumps(self.generation_params, sort_keys=True),
+            self.response_schema.simpleString(),
+        )
+
+    def __call__(self, df: DataFrame, keep_input_cols: bool = True) -> DataFrame:
+        """Run prompt -> execute -> parse over a DataFrame.
+
+        Output: input columns (if keep_input_cols) + response_schema fields
+        + __error. parse() returning a list yields multiple rows (flatMap).
+        """
+        in_fields = df.schema.fields
+        out_fields = list(in_fields) if keep_input_cols else []
+        out_fields = out_fields + list(self.response_schema.fields) + [
+            T.StructField(ERROR_COL, T.StringType(), True)
+        ]
+        out_schema = T.StructType(out_fields)
+        in_cols = [f.name for f in in_fields]
+        resp_cols = [f.name for f in self.response_schema.fields]
+        hooks = self  # captured by the closure; must be picklable
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                prompts, perrs = [], []
+                for row in rows:
+                    try:
+                        prompts.append(hooks.prompt(row))
+                        perrs.append(None)
+                    except Exception as e:  # noqa: BLE001
+                        prompts.append("")
+                        perrs.append(f"prompt: {type(e).__name__}: {e}")
+                params = pdf.get(
+                    "generation_params", pd.Series([None] * len(pdf))
+                )
+                responses = hooks.execute_batch(
+                    pd.Series(prompts, dtype=object), params
+                )
+                out_rows: list[dict] = []
+                for i, row in enumerate(rows):
+                    base = {c: row.get(c) for c in in_cols} if keep_input_cols else {}
+                    if perrs[i] is not None:
+                        out_rows.append({**base, ERROR_COL: perrs[i]})
+                        continue
+                    try:
+                        parsed = hooks.parse(row, responses.iloc[i])
+                    except Exception as e:  # noqa: BLE001
+                        out_rows.append(
+                            {**base, ERROR_COL: f"parse: {type(e).__name__}: {e}"}
+                        )
+                        continue
+                    if isinstance(parsed, dict):
+                        parsed = [parsed]
+                    for p in parsed:  # flatMap semantics
+                        out_rows.append(
+                            {**base, **{c: p.get(c) for c in resp_cols}, ERROR_COL: None}
+                        )
+                yield pd.DataFrame(out_rows, columns=[f.name for f in out_fields])
+
+        return df.mapInPandas(run, schema=out_schema)
+
+    def run_resumable(
+        self, spark, df: DataFrame, key_cols: list[str], work_dir: str, n_batches: int = 8
+    ):
+        """Checkpointed execution: commits in atomic slices, resumes after a
+        kill, skips entirely when the fingerprint matches a completed run —
+        curator's cache-dir semantics (llm/llm.py:213-225)."""
+        from .engine.checkpoint import ResumableStage
+
+        stage = ResumableStage(
+            f"curator-{self.fingerprint()}",
+            key_cols,
+            work_dir,
+            config={"fingerprint": self.fingerprint()},
+            n_batches=n_batches,
+        )
+        stage.run(spark, df, lambda d: self(d))
+        return stage.output(spark)
+
+
+def filter_failed(df: DataFrame) -> DataFrame:
+    """curator's error filter (F1): completed rows only."""
+    return df.filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL)
+
+
+def failed_rows(df: DataFrame) -> DataFrame:
+    return df.filter(F.col(ERROR_COL).isNotNull())

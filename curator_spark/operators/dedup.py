@@ -24,18 +24,43 @@ from .registry import load, register
 
 # Shared shingling: words = whitespace-split of trim(text); shingle = 3-gram
 # joined by single spaces; DISTINCT per doc.
+#
+# PERF NOTE (measured 10x+ blowup): Catalyst does NOT hoist loop-invariant
+# subexpressions out of higher-order-function lambdas, and CollapseProject
+# happily inlines a withColumn alias into a downstream lambda — both turn
+# "words[i]" shingling quadratic in document length. The `_let` idiom —
+# ``transform(array(X), v -> body)[0]`` — forces X to evaluate exactly once
+# per row and binds it to a lambda variable, which survives any projection
+# collapse.
+
+
+def _let(bound: str, var: str, body: str) -> str:
+    return f"transform(array({bound}), {var} -> ({body}))[0]"
+
+
 _WORDS_SPARK = "filter(split(text, '[ \\t\\n]+'), w -> w != '')"
-_SHINGLES_SPARK = (
-    f"array_distinct(transform(sequence(0, greatest(size({_WORDS_SPARK}) - 3, -1)),"
-    f" i -> concat_ws(' ', {_WORDS_SPARK}[i], {_WORDS_SPARK}[i+1], {_WORDS_SPARK}[i+2])))"
+_SHINGLES_SPARK = _let(
+    _WORDS_SPARK,
+    "wz",
+    "array_distinct(transform(sequence(0, greatest(size(wz) - 3, -1)),"
+    " i -> concat_ws(' ', wz[i], wz[i+1], wz[i+2])))",
 )
 
-# DuckDB mirror (1-based list indexing).
+
+def _with_shingles(df):
+    """documents -> + column sh (distinct 3-gram shingles, linear-time)."""
+    return df.withColumn("sh", F.expr(_SHINGLES_SPARK))
+
+# DuckDB mirror (1-based list indexing); same two-step materialization.
 _WORDS_DUCK = "list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')"
-_SHINGLES_DUCK = (
-    f"list_distinct(list_transform(range(0, greatest(len({_WORDS_DUCK}) - 2, 0)),"
-    f" i -> {_WORDS_DUCK}[i+1] || ' ' || {_WORDS_DUCK}[i+2] || ' ' || {_WORDS_DUCK}[i+3]))"
+_SHINGLES_DUCK_FROM_W = (
+    "list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),"
+    " i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))"
 )
+_DOCS_SHINGLED_DUCK = f"""
+  SELECT doc_id, {_SHINGLES_DUCK_FROM_W} AS sh
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -62,10 +87,10 @@ def dedup_exact(spark, sf_dir):
 # self-join on shingle, |A∩B| / |A∪B| >= threshold.
 # ---------------------------------------------------------------------------
 _Q_JACCARD_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle,
-         len({_SHINGLES_DUCK}) AS n_sh
-  FROM documents WHERE len({_SHINGLES_DUCK}) > 0
+WITH shingled AS ({_DOCS_SHINGLED_DUCK}),
+sh AS (
+  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n_sh
+  FROM shingled WHERE len(sh) > 0
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -80,7 +105,7 @@ FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.6
 
 @register("dedup_ngram_jaccard", _Q_JACCARD_ORACLE, "exact 3-gram Jaccard similarity join")
 def dedup_ngram_jaccard(spark, sf_dir, threshold: float = 0.6):
-    d = load(spark, sf_dir, "documents").withColumn("sh", F.expr(_SHINGLES_SPARK))
+    d = _with_shingles(load(spark, sf_dir, "documents"))
     sh = (
         d.filter(F.size("sh") > 0)
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
@@ -111,9 +136,10 @@ _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands of 2 -> catches jaccard >~ 0.5 with high prob
 
 _Q_MINHASH_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
-  FROM documents WHERE len({_SHINGLES_DUCK}) > 0
+WITH shingled AS ({_DOCS_SHINGLED_DUCK}),
+sh AS (
+  SELECT doc_id, unnest(sh) AS shingle
+  FROM shingled WHERE len(sh) > 0
 ),
 mh AS (
   SELECT doc_id, s.seed AS seed, min(md5(s.seed || ':' || shingle)) AS minhash
@@ -139,27 +165,26 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
 
 @register("dedup_minhash_lsh", _Q_MINHASH_ORACLE, "MinHash+LSH candidate pairs (md5-portable)")
 def dedup_minhash_lsh(spark, sf_dir):
-    # Signatures and band keys are PURE per-row array expressions (codegen,
-    # zero shuffle); the only shuffle is the band-key self-join. The band
-    # key md5 includes the band index, so joining on band_key alone is
-    # equivalent to (band, band_key) — bands cannot cross-collide.
-    d = load(spark, sf_dir, "documents").withColumn("sh", F.expr(_SHINGLES_SPARK))
-    sig = d.filter(F.size("sh") > 0).select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {_N_HASHES - 1}),"
-            " s -> array_min(transform(sh, x -> md5(concat(cast(s as string), ':', x)))))"
-        ).alias("sig"),
+    # Signature -> band keys as ONE per-row let-chained expression (codegen,
+    # zero shuffle, each intermediate evaluated exactly once); the only
+    # shuffle is the band-key self-join. The band key md5 includes the band
+    # index, so joining on band_key alone == joining on (band, band_key).
+    sig_expr = _let(
+        _SHINGLES_SPARK,
+        "shz",
+        f"transform(sequence(0, {_N_HASHES - 1}),"
+        " s -> array_min(transform(shz, x -> md5(concat(cast(s as string), ':', x)))))",
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_N_HASHES // _BAND_SIZE - 1}),"
-                f" b -> md5(concat(cast(b as string), '|',"
-                f" sig[b * {_BAND_SIZE}], ',', sig[b * {_BAND_SIZE} + 1])))"
-            )
-        ).alias("band_key"),
+    band_expr = _let(
+        sig_expr,
+        "g",
+        f"transform(sequence(0, {_N_HASHES // _BAND_SIZE - 1}),"
+        f" b -> md5(concat(cast(b as string), '|',"
+        f" g[b * {_BAND_SIZE}], ',', g[b * {_BAND_SIZE} + 1])))",
+    )
+    d = load(spark, sf_dir, "documents")
+    bands = d.filter(F.expr(f"size({_WORDS_SPARK}) >= 3")).select(
+        "doc_id", F.explode(F.expr(band_expr)).alias("band_key")
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -200,20 +200,24 @@ FROM documents WHERE len({_SHINGLES_DUCK}) > 0
 
 @register("doc_fingerprint", _Q_FP_ORACLE, "winnowing-style min-shingle-hash fingerprint")
 def doc_fingerprint(spark, sf_dir):
+    from .dedup import _let
+
     d = load(spark, sf_dir, "documents")
     words = "filter(split(text, '[ \\t\\n]+'), w -> w != '')"
-    shingles = (
-        f"transform(sequence(0, greatest(size({words}) - 3, -1)),"
-        f" i -> concat_ws(' ', {words}[i], {words}[i+1], {words}[i+2]))"
+    # let-bind words so shingling stays linear (see dedup._let)
+    shingles = _let(
+        words,
+        "wz",
+        "transform(sequence(0, greatest(size(wz) - 3, -1)),"
+        " i -> concat_ws(' ', wz[i], wz[i+1], wz[i+2]))",
     )
     return (
-        d.withColumn("sh", F.expr(shingles))
-        .filter(F.size("sh") > 0)
+        d.filter(F.expr(f"size({words}) >= 3"))
         .select(
             "doc_id",
-            F.array_min(F.transform(F.col("sh"), lambda s: F.md5(s))).alias(
-                "min_shingle_hash"
-            ),
+            F.expr(
+                _let(shingles, "shz", "array_min(transform(shz, s -> md5(s)))")
+            ).alias("min_shingle_hash"),
             F.sha2("text", 256).alias("content_sha256"),
         )
     )

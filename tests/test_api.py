@@ -1,0 +1,113 @@
+"""SparkCurator public-API tests — the reference's programming model
+(prompt/parse hooks, declared response schema, flatMap parse, error
+capture, fingerprint caching) exercised with a deterministic fake model.
+
+Mirrors the reference's API tests: prompt/parse shapes (llm/llm.py:34-67),
+list-return flatMap (base_request_processor.py:410-411), caching semantics
+(tests/unittests/test_caching.py:12-96).
+
+Hook classes are built inside a factory so cloudpickle ships them by value
+to executor workers (the tests module itself is not importable there).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import types as T
+
+from curator_spark.api import ERROR_COL, SparkCurator, failed_rows, filter_failed
+
+
+def make_hooks():
+    class FakeSummarizer(SparkCurator):
+        response_schema = T.StructType(
+            [
+                T.StructField("summary", T.StringType()),
+                T.StructField("prompt_len", T.LongType()),
+            ]
+        )
+
+        def prompt(self, row):
+            return f"summarize: {row['text'][:50]}"
+
+        def execute_batch(self, prompts, params):
+            # deterministic "model": sha of the prompt
+            return prompts.map(lambda p: hashlib.sha256(p.encode()).hexdigest()[:12])
+
+        def parse(self, row, response):
+            return {"summary": response, "prompt_len": len(row["text"])}
+
+    class FakeExploder(FakeSummarizer):
+        def parse(self, row, response):  # list return => flatMap
+            return [
+                {"summary": f"{response}-a", "prompt_len": len(row["text"])},
+                {"summary": f"{response}-b", "prompt_len": len(row["text"])},
+            ]
+
+    class FakeFlaky(FakeSummarizer):
+        def parse(self, row, response):
+            if row["doc_id"] % 10 == 0:
+                raise ValueError("bad row")
+            return {"summary": response, "prompt_len": len(row["text"])}
+
+    return FakeSummarizer, FakeExploder, FakeFlaky
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_basic_map(spark, docs):
+    FakeSummarizer, _, _ = make_hooks()
+    out = FakeSummarizer()(docs).toPandas()
+    assert len(out) == docs.count()
+    assert out[ERROR_COL].isna().all()
+    out2 = FakeSummarizer()(docs).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["summary"] == b["summary"]).all()
+
+
+def test_flatmap_parse(spark, docs):
+    _, FakeExploder, _ = make_hooks()
+    n = docs.count()
+    assert FakeExploder()(docs).count() == 2 * n
+
+
+def test_error_capture_and_filter(spark, docs):
+    _, _, FakeFlaky = make_hooks()
+    out = FakeFlaky()(docs)
+    bad = failed_rows(out).toPandas()
+    good = filter_failed(out)
+    n = docs.count()
+    n_bad = docs.filter("doc_id % 10 = 0").count()
+    assert len(bad) == n_bad
+    assert good.count() == n - n_bad
+    assert bad[ERROR_COL].str.startswith("parse: ValueError").all()
+
+
+def test_fingerprint_semantics():
+    FakeSummarizer, FakeExploder, FakeFlaky = make_hooks()
+    assert FakeSummarizer().fingerprint() == FakeSummarizer().fingerprint()
+    assert FakeSummarizer().fingerprint() != FakeExploder().fingerprint()
+    assert FakeSummarizer().fingerprint() != FakeFlaky().fingerprint()
+
+
+def test_resumable_run(spark, docs, tmp_path):
+    FakeSummarizer, _, _ = make_hooks()
+    cur = FakeSummarizer()
+    out1 = cur.run_resumable(spark, docs, ["doc_id"], str(tmp_path), n_batches=4)
+    assert out1.count() == docs.count()
+    from curator_spark.engine.checkpoint import ResumableStage
+
+    stage = ResumableStage(
+        f"curator-{cur.fingerprint()}",
+        ["doc_id"],
+        str(tmp_path),
+        config={"fingerprint": cur.fingerprint()},
+        n_batches=4,
+    )
+    assert len(stage.committed_batches()) == 4
