@@ -45,7 +45,16 @@ def main() -> None:
     from curator_spark.session import get_spark
     from curator_spark.sources.corpus import write_corpus
 
-    spark = get_spark("curator_spark_bench", cores=cores, shuffle_partitions=cores)
+    # Small-corpus benchmark needs small input splits to occupy all cores —
+    # 200k rows compress to ~100 MB, which the production 128 MB split size
+    # would hand to 1-2 tasks. 4 MB splits => ~32+ tasks. (At real scale the
+    # default is right: partitions >> cores.)
+    spark = get_spark(
+        "curator_spark_bench",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+    )
 
     timings: dict[str, float] = {}
 

@@ -23,7 +23,13 @@ def main() -> None:
     from curator_spark.session import get_spark
     from curator_spark.sources.corpus import write_corpus
 
-    spark = get_spark(f"scaling_bench_{cores}", cores=cores, shuffle_partitions=cores)
+    # small splits so the small bench corpus fans out to all cores (see bench.py)
+    spark = get_spark(
+        f"scaling_bench_{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+    )
     corpus_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench", f"corpus_{rows}"
     )

@@ -137,15 +137,29 @@ FROM m
 """
 
 
-@register("doc_quality", _Q_QUALITY_ORACLE, "heuristic quality scoring as pure SQL")
-def doc_quality(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+def _fast_text_metrics():
+    """Shared fast metric columns over the `text` column (same VALUES as
+    the SQL oracles; see plans/quality_pipeline.py for the cost notes)."""
+    from ..plans.quality_pipeline import ALNUM_CHARS
+
     words = F.expr("filter(split(text, '[ \\t\\n]+'), w -> w != '')")
     n_chars = F.length("text")
     denom = F.greatest(n_chars, F.lit(1)).cast("double")
-    alnum_ratio = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")) / denom
+    alnum_ratio = (n_chars - F.length(F.translate(F.col("text"), ALNUM_CHARS, ""))) / denom
     wc = F.size(words)
-    dr = F.size(F.array_distinct(words)) / F.greatest(wc, F.lit(1)).cast("double")
+    distinct_expr = (
+        "transform(array(array_sort(filter(split(text, '[ \\t\\n]+'), w -> w != ''))),"
+        " sw -> CASE WHEN size(sw) <= 1 THEN size(sw) ELSE"
+        " 1 + size(filter(sequence(1, size(sw) - 1), i -> sw[i] != sw[i-1])) END)[0]"
+    )
+    dr = F.expr(distinct_expr) / F.greatest(wc, F.lit(1)).cast("double")
+    return n_chars, alnum_ratio, wc, dr
+
+
+@register("doc_quality", _Q_QUALITY_ORACLE, "heuristic quality scoring as pure SQL")
+def doc_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
     keep = (
         (n_chars >= _CFG.min_chars)
         & (n_chars <= _CFG.max_chars)
@@ -268,12 +282,7 @@ def quality_filter_documents(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     pred = F.expr(natlang_pred_sql("text", "spark"))
-    words = F.expr("filter(split(text, '[ \\t\\n]+'), w -> w != '')")
-    n_chars = F.length("text")
-    denom = F.greatest(n_chars, F.lit(1)).cast("double")
-    alnum_ratio = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")) / denom
-    wc = F.size(words)
-    dr = F.size(F.array_distinct(words)) / F.greatest(wc, F.lit(1)).cast("double")
+    n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
     m = d.select(
         "doc_id",
         "text",

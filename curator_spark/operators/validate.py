@@ -1,0 +1,116 @@
+"""Validate-map (SURVEY §2.2 M3) and the remaining scalar-function families
+(§2.7: base64, datetime) as oracle-checked queries.
+
+M3 in the reference: the response JSON is parsed against the declared
+pydantic schema; JSONDecodeError/ValidationError rows are retried then
+dropped (prompt_formatter.py:139-184). Spark-first that is
+``from_json(col, schema)`` + a null-check filter — schema violations
+surface as NULL structs, and the error filter (F1) splits good from bad.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import load, register
+
+# Deterministically corrupt ~10% of the JSON payloads so the validator has
+# real failures to catch (the fixture analog of curator's invalid-response
+# retry tests, tests/integrations/test_all.py:251-290).
+_Q_VALIDATE_ORACLE = """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN substring(props, 1, 3) ELSE props END AS payload
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN json_valid(payload)
+            THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k_val,
+       (CASE WHEN json_valid(payload)
+             THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END) IS NULL
+           AS is_invalid
+FROM raw
+"""
+
+
+@register("validate_json_map", _Q_VALIDATE_ORACLE, "SURVEY §2.2 M3: schema-validate + error split")
+def validate_json_map(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    # PERMISSIVE from_json yields a struct of nulls for malformed input, so
+    # "failed to extract" (field null) is the validity signal — same
+    # semantics as curator dropping rows whose response fails schema
+    # validation (base_online_request_processor.py:518-519).
+    parsed = F.from_json(payload, schema)
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        parsed["k"].isNull().alias("is_invalid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Base64 round-trip (§2.7; curator base64-encodes multimodal payloads,
+# types/prompt.py:26-28,59-71, with the (len*3)//4 size check).
+# ---------------------------------------------------------------------------
+_Q_BASE64_ORACLE = """
+SELECT doc_id,
+       base64(encode(text)) AS b64,
+       octet_length(encode(text)) AS n_bytes,
+       (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok
+FROM documents WHERE length(text) > 0
+"""
+
+
+@register("base64_roundtrip", _Q_BASE64_ORACLE, "SURVEY §2.7: base64/unbase64 + octet_length")
+def base64_roundtrip(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    bin_ = F.col("text").cast("binary")
+    # Spark base64 emits RFC2045 MIME chunking (\r\n every 76 chars);
+    # strip it for the canonical unchunked form DuckDB produces.
+    b64 = F.translate(F.base64(bin_), "\r\n", "")
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.octet_length("text").alias("n_bytes"),
+        (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Datetime family (§2.7: created_at/finished_at stamps + ISO formatting,
+# generic_response.py:43-45) — extraction + formatting + epoch round-trip.
+# ---------------------------------------------------------------------------
+_Q_DATETIME_ORACLE = """
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       strftime(ts, '%Y-%m-%d') AS iso_day,
+       count(*) AS n,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS first_epoch
+FROM events GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("datetime_extract", _Q_DATETIME_ORACLE, "SURVEY §2.7: datetime extract/format/epoch")
+def datetime_extract(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return (
+        e.groupBy(
+            F.year(ts).alias("y"),
+            F.month(ts).alias("m"),
+            F.dayofmonth(ts).alias("d"),
+            F.hour(ts).alias("h"),
+            F.date_format(ts, "yyyy-MM-dd").alias("iso_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.expr("cast(cast(ts as timestamp_ltz) as bigint)")).alias(
+                "first_epoch"
+            ),
+        )
+    )

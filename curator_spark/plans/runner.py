@@ -97,6 +97,11 @@ class QualityFilterRun:
         corpus: DataFrame,
         fail_after_batches: int | None = None,
     ) -> tuple[StageResult, StageResult]:
+        import datetime as _dt
+        import json as _json
+        import os as _os
+
+        started = _dt.datetime.now(_dt.timezone.utc)
         r1 = self.filter_stage.run(
             spark, corpus, self._filter_transform, fail_after_batches=fail_after_batches
         )
@@ -104,7 +109,32 @@ class QualityFilterRun:
         r2 = self.scrub_stage.run(
             spark, kept, self._scrub_transform, fail_after_batches=fail_after_batches
         )
+        # runs table — curator's MetadataDB row (db.py:86-105): one record
+        # per completed run keyed by run_hash, with config + timings.
+        runs_dir = _os.path.join(self.work_dir, "_runs")
+        _os.makedirs(runs_dir, exist_ok=True)
+        record = {
+            "run_hash": self.run_hash,
+            "config": self.cfg.to_dict(),
+            "stage_fingerprints": {
+                "filter": self.filter_stage.fingerprint,
+                "scrub": self.scrub_stage.fingerprint,
+            },
+            "batches_run": {"filter": r1.batches_run, "scrub": r2.batches_run},
+            "started_at": started.isoformat(),
+            "finished_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        with open(_os.path.join(runs_dir, f"{self.run_hash}.json"), "w") as f:
+            _json.dump(record, f, indent=2)
         return r1, r2
+
+    def is_complete(self) -> bool:
+        """Whole-run cache check — curator's attempt_loading_cached_dataset
+        short-circuit (base_request_processor.py:364-385)."""
+        return (
+            len(self.filter_stage.committed_batches()) == self.n_batches
+            and len(self.scrub_stage.committed_batches()) == self.n_batches
+        )
 
     def output(self, spark: SparkSession) -> DataFrame:
         return self.scrub_stage.output(spark)

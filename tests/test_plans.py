@@ -1,0 +1,53 @@
+"""Physical-plan shape assertions — the 100 TB sanity checks:
+broadcast joins stay broadcast, filters reach the parquet scan, the
+rules stage stays JVM-side, anti-joins are real anti-joins."""
+
+from __future__ import annotations
+
+from curator_spark.operators import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "broadcast_join")
+
+
+def test_anti_join_strategy(spark):
+    assert "LeftAnti" in _plan(spark, "anti_join")
+
+
+def test_semi_join_strategy(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_project")
+    assert "PushedFilters" in plan
+    # the status + price predicates must be pushed, not just evaluated above
+    assert "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_ann_query_side_broadcast(spark):
+    assert "BroadcastNestedLoopJoin" in _plan(spark, "ann_bruteforce_topk") or (
+        "BroadcastHashJoin" in _plan(spark, "ann_bruteforce_topk")
+    )
+
+
+def test_column_pruning_on_projection(spark):
+    # token_stats reads only doc_id + text -> ReadSchema must not include
+    # lang/source/n_chars
+    plan = _plan(spark, "token_stats")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema
+
+
+def test_minhash_no_python_nodes(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
