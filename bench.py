@@ -40,6 +40,8 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
+    from pyspark.sql import functions as F
+
     from curator_spark.operators import QUERIES
     from curator_spark.plans.quality_pipeline import curate
     from curator_spark.session import get_spark
@@ -67,7 +69,9 @@ def main() -> None:
 
     corpus = spark.read.parquet(corpus_dir)
     t0 = time.time()
-    kept = curate(corpus).count()
+    # count(scrubbed_sha256) forces the scrub+sha columns to evaluate —
+    # a bare count() would let Catalyst prune the scrub work entirely
+    kept = curate(corpus).agg(F.count("scrubbed_sha256")).collect()[0][0]
     dt = time.time() - t0
     timings["corpus_filter_scrub"] = round(dt, 3)
     files_per_sec = CORPUS_ROWS / dt

@@ -105,7 +105,11 @@ FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.6
 
 @register("dedup_ngram_jaccard", _Q_JACCARD_ORACLE, "exact 3-gram Jaccard similarity join")
 def dedup_ngram_jaccard(spark, sf_dir, threshold: float = 0.6):
-    d = _with_shingles(load(spark, sf_dir, "documents"))
+    d = _with_shingles(
+        load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
     sh = (
         d.filter(F.size("sh") > 0)
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
@@ -182,7 +186,11 @@ def dedup_minhash_lsh(spark, sf_dir):
         f" b -> md5(concat(cast(b as string), '|',"
         f" g[b * {_BAND_SIZE}], ',', g[b * {_BAND_SIZE} + 1])))",
     )
-    d = load(spark, sf_dir, "documents")
+    # spread the (small-file) scan before the md5-heavy expression — a
+    # single parquet split would otherwise serialize all signature work
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bands = d.filter(F.expr(f"size({_WORDS_SPARK}) >= 3")).select(
         "doc_id", F.explode(F.expr(band_expr)).alias("band_key")
     )
@@ -230,7 +238,9 @@ FROM sig GROUP BY simhash HAVING count(*) > 1
 
 @register("dedup_simhash", _Q_SIMHASH_ORACLE, "SimHash buckets (md5-bit-portable)")
 def dedup_simhash(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.expr(_WORDS_SPARK)
     tok = d.filter(F.size(words) > 0).select("doc_id", F.explode(words).alias("w"))
     bits = spark.range(60).select(F.col("id").cast("int").alias("b"))

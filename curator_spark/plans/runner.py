@@ -25,13 +25,7 @@ from ..engine.checkpoint import ResumableStage, StageResult
 from ..engine.fingerprint import run_fingerprint
 from ..functions.rules import DEFAULT_RULES, RuleConfig
 from ..functions.scrub import SCRUB_PATTERNS
-from .quality_pipeline import (
-    KEY_COLS,
-    rule_fired_cols,
-    rule_metric_cols,
-    score_content,
-    scrub_content,
-)
+from .quality_pipeline import KEY_COLS, scrub_content
 
 
 class QualityFilterRun:
@@ -66,24 +60,15 @@ class QualityFilterRun:
 
     # -- stage transforms ------------------------------------------------------
     def _filter_transform(self, df: DataFrame) -> DataFrame:
-        # cheap codegen rules first, model UDF only on the survivors
-        # (same staging as plans.quality_pipeline.curate)
-        from .quality_pipeline import CHEAP_RULES, MODEL_RULES, reduce_or
+        # cheap codegen rules first, then ONE fused mapInPandas for
+        # score + model-rule filter (see plans.quality_pipeline.curate)
+        from .quality_pipeline import cheap_survivors, model_filter_map
 
-        staged = df
-        for name, col in rule_metric_cols(F.col("content")).items():
-            staged = staged.withColumn(name, col)
-        fired = rule_fired_cols(self.cfg)
-        survivors = staged.filter(~reduce_or([fired[r] for r in CHEAP_RULES]))
-        scored = (
-            survivors.withColumn("_score", score_content(F.col("content")))
-            .select("*", "_score.lang_pred", "_score.ppl")
-            .drop("_score")
+        survivors = cheap_survivors(df.select(*KEY_COLS, "lang", "content"), self.cfg)
+        run, schema = model_filter_map(
+            self.cfg, scrub=False, extra_cols=[*KEY_COLS, "lang", "content"]
         )
-        model_fired = rule_fired_cols(self.cfg)
-        return scored.filter(
-            ~reduce_or([model_fired[r] for r in MODEL_RULES])
-        ).select(*KEY_COLS, "lang", "lang_pred", "ppl", "content")
+        return survivors.mapInPandas(run, schema=schema)
 
     def _scrub_transform(self, df: DataFrame) -> DataFrame:
         return df.withColumn("content", scrub_content(F.col("content"))).withColumn(

@@ -16,12 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.rules import DEFAULT_RULES, RuleConfig
-from ..plans.quality_pipeline import (
-    rule_fired_cols,
-    rule_metric_cols,
-    score_content,
-    scrub_content,
-)
+
 
 CORPUS_SCHEMA = T.StructType(
     [
@@ -50,20 +45,13 @@ def stream_quality_filter(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    from ..plans.quality_pipeline import CHEAP_RULES, MODEL_RULES, reduce_or
+    from ..plans.quality_pipeline import cheap_survivors, model_filter_map
 
-    staged = src
-    for name, col in rule_metric_cols(F.col("content")).items():
-        staged = staged.withColumn(name, col)
-    fired = rule_fired_cols(cfg)
-    survivors = staged.filter(~reduce_or([fired[r] for r in CHEAP_RULES]))
-    scored = (
-        survivors.withColumn("_score", score_content(F.col("content")))
-        .select("*", "_score.lang_pred", "_score.ppl")
-        .drop("_score")
+    survivors = cheap_survivors(src, cfg)
+    run, schema = model_filter_map(
+        cfg, scrub=True, extra_cols=["repo", "path", "commit", "lang", "content"]
     )
-    kept = scored.filter(~reduce_or([rule_fired_cols(cfg)[r] for r in MODEL_RULES]))
-    return kept.withColumn("content", scrub_content(F.col("content"))).select(
+    return survivors.mapInPandas(run, schema=schema).select(
         "repo", "path", "commit", "lang", "lang_pred", "ppl", "content"
     )
 
