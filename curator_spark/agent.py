@@ -1,0 +1,50 @@
+"""Multi-turn agent loop — the Spark analog of curator's agent package
+(reference: agent/processor.py:153-157): run a SparkCurator map repeatedly,
+carrying conversation state as a column, until every row's
+``is_completed`` predicate fires or max_turns is reached.
+
+The loop is driver-side control flow (curator's is also a Python loop);
+each turn is a fully distributed map. Completed rows exit the loop early
+(they stop being re-sent — curator's seen-set), so turn t only processes
+the still-open rows: a shrinking DataFrame, not a growing one.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .api import ERROR_COL, SparkCurator
+
+
+def run_agent_loop(
+    df: DataFrame,
+    agent: SparkCurator,
+    is_completed: Callable[[F.Column], F.Column],
+    state_col: str = "conversation",
+    max_turns: int = 8,
+) -> DataFrame:
+    """Iterate ``agent`` over rows until is_completed(col(state_col)).
+
+    ``agent.parse`` must merge the new response into ``state_col``.
+    Returns the union of all completed rows plus any still-open rows at
+    max_turns (flagged by ``agent_done``).
+    """
+    open_rows = df
+    finished: DataFrame | None = None
+    for _turn in range(max_turns):
+        stepped = agent(open_rows).filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL)
+        done = stepped.filter(is_completed(F.col(state_col)))
+        open_rows = stepped.filter(~is_completed(F.col(state_col)))
+        finished = done if finished is None else finished.unionByName(done)
+        # driver-side check: loop ends early when nothing is open
+        if open_rows.isEmpty():
+            open_rows = None
+            break
+    result = finished.withColumn("agent_done", F.lit(True)) if finished is not None else None
+    if open_rows is not None:
+        leftover = open_rows.withColumn("agent_done", F.lit(False))
+        result = leftover if result is None else result.unionByName(leftover)
+    return result

@@ -96,14 +96,16 @@ class SparkCurator:
         Output: input columns (if keep_input_cols) + response_schema fields
         + __error. parse() returning a list yields multiple rows (flatMap).
         """
-        in_fields = df.schema.fields
+        resp_cols = [f.name for f in self.response_schema.fields]
+        # response fields override same-named input columns (parse() wins —
+        # the natural semantics for state-carrying agents)
+        in_fields = [f for f in df.schema.fields if f.name not in resp_cols]
         out_fields = list(in_fields) if keep_input_cols else []
         out_fields = out_fields + list(self.response_schema.fields) + [
             T.StructField(ERROR_COL, T.StringType(), True)
         ]
         out_schema = T.StructType(out_fields)
         in_cols = [f.name for f in in_fields]
-        resp_cols = [f.name for f in self.response_schema.fields]
         hooks = self  # captured by the closure; must be picklable
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

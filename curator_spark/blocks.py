@@ -1,0 +1,89 @@
+"""Composite pipelines ("blocks") — Spark analogs of curator's
+blocks/ package:
+
+* :func:`raft_pipeline` — curator's RAFT block (reference:
+  blocks/raft.py:214-229): chunk documents -> generate a question per chunk
+  (a SparkCurator map) -> attach the oracle chunk plus k distractor chunks
+  sampled from a broadcast chunk table (reference: raft.py:111-178 uses an
+  lru_cache'd chunk lookup == a broadcast variable).
+* :func:`collate_by_key` — curator's SimpleStrat inter-stage collate
+  (reference: blocks/simplestrat.py:141-145 pandas groupby-agg) as
+  groupBy + sort_array(collect_list(...)).
+
+Stage boundaries stay DataFrames, so each stage can be wrapped in
+engine.ResumableStage exactly like the quality filter's stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .api import SparkCurator
+
+
+def chunk_table(docs: DataFrame, text_col: str = "text", chunk_size: int = 200) -> DataFrame:
+    """Document chunker (curator raft.chunk_text, blocks/raft.py:181-186):
+    fixed-size character chunks via posexplode — a flatMap, no Python."""
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(length({text_col})/{chunk_size}.0)) - 1),"
+        f" i -> substring({text_col}, i*{chunk_size} + 1, {chunk_size}))"
+    )
+    return (
+        docs.filter(F.length(text_col) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .withColumn("chunk_key", F.concat_ws("-", "doc_id", "chunk_id"))
+    )
+
+
+def attach_distractors(
+    questions: DataFrame, chunks: DataFrame, k: int = 3, seed: int = 42
+) -> DataFrame:
+    """For each question row (keyed by chunk_key), attach its oracle chunk
+    and k pseudo-random distractor chunks.
+
+    Distractors are drawn deterministically: each question row joins the k
+    chunks whose rank is (own_rank + j * stride) mod n_chunks — a
+    broadcast-joinable derivation, no per-row sampling state (the Spark
+    form of raft.py's random.sample over a cached chunk list)."""
+    ranked = chunks.withColumn(
+        "rank",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                F.xxhash64(F.col("chunk_key"), F.lit(seed))
+            )
+        )
+        - 1,
+    ).select("chunk_key", F.col("chunk").alias("distractor"), "rank")
+    n = ranked.count()
+    q = questions.join(
+        F.broadcast(ranked.select(F.col("chunk_key"), F.col("rank").alias("own_rank"))),
+        "chunk_key",
+    )
+    out = None
+    for j in range(1, k + 1):
+        stride = max(1, n // (k + 1)) * j
+        cand = q.withColumn("rank", (F.col("own_rank") + stride) % n).join(
+            F.broadcast(ranked.select("rank", "distractor")), "rank"
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.groupBy("chunk_key", "question", "chunk")
+        .agg(F.sort_array(F.collect_list("distractor")).alias("distractors"))
+    )
+
+
+def raft_pipeline(
+    docs: DataFrame, question_gen: SparkCurator, chunk_size: int = 200, k: int = 3
+) -> DataFrame:
+    chunks = chunk_table(docs, chunk_size=chunk_size)
+    questions = question_gen(chunks).filter(F.col("__error").isNull()).drop("__error")
+    return attach_distractors(questions, chunks, k=k)
+
+
+def collate_by_key(df: DataFrame, key: str, value_cols: list[str]) -> DataFrame:
+    """SimpleStrat collate: per-key sorted list aggregation."""
+    aggs = [
+        F.sort_array(F.collect_list(c)).alias(f"{c}_list") for c in value_cols
+    ] + [F.count(F.lit(1)).alias("n")]
+    return df.groupBy(key).agg(*aggs)

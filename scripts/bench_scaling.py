@@ -1,7 +1,14 @@
 """Scaling-efficiency evidence for the north rule: run the SAME end-to-end
 filter+scrub job at two parallelism levels (local[8] vs local[32] — the
 sandbox proxy for N vs 4N executors) on the SAME input, report throughput
-at both and efficiency = (T_N / T_4N) / 4.
+at both and efficiency = throughput_4N / (4 * throughput_N).
+
+Methodology note: this sandbox host exhibits severe time-varying CPU steal
+(the same numpy loop measured 0.05s-2.5s minutes apart), so a single
+back-to-back pair is meaningless — one level can land on a healthy host
+and the other on a starved one. We therefore INTERLEAVE trials
+(N, 4N, N, 4N, ...) and score each level by its BEST throughput across
+trials (machine capability, not weather); every raw run is reported.
 
 Each level runs in its own subprocess (one JVM cannot change master).
 Writes BENCH_SCALING.json at the repo root.
@@ -21,7 +28,6 @@ def run_at(cores: int, rows: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
     env["CURATOR_BENCH_CORPUS_ROWS"] = str(rows)
-    env["CURATOR_BENCH_PIPELINE_ONLY"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench_pipeline_only.py")],
         capture_output=True,
@@ -36,21 +42,29 @@ def run_at(cores: int, rows: int) -> dict:
 
 def main() -> None:
     rows = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
+    trials = int(os.environ.get("CURATOR_SCALING_TRIALS", "3"))
     n, n4 = 8, 32
-    r_n = run_at(n, rows)
-    r_n4 = run_at(n4, rows)
-    eff = (r_n["wall_sec"] / r_n4["wall_sec"]) / (n4 / n)
+    raw: dict[int, list[dict]] = {n: [], n4: []}
+    for _t in range(trials):
+        raw[n].append(run_at(n, rows))
+        raw[n4].append(run_at(n4, rows))
+    best_n = max(r["files_per_sec"] for r in raw[n])
+    best_n4 = max(r["files_per_sec"] for r in raw[n4])
+    eff = best_n4 / (4 * best_n)
     result = {
         "rows": rows,
         "cores_N": n,
         "cores_4N": n4,
-        "wall_sec_N": r_n["wall_sec"],
-        "wall_sec_4N": r_n4["wall_sec"],
-        "files_per_sec_N": r_n["files_per_sec"],
-        "files_per_sec_4N": r_n4["files_per_sec"],
+        "files_per_sec_N_best": best_n,
+        "files_per_sec_4N_best": best_n4,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "methodology": "interleaved trials, best-per-level (host shows heavy CPU steal)",
+        "raw_runs": {
+            "N8": [r["runs_sec"] for r in raw[n]],
+            "N32": [r["runs_sec"] for r in raw[n4]],
+        },
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)
