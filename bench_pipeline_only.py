@@ -43,7 +43,7 @@ def main() -> None:
 
     # median of 3 — the sandbox host shows heavy CPU-steal variance
     runs = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         curate(corpus).write.mode("overwrite").format("noop").save()
         runs.append(time.time() - t0)

@@ -1,0 +1,72 @@
+"""Custom stateful streaming operator via applyInPandasWithState —
+the Spark form of curator's long-lived per-key trackers (the batch-mode
+state machine tracks per-batch counts across polls,
+reference: status_tracker/batch_status_tracker.py:501-583).
+
+``running_user_stats`` keeps, per user, a running event count and value
+sum across micro-batches — state survives between triggers exactly like
+curator's tracker survives between poll cycles (and is persisted in the
+streaming checkpoint, so a restart resumes the counts: the streaming
+analog of tracker reload, batch/base_batch_request_processor.py:291-318).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "total_value": round(total, 2)}]
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """events stream -> per-user running (count, sum) with persistent state."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, source_dir: str, schema: T.StructType,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )

@@ -1,0 +1,61 @@
+"""applyInPandasWithState: per-key running stats must survive across
+micro-batches (two source files -> two triggers; second emission includes
+the first batch's counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from curator_spark.streaming.stateful import read_events_stream, running_user_stats
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def test_running_stats_accumulate_across_batches(spark, tmp_path):
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(2000)
+    )
+    src = str(tmp_path / "src")
+    # two separate files -> maxFilesPerTrigger=1 gives two micro-batches
+    events.filter("event_id % 2 = 0").coalesce(1).write.parquet(src + "/a")
+    events.filter("event_id % 2 = 1").coalesce(1).write.parquet(src + "/b")
+
+    stream = read_events_stream(spark, src + "/*", EVENTS_SCHEMA, max_files_per_trigger=1)
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM stateful_out").toPandas()
+    # final state per user == plain batch aggregation over ALL events
+    final = emitted.groupby("user_id").last()
+    expected = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    final = final.sort_index()
+    assert (final["n_events"] == expected["n"]).all()
+    assert (final["total_value"] - expected["t"]).abs().max() < 0.05
