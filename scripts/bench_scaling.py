@@ -43,7 +43,8 @@ def run_at(cores: int, rows: int) -> dict:
 def main() -> None:
     rows = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
     trials = int(os.environ.get("CURATOR_SCALING_TRIALS", "3"))
-    n, n4 = 8, 32
+    n = int(os.environ.get("CURATOR_SCALING_N", "2"))
+    n4 = 4 * n
     raw: dict[int, list[dict]] = {n: [], n4: []}
     for _t in range(trials):
         raw[n].append(run_at(n, rows))
@@ -62,8 +63,8 @@ def main() -> None:
         "pass": eff >= 0.8,
         "methodology": "interleaved trials, best-per-level (host shows heavy CPU steal)",
         "raw_runs": {
-            "N8": [r["runs_sec"] for r in raw[n]],
-            "N32": [r["runs_sec"] for r in raw[n4]],
+            f"N{n}": [r["runs_sec"] for r in raw[n]],
+            f"N{n4}": [r["runs_sec"] for r in raw[n4]],
         },
     }
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
