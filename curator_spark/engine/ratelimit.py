@@ -1,0 +1,65 @@
+"""Client-side token-bucket rate limiter — curator's admission-control
+primitive (reference: status_tracker/online_status_tracker.py:594-690),
+for the one place a pure-batch Spark pipeline still needs it: a stage that
+calls an EXTERNAL rate-limited API from inside ``foreachPartition`` /
+``mapInPandas`` (e.g. a real LLM-annotation stage swapped in for the local
+model).
+
+Semantics match the reference:
+* capacity refills linearly with elapsed time up to the max
+  (``available + max * dt / 60``, clamped — online_status_tracker.py:623-641);
+* ``has_capacity``/``consume`` gate dispatch;
+* ``free`` returns the over-blocked estimate after actual usage is known
+  and MAY drive the balance negative (the reference allows the same,
+  online_status_tracker.py:663-690).
+
+Each executor task owns an independent bucket sized to
+``per_minute / total_parallelism`` — no coordination, which is how a
+distributed limiter has to work at 1000 executors (global coordination
+would serialize the fleet on a side channel).
+"""
+
+from __future__ import annotations
+
+import time
+
+
+class TokenBucket:
+    def __init__(self, per_minute: float, clock=time.monotonic) -> None:
+        self.per_minute = float(per_minute)
+        self.available = float(per_minute)
+        self._clock = clock
+        self._last = clock()
+
+    def _refill(self) -> None:
+        now = self._clock()
+        dt = now - self._last
+        self._last = now
+        self.available = min(
+            self.per_minute, self.available + self.per_minute * dt / 60.0
+        )
+
+    def has_capacity(self, amount: float = 1.0) -> bool:
+        self._refill()
+        return self.available >= amount
+
+    def consume(self, amount: float = 1.0) -> None:
+        self._refill()
+        self.available -= amount
+
+    def free(self, blocked_estimate: float, actual: float) -> None:
+        """Return the difference between the pessimistic pre-charge and the
+        actual usage; balance may go negative (matches the reference)."""
+        self._refill()
+        self.available += blocked_estimate - actual
+
+    def throttle(self, amount: float = 1.0, poll_sec: float = 0.01, sleep=time.sleep) -> None:
+        """Block until capacity is available, then consume."""
+        while not self.has_capacity(amount):
+            sleep(poll_sec)
+        self.consume(amount)
+
+
+def partition_bucket(per_minute_global: float, total_parallelism: int) -> TokenBucket:
+    """Per-task bucket for a cluster-wide budget: per_minute / parallelism."""
+    return TokenBucket(per_minute_global / max(1, total_parallelism))

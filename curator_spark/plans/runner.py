@@ -34,10 +34,26 @@ class QualityFilterRun:
         work_dir: str,
         cfg: RuleConfig = DEFAULT_RULES,
         n_batches: int = 8,
+        exact_dedup: bool = False,
     ) -> None:
         self.work_dir = work_dir
         self.cfg = cfg
         self.n_batches = n_batches
+        self.exact_dedup = exact_dedup
+        # dedup shards by CONTENT hash (not file key): identical payloads
+        # must co-locate in one commit batch so the per-batch window sees
+        # every copy — sharding is then also the dedup co-partitioning.
+        self.dedup_stage = (
+            ResumableStage(
+                "dedup",
+                ["content"],
+                work_dir,
+                config={"method": "exact-sha256-min-key"},
+                n_batches=n_batches,
+            )
+            if exact_dedup
+            else None
+        )
         self.filter_stage = ResumableStage(
             "filter",
             KEY_COLS,
@@ -75,6 +91,20 @@ class QualityFilterRun:
             "scrubbed_sha256", F.sha2(F.col("content"), 256)
         )
 
+    @staticmethod
+    def _dedup_transform(df: DataFrame) -> DataFrame:
+        """Exact dedup: keep the lexicographically-first (repo, path,
+        commit) per content digest — a shuffle on the digest, which is
+        uniform by construction (hash of content), so no skew."""
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(F.sha2("content", 256)).orderBy(*KEY_COLS)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     # -- orchestration -----------------------------------------------------------
     def run(
         self,
@@ -87,6 +117,12 @@ class QualityFilterRun:
         import os as _os
 
         started = _dt.datetime.now(_dt.timezone.utc)
+        if self.dedup_stage is not None:
+            self.dedup_stage.run_hash = self.run_hash
+            self.dedup_stage.run(
+                spark, corpus, self._dedup_transform, fail_after_batches=fail_after_batches
+            )
+            corpus = self.dedup_stage.output(spark)
         r1 = self.filter_stage.run(
             spark, corpus, self._filter_transform, fail_after_batches=fail_after_batches
         )

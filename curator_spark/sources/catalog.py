@@ -1,0 +1,76 @@
+"""Catalog abstraction — the Iceberg swap point.
+
+The engine's table IO goes through this interface so the local sandbox
+(plain parquet dirs with atomic-rename commits) and a real deployment
+(Iceberg/Delta catalog with snapshot commits) differ only in which Catalog
+is constructed. The checkpoint engine's ``_commit_dir`` (atomic rename +
+_SUCCESS) is the local emulation of an Iceberg snapshot commit; with
+``IcebergCatalog`` the same ResumableStage logic commits real snapshots.
+
+Only ``ParquetDirCatalog`` is functional in this container (no Iceberg
+jars baked in — see session.py note); ``IcebergCatalog`` is the documented
+stub that raises until the runtime has the iceberg-spark runtime jar on
+the classpath.
+"""
+
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog(ABC):
+    @abstractmethod
+    def read(self, spark: SparkSession, table: str) -> DataFrame: ...
+
+    @abstractmethod
+    def overwrite(self, df: DataFrame, table: str) -> None: ...
+
+    @abstractmethod
+    def append(self, df: DataFrame, table: str) -> None: ...
+
+    @abstractmethod
+    def exists(self, spark: SparkSession, table: str) -> bool: ...
+
+
+class ParquetDirCatalog(Catalog):
+    """Tables are parquet directories under a root; snapshot commit ==
+    atomic directory rename (engine/checkpoint.py uses the same primitive)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, *table.split("."))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self._path(table))
+
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        df.write.mode("overwrite").parquet(self._path(table))
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self._path(table))
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        p = self._path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+
+class IcebergCatalog(Catalog):
+    """Real-catalog variant: ``spark.read.format("iceberg")`` /
+    ``df.writeTo(table).append()``. Requires the iceberg-spark-runtime jar
+    and a configured catalog (spark.sql.catalog.<name>=...) — not present
+    in this container, so constructing it raises with instructions."""
+
+    def __init__(self, catalog_name: str) -> None:
+        raise NotImplementedError(
+            "Iceberg jars are not available in this environment. Deploy with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12 and "
+            f"spark.sql.catalog.{catalog_name} configured, then implement "
+            "read/overwrite/append via spark.read.format('iceberg') / df.writeTo()."
+        )

@@ -1,0 +1,37 @@
+"""Optional exact-dedup stage in the quality-filter run: duplicates are
+removed globally (content-hash sharding co-locates copies), the canonical
+row is the lexicographically-first key, and the stage is resumable like
+any other."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from curator_spark.plans.runner import QualityFilterRun
+
+
+def test_exact_dedup_stage(spark, corpus_df, tmp_path):
+    # plant duplicates: copy 50 rows under different keys
+    dupes = (
+        corpus_df.limit(50)
+        .withColumn("repo", F.concat(F.lit("dupe/"), "repo"))
+        .withColumn("commit", F.sha1(F.concat("repo", "path")))
+    )
+    with_dupes = corpus_df.unionByName(dupes)
+
+    run = QualityFilterRun(str(tmp_path / "run"), n_batches=4, exact_dedup=True)
+    run.run(spark, with_dupes)
+
+    deduped = run.dedup_stage.output(spark)
+    # every content value appears exactly once
+    per_content = deduped.groupBy(F.sha2("content", 256)).count()
+    assert per_content.filter("count > 1").count() == 0
+    # all duplicate payloads survive exactly once, originals preferred
+    # (original keys sort before 'dupe/...'? not guaranteed — only check
+    # the canonical row count)
+    n_unique = with_dupes.select(F.sha2("content", 256)).distinct().count()
+    assert deduped.count() == n_unique
+
+    # downstream stages consumed the deduped corpus
+    out = run.output(spark)
+    assert out.count() <= deduped.count()

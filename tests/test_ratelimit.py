@@ -1,0 +1,59 @@
+"""Token-bucket semantics — mirrors the reference's limiter behavior
+(online_status_tracker.py:594-690): linear refill clamped at max,
+consume/has_capacity gating, free() may drive the balance negative."""
+
+from __future__ import annotations
+
+from curator_spark.engine.ratelimit import TokenBucket, partition_bucket
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+    def advance(self, dt):
+        self.t += dt
+
+
+def test_refill_linear_and_clamped():
+    clk = FakeClock()
+    b = TokenBucket(60, clock=clk)  # 1/sec
+    b.consume(60)
+    assert not b.has_capacity(1)
+    clk.advance(30)
+    assert b.has_capacity(29.9)
+    assert not b.has_capacity(31)
+    clk.advance(3600)
+    b._refill()
+    assert b.available == 60  # clamped at max
+
+
+def test_free_can_go_negative():
+    clk = FakeClock()
+    b = TokenBucket(100, clock=clk)
+    b.consume(50)
+    b.free(blocked_estimate=10, actual=80)  # used far more than estimated
+    assert b.available == 100 - 50 + 10 - 80
+
+
+def test_throttle_blocks_until_capacity():
+    clk = FakeClock()
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clk.advance(1.0)
+
+    b = TokenBucket(60, clock=clk)
+    b.consume(60)
+    b.throttle(5, sleep=fake_sleep)
+    assert len(sleeps) >= 5  # waited ~5s for 5 tokens at 1/sec
+    assert b.available <= 0.001
+
+
+def test_partition_bucket_split():
+    b = partition_bucket(32_000, 32)
+    assert b.per_minute == 1000
