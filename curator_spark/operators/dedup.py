@@ -238,29 +238,23 @@ FROM sig GROUP BY simhash HAVING count(*) > 1
 
 @register("dedup_simhash", _Q_SIMHASH_ORACLE, "SimHash buckets (md5-bit-portable)")
 def dedup_simhash(spark, sf_dir):
+    # Whole signature as ONE let-chained per-row expression: hash each
+    # token once (hs), then fold hs per bit plane — no token x bit explode
+    # (the previous shape shuffled 60 rows per token), no shuffle until the
+    # final signature groupBy.
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    words = F.expr(_WORDS_SPARK)
-    tok = d.filter(F.size(words) > 0).select("doc_id", F.explode(words).alias("w"))
-    bits = spark.range(60).select(F.col("id").cast("int").alias("b"))
-    tokbits = tok.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "b",
-        F.expr(
-            "CASE WHEN (shiftright(cast(conv(substring(md5(w), 1, 15), 16, 10) AS bigint), b) & 1) = 1"
-            " THEN 1 ELSE -1 END"
-        ).alias("v"),
+    hashes = "transform(wz, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS bigint))"
+    bit_fold = (
+        "concat_ws('', transform(sequence(0, 59), b ->"
+        " CASE WHEN aggregate(hs, 0L, (acc, h) -> acc +"
+        " CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0"
+        " THEN '1' ELSE '0' END))"
     )
-    plane = tokbits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
-    sig = (
-        plane.withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list(F.struct("b", "bit"))).bit, "").alias(
-                "simhash"
-            )
-        )
+    sig_expr = _let(_WORDS_SPARK, "wz", _let(hashes, "hs", bit_fold))
+    sig = d.filter(F.expr(f"size({_WORDS_SPARK}) >= 1")).select(
+        "doc_id", F.expr(sig_expr).alias("simhash")
     )
     return (
         sig.groupBy("simhash")

@@ -1,0 +1,62 @@
+"""Skew handling: the corpus has a monorepo holding ~30% of rows (a hot
+key), but (a) stage sharding hashes full file identity, so shard sizes
+stay balanced, and (b) per-repo aggregation goes through the two-phase
+salted rollup, which matches the plain groupBy exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from curator_spark.engine.checkpoint import BATCH_COL, ResumableStage
+from curator_spark.sources.corpus import MONOREPO
+
+
+def test_corpus_has_hot_key(corpus_df):
+    frac = (
+        corpus_df.filter(F.col("repo") == MONOREPO).count() / corpus_df.count()
+    )
+    assert 0.2 < frac < 0.4  # the skew is real...
+
+
+def test_shards_stay_balanced_despite_hot_key(spark, corpus_df, tmp_path):
+    # ...but identity-hash sharding spreads it: max/min shard within 2x
+    stage = ResumableStage(
+        "skewcheck", ["repo", "path", "commit"], str(tmp_path), n_batches=8
+    )
+    stage._ensure_input_shards(corpus_df)
+    sizes = (
+        spark.read.parquet(stage.input_dir)
+        .groupBy(BATCH_COL)
+        .count()
+        .toPandas()["count"]
+        .to_numpy()
+    )
+    assert len(sizes) == 8
+    assert sizes.max() / max(sizes.min(), 1) < 2.0
+    assert sizes.sum() == corpus_df.count()
+
+
+def test_salted_rollup_matches_plain_groupby(spark, corpus_df):
+    salt = 16
+    partial = (
+        corpus_df.withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(salt)))
+        .groupBy("repo", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(F.length("content")).alias("_b"))
+    )
+    salted = (
+        partial.groupBy("repo")
+        .agg(F.sum("_n").alias("n"), F.sum("_b").alias("bytes"))
+        .toPandas()
+        .set_index("repo")
+        .sort_index()
+    )
+    plain = (
+        corpus_df.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("content")).alias("bytes"))
+        .toPandas()
+        .set_index("repo")
+        .sort_index()
+    )
+    assert (salted["n"] == plain["n"]).all()
+    assert (salted["bytes"] == plain["bytes"]).all()
