@@ -1,0 +1,56 @@
+"""Streaming checkpoint resume: stop the quality-filter stream, add new
+source files, restart with the SAME checkpoint — only the new files are
+processed (no reprocessing, no duplicates) and the parquet sink ends up
+exactly equal to the batch pipeline's kept set. The streaming analog of
+curator's kill-and-rerun resume (tests/integrations/test_all.py:234-249)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from curator_spark.oracle import reference_labels
+from curator_spark.streaming.quality_stream import stream_quality_filter
+
+
+def _run_until_done(out, sink, ckpt):
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_restart_processes_only_new_files(spark, corpus_pdf, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    half = len(corpus_pdf) // 2
+    first, second = corpus_pdf.iloc[:half], corpus_pdf.iloc[half:]
+    spark.createDataFrame(first).coalesce(2).write.mode("append").parquet(src)
+
+    out1 = stream_quality_filter(spark, src, max_files_per_trigger=1)
+    _run_until_done(out1, sink, ckpt)
+    n_after_first = spark.read.parquet(sink).count()
+
+    # "kill" happened; new data lands; restart from the SAME checkpoint
+    spark.createDataFrame(second).coalesce(2).write.mode("append").parquet(src)
+    out2 = stream_quality_filter(spark, src, max_files_per_trigger=1)
+    _run_until_done(out2, sink, ckpt)
+
+    got = spark.read.parquet(sink).toPandas()
+    golden = reference_labels(corpus_pdf)
+    kept = golden[golden["keep"]]
+    assert len(got) == len(kept), f"{len(got)} vs {len(kept)}"
+    assert got.duplicated(["repo", "path", "commit"]).sum() == 0
+    assert n_after_first < len(kept)  # the restart really added work
+    merged = got.merge(
+        kept[["repo", "path", "commit"]], on=["repo", "path", "commit"]
+    )
+    assert len(merged) == len(kept)
