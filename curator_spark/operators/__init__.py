@@ -19,3 +19,4 @@ from . import text_analysis  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import code_exec  # noqa: F401,E402
 from . import validate  # noqa: F401,E402
+from . import setops_asof  # noqa: F401,E402

@@ -1,0 +1,72 @@
+"""Set operations and an as-of join — rounding out the relational surface.
+
+The as-of join is the canonical "operator Spark lacks" (pyspark guide:
+compose from built-ins): for each error event, the most recent click by
+the same user at ts <= error ts. Implemented as a tagged union + running
+``max(click_ts)`` window — one shuffle on user_id, no per-row Python, no
+range explosion — and verified against DuckDB's native ASOF JOIN.
+Inclusive match (>=) is encoded in the sort: at equal ts the click sorts
+before the error, so the running max already includes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_Q_SETOPS_ORACLE = """
+SELECT user_id, 'both' AS which FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'click_only' AS which FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+@register("set_ops", _Q_SETOPS_ORACLE, "INTERSECT / EXCEPT set operations")
+def set_ops(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errors = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = clicks.intersect(errors).withColumn("which", F.lit("both"))
+    click_only = clicks.exceptAll(errors).withColumn("which", F.lit("click_only"))
+    return both.unionByName(click_only)
+
+
+_Q_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts AS error_ts, c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+@register("asof_join", _Q_ASOF_ORACLE, "as-of join via tagged union + running-max window")
+def asof_join(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # clicks sort before errors at equal ts -> inclusive (>=) semantics
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind_rank"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind_rank", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    joined = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return joined.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("error_ts"), "last_click_ts"
+    )

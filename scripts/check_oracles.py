@@ -53,10 +53,18 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    if only:
+        unknown = only - set(QUERIES)
+        if unknown:
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            return 2
+
     failures = []
+    n_checked = 0
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             got = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -94,7 +102,7 @@ def main() -> int:
                 print("  duck :", e2.loc[mask, c].head(3).tolist())
         else:
             print(f"PASS {name} ({len(g)} rows)")
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} ok")
+    print(f"\n{n_checked - len(failures)}/{n_checked} ok")
     return 1 if failures else 0
 
 
