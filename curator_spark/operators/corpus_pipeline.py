@@ -1,0 +1,42 @@
+"""The REAL corpus quality-filter pipeline as a driver-visible query.
+
+Generates a deterministic 2,000-file corpus in-session (seed=42, the same
+generator the tests and bench use), runs the full curate() pipeline
+(cheap JVM rules -> fused langid+perplexity+model-filter+scrub map), and
+returns the per-language keep summary plus a corpus-level content
+fingerprint (xor-free order-insensitive sha aggregation via sum of hash
+prefixes).
+
+No SQL oracle — the perplexity model is not expressible in DuckDB — so the
+driver records the rows-only check; exact per-row parity vs the
+single-process oracle is enforced by tests/test_golden_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+_N_ROWS = 2000
+
+
+@register("corpus_quality_pipeline", None, "FULL pipeline (langid+ppl+rules+scrub) on generated corpus")
+def corpus_quality_pipeline(spark, sf_dir):
+    from ..plans.quality_pipeline import curate
+    from ..sources.corpus import generate_spark
+
+    corpus = generate_spark(spark, _N_ROWS, seed=42, partitions=8)
+    kept = curate(corpus)
+    return (
+        kept.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+            # order-insensitive corpus fingerprint: sum of 48-bit sha prefixes
+            F.sum(
+                F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")
+            ).alias("sha_sum"),
+        )
+        .orderBy("lang_pred")
+    )
