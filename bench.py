@@ -62,7 +62,7 @@ def main() -> None:
 
     # --- headline: corpus filter+scrub end to end ---------------------------
     corpus_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench", f"corpus_{CORPUS_ROWS}"
+        os.path.dirname(os.path.abspath(__file__)), ".bench", f"corpus_{CORPUS_ROWS}_v2"
     )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         write_corpus(spark, corpus_dir, CORPUS_ROWS, seed=42, partitions=cores * 4)

@@ -31,7 +31,7 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
     )
     corpus_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench", f"corpus_{rows}"
+        os.path.dirname(os.path.abspath(__file__)), ".bench", f"corpus_{rows}_v2"
     )
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         write_corpus(spark, corpus_dir, rows, seed=42, partitions=128)

@@ -33,8 +33,19 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     # NANP-ish phone numbers: optional +1, 3-3-4 groups with separators
     ("phone", r"\+?1?[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    # credit-card-shaped: 4x4 digit groups with uniform separators
+    ("credit_card", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b", "<CARD>"),
     # US SSN-shaped
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # JWT-shaped three-part base64url tokens
+    ("jwt", r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}", "<JWT>"),
+    # PEM private-key blocks (greedy across lines is fine: [^-] excludes
+    # the delimiter, so the match stops at the END marker)
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]*-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
     # tiny toxicity lexicon (placeholder class, case-insensitive)
     ("toxicity", r"(?i)\b(?:dumbass|moron|idiot)\b", "<TOX>"),
 ]
