@@ -189,3 +189,105 @@ def ann_lsh_topk(spark, sf_dir):
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style variant: a deterministic coarse quantizer (centroids = the first
+# _N_CELLS vectors — at scale: k-means centroids broadcast from a sampled
+# training pass), every vector assigned to its nearest centroid cell, search
+# probes only the query's _N_PROBE nearest cells, exact cosine re-ranks.
+# Both the assignment and the probe selection are pure portable arithmetic,
+# so the DuckDB oracle reproduces the index EXACTLY, not just approximately.
+# At 100 TB this is the inverted-file layout: cells are partitions, the
+# centroid table is a broadcast, and a query touches n_probe partitions.
+# ---------------------------------------------------------------------------
+_N_CELLS = 8
+_N_PROBE = 3
+
+_Q_ANN_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < {_N_CELLS}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cell_id FROM cents c
+          ORDER BY {_DOT_DUCK.format(a='e.embedding', b='c.cent')} DESC, c.cell_id
+          LIMIT 1) AS cell_id
+  FROM embeddings e
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT q.q_id, c.cell_id,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_DOT_DUCK.format(a='q.q_emb', b='c.cent')} DESC, c.cell_id) AS pr
+  FROM q, cents c
+),
+cand AS (
+  SELECT q.q_id, q.q_emb, a.vec_id AS c_id, a.embedding AS c_emb
+  FROM q
+  JOIN probes p ON p.q_id = q.q_id AND p.pr <= {_N_PROBE}
+  JOIN assigned a ON a.cell_id = p.cell_id
+  WHERE a.vec_id != q.q_id
+),
+scored AS (
+  SELECT q_id, c_id,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("ann_ivf_topk", _Q_ANN_IVF_ORACLE, "IVF coarse-quantizer ANN: cell assign + n_probe + re-rank")
+def ann_ivf_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    # assign: argmax-dot centroid per vector (broadcast centroids; ties -> min cell_id)
+    dots = e.crossJoin(F.broadcast(cents)).withColumn(
+        "dot", F.expr(_DOT.format(a="embedding", b="cent"))
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("dot"), "cell_id")
+    assigned = (
+        dots.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe selection: top _N_PROBE centroids per query
+    qdots = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dot", F.expr(_DOT.format(a="q_emb", b="cent"))
+    )
+    w_probe = W.partitionBy("q_id").orderBy(F.desc("dot"), "cell_id")
+    probes = (
+        qdots.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("q_id", "q_emb", "cell_id")
+    )
+    cand = probes.join(assigned, "cell_id").filter(F.col("vec_id") != F.col("q_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="q_emb", b="embedding"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+            * F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+        ),
+        6,
+    )
+    w_rank = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("c_id", F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,23 @@
+"""Catalog abstraction: ParquetDirCatalog round-trip + Iceberg stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark.sources.catalog import IcebergCatalog, ParquetDirCatalog
+
+
+def test_parquet_dir_catalog_roundtrip(spark, tmp_path):
+    cat = ParquetDirCatalog(str(tmp_path))
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    assert not cat.exists(spark, "ns.t1")
+    cat.overwrite(df, "ns.t1")
+    assert cat.exists(spark, "ns.t1")
+    assert cat.read(spark, "ns.t1").count() == 100
+    cat.append(df, "ns.t1")
+    assert cat.read(spark, "ns.t1").count() == 200
+
+
+def test_iceberg_stub_raises_with_instructions():
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        IcebergCatalog("prod")
