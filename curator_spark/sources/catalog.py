@@ -74,3 +74,16 @@ class IcebergCatalog(Catalog):
             f"spark.sql.catalog.{catalog_name} configured, then implement "
             "read/overwrite/append via spark.read.format('iceberg') / df.writeTo()."
         )
+
+    # concrete raising stubs so the constructor error above is reachable
+    def read(self, spark, table):  # pragma: no cover
+        raise NotImplementedError
+
+    def overwrite(self, df, table):  # pragma: no cover
+        raise NotImplementedError
+
+    def append(self, df, table):  # pragma: no cover
+        raise NotImplementedError
+
+    def exists(self, spark, table):  # pragma: no cover
+        raise NotImplementedError
