@@ -22,19 +22,25 @@ from .functions.rules import DEFAULT_RULES, RuleConfig, evaluate_rules_batch, te
 from .functions.scrub import scrub_batch, sha256_batch
 
 
-def reference_labels(corpus: pd.DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> pd.DataFrame:
+def reference_labels(
+    corpus: pd.DataFrame,
+    cfg: RuleConfig = DEFAULT_RULES,
+    overrides_col: str | None = None,
+) -> pd.DataFrame:
     """Golden labels for a corpus DataFrame with columns
     (repo, path, commit, lang, content).
 
     Returns (repo, path, commit, lang_pred, ppl, keep, drop_reasons,
     scrubbed_content, scrubbed_sha256) — the `corpus_expected` schema of
     FIXTURES.md §2 plus the scrubbed text itself.
+    ``overrides_col``: optional per-row JSON threshold overrides.
     """
     content = corpus["content"]
     lang_pred = detect_prog_lang_batch(content)
     ppl = perplexity_batch(content)
     metrics = text_metrics_batch(content)
-    verdict = evaluate_rules_batch(metrics, lang_pred, ppl, cfg)
+    overrides = corpus[overrides_col] if overrides_col else None
+    verdict = evaluate_rules_batch(metrics, lang_pred, ppl, cfg, overrides=overrides)
     scrubbed = scrub_batch(content)
     out = corpus[["repo", "path", "commit"]].copy()
     out["lang_pred"] = lang_pred

@@ -1,0 +1,63 @@
+"""Per-row rule-config overrides — curator's per-row generation_params
+(prompt_formatter.py:116-127) applied to the quality filter: a JSON column
+adjusts thresholds per row; Spark expressions and the pandas oracle must
+agree exactly, including on malformed JSON (fallback to defaults)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from curator_spark.oracle import reference_labels
+from curator_spark.plans.quality_pipeline import annotate
+from curator_spark.sources.corpus import generate_pandas
+
+
+def _with_overrides(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+
+    def ov(i: int):
+        m = i % 7
+        if m == 0:
+            return '{"max_perplexity": 10.0}'           # much stricter ppl
+        if m == 1:
+            return '{"min_chars": 1000}'                # much stricter length
+        if m == 2:
+            return '{"min_distinct_word_ratio": 0.9}'   # stricter repetition
+        if m == 3:
+            return '{"max_perplexity": 10000.0, "min_chars": 1}'  # lax
+        if m == 4:
+            return "not json at all"                    # must fall back
+        if m == 5:
+            return None
+        return "{}"
+
+    out["rule_overrides"] = [ov(i) for i in range(len(out))]
+    return out
+
+
+def test_overrides_parity_and_effect(spark):
+    pdf = _with_overrides(generate_pandas(800, seed=13))
+    golden = reference_labels(pdf, overrides_col="rule_overrides")
+    golden_plain = reference_labels(pdf)
+
+    got = (
+        annotate(spark.createDataFrame(pdf), overrides_col="rule_overrides")
+        .select("repo", "path", "commit", "keep", "drop_reasons")
+        .toPandas()
+        .set_index(["repo", "path", "commit"])
+        .sort_index()
+    )
+    g = golden.set_index(["repo", "path", "commit"]).sort_index()
+    assert (got["keep"].astype(bool) == g["keep"].astype(bool)).all()
+    assert (got["drop_reasons"].map(list) == g["drop_reasons"].map(list)).all()
+
+    # overrides actually change decisions vs the plain config
+    changed = int((golden["keep"].to_numpy() != golden_plain["keep"].to_numpy()).sum())
+    assert changed > 20, f"only {changed} rows changed - overrides inert?"
+
+    # malformed / empty override rows behave exactly like no override
+    mask = np.array([i % 7 in (4, 5, 6) for i in range(len(pdf))])
+    assert (
+        golden["keep"].to_numpy()[mask] == golden_plain["keep"].to_numpy()[mask]
+    ).all()
