@@ -456,3 +456,76 @@ def salted_repo_stats(spark, sf_dir, salt: int = 16):
         F.sum("_sum").alias("total_chars"),
         F.round(F.sum("_sum") / F.sum("_n"), 4).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cube (all grouping-set combinations in one pass).
+# ---------------------------------------------------------------------------
+_Q_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", _Q_CUBE_ORACLE, "cube grouping sets")
+def cube_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation) — Spark percentile() ==
+# DuckDB quantile_cont(); both sort exactly, interpolation arithmetic is
+# the same IEEE expression, so values are oracle-exact.
+# ---------------------------------------------------------------------------
+_Q_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6)  AS p50_qty,
+       round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("percentiles", _Q_PERCENTILE_ORACLE, "exact continuous percentiles")
+def percentiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long) — Spark stack() == DuckDB UNPIVOT.
+# ---------------------------------------------------------------------------
+_Q_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind, n FROM wide
+UNPIVOT (n FOR kind IN (click, view, error))
+"""
+
+
+@register("unpivot_counts", _Q_UNPIVOT_ORACLE, "unpivot wide->long via stack()")
+def unpivot_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("error"),
+    )
+    return wide.selectExpr(
+        "user_id",
+        "stack(3, 'click', click, 'view', view, 'error', error) AS (kind, n)",
+    )
