@@ -1,0 +1,20 @@
+"""Distributed corpus generation must be byte-identical to single-process
+generation for the same (seed, n) — partitioning and order independent.
+This is the property that lets the oracle (pandas) and the engine (Spark)
+see the same corpus without shipping data."""
+
+from __future__ import annotations
+
+from curator_spark.sources.corpus import generate_pandas, generate_spark
+
+
+def test_distributed_generation_matches_local(spark):
+    n, seed = 800, 99
+    local = generate_pandas(n, seed=seed).sort_values("path").reset_index(drop=True)
+    dist = (
+        generate_spark(spark, n, seed=seed, partitions=7)
+        .toPandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    assert local.equals(dist)
