@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "asof_join",
+    "cube_agg",
     "quality_filter_documents",
 ]
 

@@ -1,0 +1,76 @@
+"""Hard-kill resume: SIGKILL a subprocess mid-stage (no cleanup, no atexit)
+and resume in a fresh session — committed batches survive, the in-flight
+temp dir is ignored and overwritten, output equals a clean run.
+
+This is the exact shape of curator's resume test (SIGALRM kill mid-run,
+rerun asserts 'Already Completed' — reference:
+tests/integrations/test_all.py:234-249), with a harder kill.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+from curator_spark.engine.checkpoint import ResumableStage
+from curator_spark.oracle import reference_labels
+from curator_spark.plans.runner import QualityFilterRun
+
+_WORKER = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from curator_spark.session import get_spark
+from curator_spark.plans.runner import QualityFilterRun
+
+corpus_path, work_dir = sys.argv[1], sys.argv[2]
+spark = get_spark("kill_victim", cores=4, shuffle_partitions=4)
+corpus = spark.read.parquet(corpus_path)
+run = QualityFilterRun(work_dir, n_batches=6)
+print("WORKER_STARTED", flush=True)
+run.run(spark, corpus)
+print("WORKER_DONE", flush=True)
+"""
+
+
+def test_sigkill_mid_run_then_resume(spark, corpus_path, corpus_pdf, tmp_path):
+    work = str(tmp_path / "killrun")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+
+    proc = subprocess.Popen(
+        [sys.executable, str(script), corpus_path, work],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    # wait until at least one filter batch is committed, then SIGKILL
+    stage_probe = QualityFilterRun(work, n_batches=6).filter_stage
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if len(stage_probe.committed_batches()) >= 1:
+            break
+        if proc.poll() is not None:
+            raise AssertionError("worker exited before committing anything")
+        time.sleep(0.5)
+    else:
+        proc.kill()
+        raise AssertionError("no batch committed within timeout")
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    committed = stage_probe.committed_batches()
+    assert 1 <= len(committed) < 6
+
+    # resume in THIS session: committed batches skipped, output == clean run
+    run2 = QualityFilterRun(work, n_batches=6)
+    r1, _r2 = run2.run(spark, spark.read.parquet(corpus_path))
+    assert sorted(r1.batches_skipped) == sorted(committed)
+
+    golden = reference_labels(corpus_pdf)
+    kept = golden[golden["keep"]]
+    out = run2.output(spark).toPandas()
+    assert len(out) == len(kept)
+    assert out.duplicated(["repo", "path", "commit"]).sum() == 0
