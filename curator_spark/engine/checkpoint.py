@@ -217,3 +217,15 @@ class ResumableStage:
         failed_requests.jsonl as a left-anti join."""
         out_keys = self.output(spark).select(*self.key_cols)
         return df.join(out_keys, on=self.key_cols, how="left_anti")
+
+    def assert_complete(self, spark: SparkSession, df: DataFrame) -> None:
+        """curator's ``require_all_responses`` strictness
+        (reference: request_processor/config.py:30, enforcement
+        base_request_processor.py:503-507): raise if any input row has no
+        committed output. Only meaningful for 1:1 stages (filters drop
+        rows by design — don't use it there)."""
+        n = self.failed_rows(spark, df).count()
+        if n:
+            raise RuntimeError(
+                f"stage {self.name}: {n} input rows have no committed output"
+            )

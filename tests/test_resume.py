@@ -87,3 +87,17 @@ def test_lineage_rows(spark, corpus_df, corpus_pdf, tmp_path):
     assert filt["rows_out"].sum() == int(golden["keep"].sum())
     assert (rows["wall_ms"] >= 0).all()
     assert (rows["run_hash"] == run.run_hash).all()
+
+
+def test_assert_complete_strictness(spark, corpus_df, tmp_path):
+    """curator's require_all_responses analog: clean on a complete 1:1
+    stage, raises with the missing count on an interrupted one."""
+    stage = ResumableStage("ident2", ["repo", "path", "commit"], str(tmp_path / "s2"), n_batches=4)
+    stage.run(spark, corpus_df, lambda d: d)
+    stage.assert_complete(spark, corpus_df)  # no raise
+
+    stage3 = ResumableStage("ident3", ["repo", "path", "commit"], str(tmp_path / "s3"), n_batches=4)
+    with pytest.raises(StageInterrupted):
+        stage3.run(spark, corpus_df, lambda d: d, fail_after_batches=2)
+    with pytest.raises(RuntimeError, match="no committed output"):
+        stage3.assert_complete(spark, corpus_df)
