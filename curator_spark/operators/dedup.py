@@ -301,3 +301,107 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.5):
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 3).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup at SCALE: random-hyperplane LSH buckets (same portable
+# md5-derived planes as similarity.ann_lsh_topk) -> candidate pairs only
+# within a bucket -> exact cosine confirm. The O(n^2) pair join above is
+# the correctness baseline; this is the 10^9-vector path (pairs per bucket,
+# not per corpus).
+# ---------------------------------------------------------------------------
+_EMB_N_PLANES = 6
+_EMB_DIM = 64
+_EMB_THRESHOLD = 0.5
+
+_Q_EMB_LSH_ORACLE = f"""
+WITH planes AS (
+  SELECT p.p AS p, j.j AS j,
+         CASE WHEN (('0x' || substr(md5(cast(p.p AS VARCHAR) || ':' || cast(j.j AS VARCHAR)), 1, 15))::BIGINT & 1) = 1
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT unnest(range(0, {_EMB_N_PLANES})) AS p) p,
+       (SELECT unnest(range(0, {_EMB_DIM})) AS j) j
+),
+sigs AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN sum(cast(e.embedding[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
+),
+withb AS (SELECT b.vec_id, b.bucket, e.embedding
+          FROM buckets b JOIN embeddings e USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> cast(x[1] AS DOUBLE) * cast(x[2] AS DOUBLE))) /
+         (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) *
+          sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))) AS cos
+  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 3) AS cos_sim FROM pairs WHERE cos >= {_EMB_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_lsh", _Q_EMB_LSH_ORACLE, "embedding near-dup, LSH-bucketed scale path")
+def dedup_embedding_lsh(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    planes = (
+        spark.range(_EMB_N_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(_EMB_DIM).select(F.col("id").cast("int").alias("j")))
+        .withColumn(
+            "sign",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("j"))), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .bitwiseAND(1)
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+    )
+    sigs = (
+        e.select("vec_id", F.posexplode("embedding").alias("j", "x"))
+        .join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.when(F.sum(F.col("x").cast("double") * F.col("sign")) > 0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit")
+        )
+    )
+    buckets = sigs.groupBy("vec_id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct("p", "bit"))).bit, "").alias(
+            "bucket"
+        )
+    )
+    withb = e.join(buckets, "vec_id")
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("embedding").alias("emb_a")
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    dot = (
+        "aggregate(zip_with({x}, {y}, (u, v) -> cast(u as double) * cast(v as double)),"
+        " cast(0.0 as double), (acc, w) -> acc + w)"
+    )
+    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+    cos = F.expr(dot.format(x="emb_a", y="emb_b")) / (
+        F.sqrt(F.expr(dot.format(x="emb_a", y="emb_a")))
+        * F.sqrt(F.expr(dot.format(x="emb_b", y="emb_b")))
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= _EMB_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 3).alias("cos_sim"))
+    )
