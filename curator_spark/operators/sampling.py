@@ -1,0 +1,68 @@
+"""Sampling + normalization operators — training-data-pipeline staples.
+
+* ``stratified_sample`` — deterministic per-stratum sampling: rank rows
+  within each language by a content-independent hash (md5 of the key) and
+  keep the first K. Deterministic => reproducible datasets and an EXACT
+  DuckDB oracle (no rand()). At scale this is one window per stratum —
+  or, for huge strata, a hash-threshold filter (keep if hash < K/N range)
+  with no sort at all; both shapes shown here.
+* ``normalize_text`` — unicode NFC + whitespace collapse + trim +
+  lowercase, the canonical pre-dedup normalization. Spark side runs
+  Python ``unicodedata.normalize`` in a pandas UDF; the oracle uses
+  DuckDB's ``nfc_normalize`` — both implement the same Unicode standard,
+  so outputs (and their hashes) agree.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import load, register
+
+_K_PER_STRATUM = 20
+
+_Q_STRAT_ORACLE = f"""
+SELECT lang, doc_id, pos FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents
+) WHERE pos <= {_K_PER_STRATUM}
+"""
+
+
+@register("stratified_sample", _Q_STRAT_ORACLE, "deterministic per-language sample (hash-ranked)")
+def stratified_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _K_PER_STRATUM)
+        .select("lang", "doc_id", "pos")
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _nfc_normalize(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(lambda t: unicodedata.normalize("NFC", t))
+
+
+_Q_NORM_ORACLE = """
+SELECT doc_id,
+       lower(trim(regexp_replace(nfc_normalize(text), '[ \\t\\n]+', ' ', 'g'))) AS norm_text,
+       md5(lower(trim(regexp_replace(nfc_normalize(text), '[ \\t\\n]+', ' ', 'g')))) AS norm_md5
+FROM documents
+"""
+
+
+@register("normalize_text", _Q_NORM_ORACLE, "NFC + whitespace collapse + lower (pre-dedup canon)")
+def normalize_text(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(
+        F.trim(F.regexp_replace(_nfc_normalize(F.col("text")), "[ \\t\\n]+", " "))
+    )
+    return d.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_md5"))
