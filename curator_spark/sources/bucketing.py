@@ -1,0 +1,35 @@
+"""Bucketed tables — co-located joins with NO shuffle.
+
+At 100 TB, the single most expensive physical event is shuffling a fact
+table for a join. Writing both sides bucketed (+sorted) on the join key
+makes every subsequent join a zero-Exchange sort-merge join: each task
+reads bucket i of both tables and merges locally. This is the batch
+analog of curator pre-sharding its request files by row id
+(base_request_processor.py:204-319) so responses rejoin without movement.
+
+`tests/test_bucketing.py` asserts the plan property: SortMergeJoin
+present, Exchange absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
+) -> None:
+    w = df.write.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return spark.table(left_table).join(
+        spark.table(right_table), F.col(left_key) == F.col(right_key)
+    )

@@ -1,0 +1,39 @@
+"""Bucketed co-located join: SortMergeJoin with ZERO Exchange in the plan,
+and results identical to the plain join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.sources.bucketing import bucketed_join, write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast, tmp_path):
+    # warehouse dir is a static config; tables land in ./spark-warehouse
+    # (gitignored) and are dropped at the end
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS cust_bkt")
+    write_bucketed(o, "orders_bkt", "o_custkey", 8)
+    write_bucketed(c, "cust_bkt", "c_custkey", 8)
+
+    j = bucketed_join(spark, "orders_bkt", "cust_bkt", "o_custkey", "c_custkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+
+    expected = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert j.count() == expected
+
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS cust_bkt")
