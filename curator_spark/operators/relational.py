@@ -235,19 +235,22 @@ SELECT event_id, user_id,
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) * 1.0 /
              (100 * count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)), 6) AS mov_avg
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)), 8) AS mov_avg
 FROM events
 """
 
 
 @register("window_moving_avg", _Q_MOVAVG_ORACLE, "SURVEY §2.5 A4: rows-window moving average")
 def window_moving_avg(spark, sf_dir):
-    # float-robust across engines: sum integer cents, then one IEEE division
+    # float-robust across engines: sum integer cents, then one IEEE
+    # division. Rounding digit = 8: cents/(100*n) for n<=50 terminates
+    # within 7 decimals, so no value can sit exactly on a rounding tie —
+    # Spark rounds HALF_UP, DuckDB half-even, and ties are where they split.
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-49, 0)
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     mov = F.sum(cents).over(w) * F.lit(1.0) / (F.lit(100) * F.count(F.lit(1)).over(w))
-    return e.select("event_id", "user_id", F.round(mov, 6).alias("mov_avg"))
+    return e.select("event_id", "user_id", F.round(mov, 8).alias("mov_avg"))
 
 
 # ---------------------------------------------------------------------------
