@@ -35,7 +35,17 @@ def run_agent_loop(
     open_rows = df
     finished: DataFrame | None = None
     for _turn in range(max_turns):
-        stepped = agent(open_rows).filter(F.col(ERROR_COL).isNull()).drop(ERROR_COL)
+        # Materialize each turn ONCE: done/open_rows/the final union all
+        # derive from the same localCheckpoint, so a non-deterministic
+        # agent map (the real LLM case) cannot be re-evaluated into
+        # disagreeing done/open splits, and the per-turn isEmpty() plus the
+        # final action don't recompute every earlier turn's agent call.
+        stepped = (
+            agent(open_rows)
+            .filter(F.col(ERROR_COL).isNull())
+            .drop(ERROR_COL)
+            .localCheckpoint()
+        )
         done = stepped.filter(is_completed(F.col(state_col)))
         open_rows = stepped.filter(~is_completed(F.col(state_col)))
         finished = done if finished is None else finished.unionByName(done)

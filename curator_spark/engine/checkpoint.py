@@ -43,7 +43,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fingerprint import config_fingerprint
+from .fingerprint import config_fingerprint, input_identity
 from .lineage import append_lineage
 
 BATCH_COL = "__batch"
@@ -123,9 +123,24 @@ class ResumableStage:
         return sorted(out)
 
     # -- sharding ------------------------------------------------------------
-    def _ensure_input_shards(self, df: DataFrame) -> None:
-        if os.path.exists(os.path.join(self.input_dir, "_SHARDS_OK")):
-            return
+    def _ensure_input_shards(self, df: DataFrame, input_token: str) -> None:
+        """Shard once; the _SHARDS_OK marker records (config fp, input
+        identity). A marker whose input token no longer matches means the
+        caller re-ran the same work_dir against DIFFERENT data — stale
+        shards AND stale committed batches must both go (curator keys its
+        cache on the dataset fingerprint too, llm/llm.py:144-169)."""
+        marker = os.path.join(self.input_dir, "_SHARDS_OK")
+        want = f"{self.fingerprint}|{input_token}"
+        if os.path.exists(marker):
+            with open(marker) as f:
+                have = f.read()
+            if have == want:
+                return
+            # input changed under the same stage dir: invalidate everything
+            shutil.rmtree(self.input_dir)
+            for d in os.listdir(self.stage_dir):
+                if d.startswith("batch="):
+                    shutil.rmtree(os.path.join(self.stage_dir, d))
         tmp = self.input_dir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -138,7 +153,7 @@ class ResumableStage:
             .mode("overwrite")
             .parquet(tmp)
         )
-        open(os.path.join(tmp, "_SHARDS_OK"), "w").write(self.fingerprint)
+        open(os.path.join(tmp, "_SHARDS_OK"), "w").write(want)
         self._commit_dir(tmp, self.input_dir)
 
     # -- the run loop ----------------------------------------------------------
@@ -148,12 +163,17 @@ class ResumableStage:
         df: DataFrame,
         transform: Callable[[DataFrame], DataFrame],
         fail_after_batches: int | None = None,
+        input_token: str | None = None,
     ) -> StageResult:
         """Execute the stage; safe to re-invoke after a kill — committed
         batches are skipped, exactly like curator's "Already Completed" skip.
+
+        ``input_token`` overrides the automatic input-snapshot identity
+        (file uris+sizes+mtimes) mixed into the shard marker; pass one for
+        in-memory inputs whose identity the automatic probe can't see.
         """
         os.makedirs(self.stage_dir, exist_ok=True)
-        self._ensure_input_shards(df)
+        self._ensure_input_shards(df, input_token or input_identity(df))
         done = set(self.committed_batches())
         ran: list[int] = []
         for b in range(self.n_batches):
@@ -175,7 +195,10 @@ class ResumableStage:
             out.write.mode("overwrite").parquet(tmp)
             self._commit_dir(tmp, self._batch_dir(b))
             wall_ms = int((time.time() - t0) * 1000)
+            # A batch no key hashed into has NO partition dir on disk —
+            # reachable when rows < n_batches or key hashing is skewed.
             shard_in_dir = os.path.join(self.input_dir, f"{BATCH_COL}={b}")
+            shard_exists = os.path.isdir(shard_in_dir)
             append_lineage(
                 spark,
                 self.lineage_dir,
@@ -184,9 +207,9 @@ class ResumableStage:
                         "run_hash": self.run_hash,
                         "stage": self.name,
                         "partition_id": b,
-                        "rows_in": _parquet_rows(shard_in_dir),
+                        "rows_in": _parquet_rows(shard_in_dir) if shard_exists else 0,
                         "rows_out": _parquet_rows(self._batch_dir(b)),
-                        "bytes_in": _parquet_bytes(shard_in_dir),
+                        "bytes_in": _parquet_bytes(shard_in_dir) if shard_exists else 0,
                         "wall_ms": wall_ms,
                     }
                 ],

@@ -30,3 +30,31 @@ def config_fingerprint(stage_name: str, config: dict[str, Any] | None) -> str:
 def run_fingerprint(input_token: str, stage_fingerprints: list[str]) -> str:
     payload = json.dumps({"input": input_token, "stages": stage_fingerprints})
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def input_identity(df) -> str:
+    """Snapshot identity of a DataFrame's input — the dataset half of
+    curator's cache key (llm/llm.py:144-169 hashes the dataset fingerprint
+    alongside the config). File-backed inputs hash the sorted
+    (uri, size, mtime) list; in-memory inputs fall back to the schema plus
+    an 'ephemeral' marker (callers with in-memory inputs that need exact
+    identity should pass an explicit input_token)."""
+    import os
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        items = []
+        for uri in files:
+            path = uri[len("file:") :] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(path)
+                items.append(f"{uri}|{st.st_size}|{int(st.st_mtime)}")
+            except OSError:
+                items.append(uri)
+        payload = "\n".join(items)
+    else:
+        payload = "ephemeral|" + df.schema.json()
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]

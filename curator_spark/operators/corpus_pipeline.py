@@ -7,12 +7,18 @@ returns the per-language keep summary plus a corpus-level content
 fingerprint (xor-free order-insensitive sha aggregation via sum of hash
 prefixes).
 
-No SQL oracle — the perplexity model is not expressible in DuckDB — so the
-driver records the rows-only check; exact per-row parity vs the
-single-process oracle is enforced by tests/test_golden_pipeline.py.
+The perplexity model is not expressible in DuckDB SQL, so the oracle reads
+a PRE-MATERIALIZED per-row golden parquet produced by the independent
+single-process implementation (curator_spark.oracle.reference_labels; see
+scripts/make_golden.py) and re-aggregates it with the same GROUP BY — the
+driver then verifies rows+schema+value-hash like any other query. Per-row
+parity of the Spark pipeline vs that same truth is separately enforced by
+tests/test_golden_pipeline.py.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import functions as F
 
@@ -20,8 +26,25 @@ from .registry import register
 
 _N_ROWS = 2000
 
+_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden",
+    "corpus_golden_2000.parquet",
+)
 
-@register("corpus_quality_pipeline", None, "FULL pipeline (langid+ppl+rules+scrub) on generated corpus")
+_Q_CORPUS_ORACLE = f"""
+SELECT lang_pred,
+       count(*) AS n_kept,
+       round(avg(ppl), 4) AS avg_ppl,
+       cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
+FROM read_parquet('{_GOLDEN}')
+GROUP BY lang_pred
+ORDER BY lang_pred
+"""
+
+
+@register("corpus_quality_pipeline", _Q_CORPUS_ORACLE, "FULL pipeline (langid+ppl+rules+scrub) on generated corpus")
 def corpus_quality_pipeline(spark, sf_dir):
     from ..plans.quality_pipeline import curate
     from ..sources.corpus import generate_spark

@@ -39,11 +39,16 @@ def _let(bound: str, var: str, body: str) -> str:
 
 
 _WORDS_SPARK = "filter(split(text, '[ \\t\\n]+'), w -> w != '')"
+# Short-doc guard: sequence(0, -1) yields [0, -1] (a DESCENDING ramp), not an
+# empty array — so for <3-word docs the un-guarded transform indexes wz[-1]
+# (ANSI: ArrayIndexOutOfBoundsException; non-ANSI: a bogus shingle) while the
+# DuckDB oracle's range(0, 0) is empty. CASE to an empty array instead.
 _SHINGLES_SPARK = _let(
     _WORDS_SPARK,
     "wz",
-    "array_distinct(transform(sequence(0, greatest(size(wz) - 3, -1)),"
-    " i -> concat_ws(' ', wz[i], wz[i+1], wz[i+2])))",
+    "CASE WHEN size(wz) < 3 THEN cast(array() as array<string>)"
+    " ELSE array_distinct(transform(sequence(0, size(wz) - 3),"
+    " i -> concat_ws(' ', wz[i], wz[i+1], wz[i+2]))) END",
 )
 
 

@@ -87,8 +87,12 @@ def decode_real(payload: bytes, kind: str):
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for decode+embed: hash the payload into a
-    fixed-dim float vector. Same batch shape/signature as a real extractor."""
-    h = hashlib.sha256(payload or b"").digest()
+    fixed-dim float vector. Same batch shape/signature as a real extractor.
+
+    The hash runs over the payload's lowercase-HEX string (not the raw
+    bytes) so the DuckDB oracle — whose sha256() only accepts VARCHAR —
+    can reproduce every feature value bit-for-bit."""
+    h = hashlib.sha256((payload or b"").hex().encode()).digest()
     vals = struct.unpack(">8I", h[:32])
     return [float(v % 1000) / 1000.0 for v in vals][:dim]
 
@@ -125,7 +129,30 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-@register("media_features", None, "multimodal: binary column -> feature vectors (rows-only check)")
+# Full DuckDB oracle: the synthetic payload is (sha256(seed:i) * 8)[:64+i%128]
+# and the fake feature vector is 8 big-endian uint32s of sha256(hex(payload)),
+# each % 1000 / 1000 — all expressible as portable hex/substr arithmetic, so
+# the driver verifies the Arrow-batched plumbing by exact value hash.
+_FEATURE_TERMS = "\n  + ".join(
+    f"(('0x' || substr(fh, {1 + 8 * k}, 8))::BIGINT % 1000) / 1000.0"
+    for k in range(8)
+)
+_Q_MEDIA_ORACLE = f"""
+WITH m AS (
+  SELECT i,
+         ['image','audio','video'][(i % 3) + 1] AS kind,
+         substr(repeat(sha256('42:' || i), 8), 1, 2 * (64 + i % 128)) AS payload_hex
+  FROM range(0, 200) t(i)
+),
+f AS (SELECT i AS media_id, kind, octet_length(unhex(payload_hex)) AS payload_bytes,
+             sha256(payload_hex) AS fh FROM m)
+SELECT media_id, kind, payload_bytes,
+  round({_FEATURE_TERMS}, 6) AS feature_sum
+FROM f
+"""
+
+
+@register("media_features", _Q_MEDIA_ORACLE, "multimodal: binary column -> feature vectors")
 def media_features(spark, sf_dir):
     media = synthesize_media(spark, 200)
     out = extract_features(media)

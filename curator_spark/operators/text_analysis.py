@@ -219,11 +219,15 @@ def doc_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     words = "filter(split(text, '[ \\t\\n]+'), w -> w != '')"
     # let-bind words so shingling stays linear (see dedup._let)
+    # Guard <3-word docs (sequence(0,-1) is [0,-1], NOT empty — see
+    # dedup._SHINGLES_SPARK): defensive even though the filter below already
+    # excludes them, so the expression stays safe if the filter moves.
     shingles = _let(
         words,
         "wz",
-        "transform(sequence(0, greatest(size(wz) - 3, -1)),"
-        " i -> concat_ws(' ', wz[i], wz[i+1], wz[i+2]))",
+        "CASE WHEN size(wz) < 3 THEN cast(array() as array<string>)"
+        " ELSE transform(sequence(0, size(wz) - 3),"
+        " i -> concat_ws(' ', wz[i], wz[i+1], wz[i+2])) END",
     )
     return (
         d.filter(F.expr(f"size({words}) >= 3"))

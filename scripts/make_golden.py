@@ -1,0 +1,46 @@
+"""Materialize the golden parquet for the corpus_quality_pipeline oracle.
+
+The full pipeline's perplexity model is not expressible in DuckDB SQL, so
+the driver's oracle instead reads a PRE-MATERIALIZED per-row golden table
+produced by the independent single-process oracle implementation
+(curator_spark.oracle.reference_labels — shared vectorized pandas functions,
+no Spark involved) over the same deterministic 2,000-row seed=42 corpus the
+Spark query generates in-session. Re-run this script only if the corpus
+generator, rules, or models change; tests/test_golden_pipeline.py keeps the
+Spark pipeline pinned to the same truth per-row.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from curator_spark.oracle import reference_labels
+from curator_spark.sources.corpus import generate_pandas
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+    "corpus_golden_2000.parquet",
+)
+
+
+def main() -> None:
+    corpus = generate_pandas(2000, seed=42)
+    labels = reference_labels(corpus)
+    kept = labels[labels["keep"]][
+        ["repo", "path", "commit", "lang_pred", "ppl", "scrubbed_sha256"]
+    ].reset_index(drop=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(kept, preserve_index=False), OUT)
+    print(f"wrote {len(kept)} kept rows -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

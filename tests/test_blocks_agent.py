@@ -55,6 +55,30 @@ def test_raft_pipeline(spark, docs):
     assert frac_clash < 0.2
 
 
+def test_attach_distractors_plan_scales(spark):
+    """The distractor attach must never rank the full chunk table through a
+    single partition (the old shape: global Window + driver count() + k
+    broadcast unions). Assert: any single-partition exchange feeds directly
+    from an aggregate (the tiny 64-row bucket-stats cumsum), the chunk rank
+    window is hash-partitioned, and there is no k-way Union."""
+    from curator_spark.blocks import attach_distractors
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_table(full, chunk_size=150)
+    questions = chunks.select("chunk_key", "chunk", F.lit("q?").alias("question"))
+    out = attach_distractors(questions, chunks, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "Aggregate" in lines[i + 1], (
+                f"single-partition exchange over non-aggregate input:\n"
+                f"{line}\n{lines[i + 1]}"
+            )
+    assert "row_number() windowspecdefinition(b#" in plan
+    assert "Union" not in plan
+
+
 def test_collate(spark, docs):
     chunks = chunk_table(docs, chunk_size=100)
     col = collate_by_key(chunks, "doc_id", ["chunk_id"]).toPandas()

@@ -86,6 +86,22 @@ def test_query_matches_oracle(spark, duck, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_shingles_short_doc_guard(spark):
+    """Docs with <3 words must shingle to an EMPTY array (matching DuckDB's
+    range(0,0)), not index wz[-1] — which throws under ANSI mode because
+    sequence(0,-1) is the descending ramp [0,-1], not empty."""
+    from curator_spark.operators.dedup import _SHINGLES_SPARK
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two", ), ("one two three four", )], ["text"]
+    )
+    from pyspark.sql import functions as F
+
+    got = df.select(F.expr(_SHINGLES_SPARK).alias("sh")).toPandas()["sh"].map(list)
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert got[3] == ["one two three", "two three four"]
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 

@@ -64,6 +64,38 @@ def test_config_change_invalidates_stage(spark, corpus_df, tmp_path):
     assert changed.filter_stage.committed_batches() == []
 
 
+def test_input_change_invalidates_shards(spark, tmp_path):
+    """Same work_dir + same config, DIFFERENT input data -> the stage must
+    re-shard and re-run, not serve stale committed batches (the reference
+    keys its cache on the dataset fingerprint, llm/llm.py:144-169)."""
+    in_a = str(tmp_path / "in_a")
+    in_b = str(tmp_path / "in_b")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(in_a)
+    spark.range(100).selectExpr("id", "id * 3 AS v").write.parquet(in_b)
+    work = str(tmp_path / "w")
+
+    stage = ResumableStage("ident-in", ["id"], work, n_batches=4)
+    stage.run(spark, spark.read.parquet(in_a), lambda d: d)
+    assert stage.output(spark).agg(F.sum("v")).collect()[0][0] == 9900
+
+    stage2 = ResumableStage("ident-in", ["id"], work, n_batches=4)
+    r = stage2.run(spark, spark.read.parquet(in_b), lambda d: d)
+    assert len(r.batches_run) == 4  # nothing stale was skipped
+    assert stage2.output(spark).agg(F.sum("v")).collect()[0][0] == 14850
+
+
+def test_more_batches_than_rows(spark, tmp_path):
+    """n_batches > distinct keys leaves some shard dirs unwritten; the run
+    must treat those as empty (rows_in=0), not crash on the missing dir."""
+    df = spark.range(3).selectExpr("id", "id AS v")
+    stage = ResumableStage("tiny", ["id"], str(tmp_path / "t"), n_batches=16)
+    res = stage.run(spark, df, lambda d: d)
+    assert len(res.batches_run) == 16
+    assert stage.output(spark).count() == 3
+    lin = read_lineage(spark, f"{tmp_path}/t/_lineage").toPandas()
+    assert lin["rows_in"].sum() == 3
+
+
 def test_failed_rows_anti_join(spark, corpus_df, tmp_path):
     stage = ResumableStage("ident", ["repo", "path", "commit"], str(tmp_path / "s"), n_batches=4)
     with pytest.raises(StageInterrupted):

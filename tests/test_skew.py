@@ -24,7 +24,9 @@ def test_shards_stay_balanced_despite_hot_key(spark, corpus_df, tmp_path):
     stage = ResumableStage(
         "skewcheck", ["repo", "path", "commit"], str(tmp_path), n_batches=8
     )
-    stage._ensure_input_shards(corpus_df)
+    from curator_spark.engine.fingerprint import input_identity
+
+    stage._ensure_input_shards(corpus_df, input_identity(corpus_df))
     sizes = (
         spark.read.parquet(stage.input_dir)
         .groupBy(BATCH_COL)
