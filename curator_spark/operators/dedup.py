@@ -12,15 +12,39 @@ Scale notes (100 TB): all variants are shuffle-on-shingle/band/bucket joins
 — no driver-side state, no cross-product. Exact dedup is a single
 hash-aggregate; MinHash/LSH shuffles one (band_key) row per doc per band;
 pair generation happens only within buckets (self-join on the band key).
-At 10^12 docs you'd additionally salt giant buckets and cap bucket width;
-here bucket width is bounded by the corpus design.
+The LSH paths CAP bucket width at ``BUCKET_CAP`` (row_number per band key,
+keep the first ``BUCKET_CAP`` doc_ids) so a boilerplate-heavy band key or an
+all-zeros signature cannot blow up quadratically inside one bucket — the
+oracle applies the identical cap, so the comparison stays exact. The
+ngram-Jaccard all-pairs join is the intentionally-exact correctness
+baseline (use the MinHash path at scale).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import load, register
+
+# Max docs considered per LSH bucket before pair generation: bounds the
+# per-bucket self-join at BUCKET_CAP*(BUCKET_CAP-1)/2 pairs regardless of
+# skew. Deterministic truncation (keep lowest doc_ids) — mirrored verbatim
+# in the DuckDB oracles; on a 10^12-doc corpus this is what keeps one hot
+# signature from producing 10^18 candidate pairs.
+BUCKET_CAP = 50
+
+
+def cap_bucket_width(df, bucket_col: str, id_col: str, cap: int = BUCKET_CAP):
+    """Keep the ``cap`` lowest-id rows per bucket (deterministic truncate).
+    One partitioned window — shuffles on the bucket key the self-join
+    would shuffle on anyway, so the cap adds no extra exchange round."""
+    w = W.partitionBy(bucket_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
 
 # Shared shingling: words = whitespace-split of trim(text); shingle = 3-gram
 # joined by single spaces; DISTINCT per doc.
@@ -165,9 +189,13 @@ bands AS (
              string_split(signature, ',')[b.band * {_BAND_SIZE} + 1] || ',' ||
              string_split(signature, ',')[b.band * {_BAND_SIZE} + 2]) AS band_key
   FROM sig, (SELECT unnest(range(0, {_N_HASHES} // {_BAND_SIZE})) AS band) b
+),
+capped AS (
+  SELECT doc_id, band, band_key FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= {BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
+FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.band = b.band
          AND a.doc_id < b.doc_id
 """
 
@@ -199,6 +227,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = d.filter(F.expr(f"size({_WORDS_SPARK}) >= 3")).select(
         "doc_id", F.explode(F.expr(band_expr)).alias("band_key")
     )
+    # skew guard: bound every band bucket before the self-join (the band
+    # key embeds the band index, so band_key alone is the full bucket key)
+    bands = cap_bucket_width(bands, "band_key", "doc_id")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -337,7 +368,8 @@ buckets AS (
   SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
 ),
 withb AS (SELECT b.vec_id, b.bucket, e.embedding
-          FROM buckets b JOIN embeddings e USING (vec_id)),
+          FROM buckets b JOIN embeddings e USING (vec_id)
+          QUALIFY row_number() OVER (PARTITION BY b.bucket ORDER BY b.vec_id) <= {BUCKET_CAP}),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -352,42 +384,18 @@ SELECT vec_a, vec_b, round(cos, 3) AS cos_sim FROM pairs WHERE cos >= {_EMB_THRE
 
 @register("dedup_embedding_lsh", _Q_EMB_LSH_ORACLE, "embedding near-dup, LSH-bucketed scale path")
 def dedup_embedding_lsh(spark, sf_dir):
+    from .similarity import bucket_expr
+
     e = load(spark, sf_dir, "embeddings")
-    planes = (
-        spark.range(_EMB_N_PLANES)
-        .select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(_EMB_DIM).select(F.col("id").cast("int").alias("j")))
-        .withColumn(
-            "sign",
-            F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("j"))), 1, 15),
-                    16,
-                    10,
-                )
-                .cast("bigint")
-                .bitwiseAND(1)
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+    # signature as one per-row inlined-constant expression (see
+    # similarity.bucket_expr) — zero shuffle before the bucket self-join
+    withb = cap_bucket_width(
+        e.withColumn(
+            "bucket", F.expr(bucket_expr("embedding", _EMB_N_PLANES, _EMB_DIM))
+        ),
+        "bucket",
+        "vec_id",
     )
-    sigs = (
-        e.select("vec_id", F.posexplode("embedding").alias("j", "x"))
-        .join(F.broadcast(planes), "j")
-        .groupBy("vec_id", "p")
-        .agg(
-            F.when(F.sum(F.col("x").cast("double") * F.col("sign")) > 0, F.lit("1"))
-            .otherwise(F.lit("0"))
-            .alias("bit")
-        )
-    )
-    buckets = sigs.groupBy("vec_id").agg(
-        F.array_join(F.array_sort(F.collect_list(F.struct("p", "bit"))).bit, "").alias(
-            "bucket"
-        )
-    )
-    withb = e.join(buckets, "vec_id")
     a = withb.select(
         F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("embedding").alias("emb_a")
     )

@@ -83,9 +83,39 @@ def ann_bruteforce_topk(spark, sf_dir):
 # LSH-bucketed variant: sign of dot(v, hyperplane) for _N_PLANES pseudo-random
 # hyperplanes; hyperplane p component j = (md5 bit) ? +1 : -1 — derived from
 # md5(p || ':' || j), so Spark and DuckDB build the SAME planes.
+#
+# The planes are COMPILE-TIME constants, so the Spark side inlines them as
+# array literals and computes the whole bucket string as one per-row
+# expression — zero shuffle before the bucket join. (The previous shape
+# posexploded 64 rows per vector through a broadcast-join + two groupBys
+# just to recover a 6-bit signature; same fix as dedup_simhash's _let form.)
 # ---------------------------------------------------------------------------
 _N_PLANES = 6
 _DIM = 64
+
+
+def _plane_sign(p: int, j: int) -> float:
+    """Python replica of _SIGN_DUCK: bit 0 of the first 15 md5 hex chars."""
+    import hashlib
+
+    bit = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16) & 1
+    return 1.0 if bit == 1 else -1.0
+
+
+def bucket_expr(emb: str, n_planes: int = _N_PLANES, dim: int = _DIM) -> str:
+    """SQL expression: the n_planes-bit LSH bucket of an embedding column,
+    one bit per hyperplane via an inlined-constant dot product."""
+    bits = []
+    for p in range(n_planes):
+        arr = "array(" + ",".join(
+            f"{_plane_sign(p, j):.1f}D" for j in range(dim)
+        ) + ")"
+        dot = (
+            f"aggregate(zip_with({emb}, {arr}, (x, s) -> cast(x as double) * s),"
+            " cast(0.0 as double), (a, v) -> a + v)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
 
 # component sign for plane p, dim j (portable): bit 0 of ('0x'||substr(md5,1,15))
 _SIGN_DUCK = (
@@ -136,37 +166,9 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 @register("ann_lsh_topk", _Q_ANN_LSH_ORACLE, "random-hyperplane LSH buckets + exact re-rank")
 def ann_lsh_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    planes = (
-        spark.range(_N_PLANES)
-        .select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(_DIM).select(F.col("id").cast("int").alias("j")))
-        .withColumn(
-            "sign",
-            F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.col("p"), F.col("j"))), 1, 15), 16, 10
-                )
-                .cast("bigint")
-                .bitwiseAND(1)
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-    )
-    sigs = (
-        e.select("vec_id", F.posexplode("embedding").alias("j", "x"))
-        .join(F.broadcast(planes), "j")
-        .groupBy("vec_id", "p")
-        .agg(
-            F.when(F.sum(F.col("x").cast("double") * F.col("sign")) > 0, F.lit("1"))
-            .otherwise(F.lit("0"))
-            .alias("bit")
-        )
-    )
-    buckets = sigs.groupBy("vec_id").agg(
-        F.array_join(F.array_sort(F.collect_list(F.struct("p", "bit"))).bit, "").alias("bucket")
-    )
-    withb = e.join(buckets, "vec_id")
+    # whole signature as ONE per-row expression (planes inlined as
+    # constants): no shuffle until the bucket join itself
+    withb = e.withColumn("bucket", F.expr(bucket_expr("embedding")))
     q = withb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("bucket"), F.col("embedding").alias("q_emb")
     )

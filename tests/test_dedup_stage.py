@@ -35,3 +35,51 @@ def test_exact_dedup_stage(spark, corpus_df, tmp_path):
     # downstream stages consumed the deduped corpus
     out = run.output(spark)
     assert out.count() <= deduped.count()
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket(spark, tmp_path):
+    """A deliberately hot LSH bucket (200 byte-identical docs -> one band
+    key per band) must be truncated to BUCKET_CAP docs before the
+    self-join, bounding pairs at C(cap,2) instead of C(200,2) — and the
+    DuckDB oracle must agree exactly (it applies the same cap)."""
+    import duckdb
+    import pandas as pd
+
+    from curator_spark.operators import QUERIES
+    from curator_spark.operators.dedup import BUCKET_CAP
+
+    hot = "the same boilerplate paragraph repeated in every vendored file " * 3
+    rows = [{"doc_id": i, "text": hot} for i in range(200)]
+    rows += [
+        {
+            "doc_id": 1000 + i,
+            "text": f"unique document {i} alpha{i} beta{i} gamma{i} delta{i} spark",
+        }
+        for i in range(20)
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(path)
+
+    got = (
+        QUERIES["dedup_minhash_lsh"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    hot_pairs = got[(got.doc_a < 1000) & (got.doc_b < 1000)]
+    assert len(hot_pairs) == BUCKET_CAP * (BUCKET_CAP - 1) // 2
+    # the kept docs are the deterministic lowest doc_ids
+    assert hot_pairs.doc_b.max() == BUCKET_CAP - 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    exp = (
+        con.execute(QUERIES["dedup_minhash_lsh"].oracle)
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

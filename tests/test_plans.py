@@ -51,3 +51,21 @@ def test_column_pruning_on_projection(spark):
 def test_minhash_no_python_nodes(spark):
     plan = _plan(spark, "dedup_minhash_lsh")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_signature_is_shuffle_free(spark):
+    """The hyperplane-LSH bucket must be a single per-row expression with
+    the planes inlined as constants — no Exchange, no Python, no join in
+    the signature subplan (the old shape shuffled 64 rows per vector
+    through a posexplode + broadcast-join + two groupBys)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.registry import load
+    from curator_spark.operators.similarity import bucket_expr
+
+    e = load(spark, SF, "embeddings")
+    sig = e.withColumn("bucket", F.expr(bucket_expr("embedding")))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
