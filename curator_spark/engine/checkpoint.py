@@ -88,12 +88,24 @@ class ResumableStage:
         key_cols: list[str],
         work_dir: str,
         config: dict | None = None,
-        n_batches: int = 8,
+        n_batches: int | None = 8,
         run_hash: str = "",
+        batch_target_bytes: int = 128 << 20,
+        batch_max_rows: int = 50_000,
     ) -> None:
+        """``n_batches=None`` sizes the commit granule automatically from
+        the input: n = max(ceil(bytes / batch_target_bytes),
+        ceil(rows / batch_max_rows)) — curator's auto batch sizing by byte
+        and request caps (base_request_processor.py:260-296; provider caps
+        openai_batch_request_processor.py:66-78). At 100 TB a hand-picked
+        constant is either a 10-hour commit granule or a million tiny
+        files; deriving it from input bytes keeps both bounded. Both stats
+        come from file metadata (sizes + parquet footers), no Spark job."""
         self.name = name
         self.key_cols = key_cols
         self.n_batches = n_batches
+        self.batch_target_bytes = batch_target_bytes
+        self.batch_max_rows = batch_max_rows
         self.fingerprint = config_fingerprint(name, config)
         self.run_hash = run_hash or self.fingerprint
         self.stage_dir = os.path.join(work_dir, f"{name}-{self.fingerprint}")
@@ -122,6 +134,43 @@ class ResumableStage:
                 out.append(int(d.split("=", 1)[1]))
         return sorted(out)
 
+    def _resolve_n_batches(self, df: DataFrame) -> None:
+        """Auto batch sizing (n_batches=None): byte + row caps from input
+        file metadata. Deterministic for a fixed input, so a resumed run
+        re-derives the same granule. In-memory inputs fall back to 8."""
+        if self.n_batches is not None:
+            return
+        try:
+            files = [
+                u[len("file:") :] if u.startswith("file:") else u
+                for u in df.inputFiles()
+            ]
+        except Exception:
+            files = []
+        if not files:
+            self.n_batches = 8
+            return
+        total_bytes = 0
+        total_rows = 0
+        for f in files:
+            try:
+                total_bytes += os.path.getsize(f)
+            except OSError:
+                continue
+            if f.endswith(".parquet"):
+                try:
+                    import pyarrow.parquet as pq
+
+                    total_rows += pq.ParquetFile(f).metadata.num_rows
+                except Exception:
+                    pass
+        n = max(
+            1,
+            -(-total_bytes // self.batch_target_bytes),
+            -(-total_rows // self.batch_max_rows) if total_rows else 1,
+        )
+        self.n_batches = int(min(n, 100_000))
+
     # -- sharding ------------------------------------------------------------
     def _ensure_input_shards(self, df: DataFrame, input_token: str) -> None:
         """Shard once; the _SHARDS_OK marker records (config fp, input
@@ -130,7 +179,7 @@ class ResumableStage:
         shards AND stale committed batches must both go (curator keys its
         cache on the dataset fingerprint too, llm/llm.py:144-169)."""
         marker = os.path.join(self.input_dir, "_SHARDS_OK")
-        want = f"{self.fingerprint}|{input_token}"
+        want = f"{self.fingerprint}|{self.n_batches}|{input_token}"
         if os.path.exists(marker):
             with open(marker) as f:
                 have = f.read()
@@ -173,6 +222,7 @@ class ResumableStage:
         in-memory inputs whose identity the automatic probe can't see.
         """
         os.makedirs(self.stage_dir, exist_ok=True)
+        self._resolve_n_batches(df)
         self._ensure_input_shards(df, input_token or input_identity(df))
         done = set(self.committed_batches())
         ran: list[int] = []
@@ -230,6 +280,94 @@ class ResumableStage:
             batches_run=ran,
             batches_skipped=sorted(done),
         )
+
+    # -- per-row retry budget ---------------------------------------------------
+    def run_with_retries(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        max_retries: int = 10,
+        require_all_responses: bool = False,
+        input_token: str | None = None,
+    ) -> StageResult:
+        """Run the stage, then re-run rows that produced no output for up
+        to ``max_retries`` attempts; rows still failing land in the
+        terminal ``failed_requests`` table.
+
+        Curator analog: max_retries=10 (request_processor/config.py:28),
+        the retry-queue drain loop
+        (base_online_request_processor.py:409-453) and failed_requests
+        persistence (base_request_processor.py:508-537). Only meaningful
+        for 1:1 transforms — a filter drops rows by design.
+
+        Each successful retry commits as an extra ``batch=<n_batches + a>``
+        dir, so retried rows flow into output() and a killed retry pass
+        resumes: already-committed attempts are detected from the dirs on
+        disk and not re-run.
+        """
+        res = self.run(spark, df, transform, input_token=input_token)
+        done_attempts = [
+            b - self.n_batches
+            for b in self.committed_batches()
+            if b >= self.n_batches
+        ]
+        attempt = max(done_attempts) if done_attempts else 0
+        failed = self.failed_rows(spark, df).localCheckpoint()
+        while attempt < max_retries and not failed.isEmpty():
+            attempt += 1
+            out = transform(failed)
+            tmp = os.path.join(self.stage_dir, f"_tmp-retry-{attempt}")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            out.write.mode("overwrite").parquet(tmp)
+            self._commit_dir(tmp, self._batch_dir(self.n_batches + attempt))
+            append_lineage(
+                spark,
+                self.lineage_dir,
+                [
+                    {
+                        "run_hash": self.run_hash,
+                        "stage": f"{self.name}.retry",
+                        "partition_id": self.n_batches + attempt,
+                        "rows_in": failed.count(),
+                        "rows_out": _parquet_rows(
+                            self._batch_dir(self.n_batches + attempt)
+                        ),
+                        "bytes_in": 0,
+                        "wall_ms": 0,
+                    }
+                ],
+            )
+            failed = self.failed_rows(spark, df).localCheckpoint()
+        n_failed = failed.count()
+        failed_dir = os.path.join(self.stage_dir, "failed_requests")
+        if n_failed:
+            tmp = failed_dir + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            failed.write.mode("overwrite").parquet(tmp)
+            self._commit_dir(tmp, failed_dir)
+            if require_all_responses:
+                raise RuntimeError(
+                    f"stage {self.name}: {n_failed} rows still failed after "
+                    f"{max_retries} retries (see {failed_dir})"
+                )
+        elif os.path.exists(failed_dir):
+            shutil.rmtree(failed_dir)  # a rerun cleared a previous failure
+        return StageResult(
+            name=res.name,
+            fingerprint=res.fingerprint,
+            out_dir=res.out_dir,
+            batches_run=res.batches_run
+            + [self.n_batches + a for a in range(1, attempt + 1)],
+            batches_skipped=res.batches_skipped,
+        )
+
+    def failed_requests(self, spark: SparkSession) -> DataFrame | None:
+        """Terminal failures from the last run_with_retries, or None."""
+        d = os.path.join(self.stage_dir, "failed_requests")
+        return spark.read.parquet(d) if os.path.exists(d) else None
 
     # -- derived views ---------------------------------------------------------
     def output(self, spark: SparkSession) -> DataFrame:

@@ -51,3 +51,44 @@ def append_lineage(spark: SparkSession, lineage_dir: str, rows: list[dict]) -> N
 
 def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
     return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
+
+
+def cost_projection(
+    lineage: DataFrame,
+    total_rows: int,
+    cost_per_1k_rows: float = 0.0,
+    stage: str | None = None,
+) -> dict:
+    """Weighted throughput + cost projection over committed lineage rows —
+    curator's update_cost_projection (online_status_tracker.py:707-755) and
+    the per-run cost totals persisted in db.py:86-105, re-expressed over
+    the per-batch lineage table.
+
+    Returns rows/sec so far (total rows / total wall), ETA seconds for the
+    remaining rows at that rate, and linear cost so-far / projected-total.
+    One tiny aggregate over the (n_batches)-row lineage table — driver-side
+    by design, like the reference's tracker."""
+    from pyspark.sql import functions as F
+
+    if stage is not None:
+        lineage = lineage.filter(F.col("stage") == stage)
+    agg = lineage.agg(
+        F.sum("rows_in").alias("rows_done"),
+        F.sum("wall_ms").alias("wall_ms"),
+        F.sum("bytes_in").alias("bytes_done"),
+    ).collect()[0]
+    rows_done = int(agg["rows_done"] or 0)
+    wall_s = (agg["wall_ms"] or 0) / 1000.0
+    rows_per_sec = rows_done / wall_s if wall_s > 0 else 0.0
+    remaining = max(0, total_rows - rows_done)
+    eta_s = remaining / rows_per_sec if rows_per_sec > 0 else None
+    cost_so_far = rows_done / 1000.0 * cost_per_1k_rows
+    return {
+        "rows_done": rows_done,
+        "rows_total": total_rows,
+        "rows_per_sec": rows_per_sec,
+        "bytes_done": int(agg["bytes_done"] or 0),
+        "eta_seconds": eta_s,
+        "cost_so_far": cost_so_far,
+        "projected_total_cost": total_rows / 1000.0 * cost_per_1k_rows,
+    }

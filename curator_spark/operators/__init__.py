@@ -22,3 +22,4 @@ from . import validate  # noqa: F401,E402
 from . import setops_asof  # noqa: F401,E402
 from . import corpus_pipeline  # noqa: F401,E402
 from . import sampling  # noqa: F401,E402
+from . import finetune_fmt  # noqa: F401,E402

@@ -1,0 +1,90 @@
+"""Finetune data formatter — conversation rows -> causal-LM training rows.
+
+Spark analog of curator's finetune DataFormatter *data transform*
+(reference: finetune/data_formatter.py:108-160, types.py ChatMessage /
+TrainingExample): render each messages array through the fallback chat
+template ``<|role|>\\n{content}\\n``, derive the mock token ramp
+``min(len(chat_text) // 4, max_seq_length)`` and the causal-LM shift
+(input = tokens[:-1], target = tokens[1:], weights all 1.0 on targets).
+The trainer/submission side (tinker client, GPU training) is out of scope;
+the formatting is a pure row transform with a natural Spark form.
+
+Everything is a per-row codegen expression — no Python, no shuffle; at
+100 TB this is a map-only stage that inherits the input partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+MAX_SEQ_LENGTH = 2048
+
+
+def format_training_examples(
+    df: DataFrame, messages_col: str = "messages", max_seq_length: int = MAX_SEQ_LENGTH
+) -> DataFrame:
+    """messages: array<struct<role:string, content:string>> -> training-row
+    stats: rendered chat text (+sha256), token counts after the causal-LM
+    shift, and the assistant-token weight total."""
+    chat = F.expr(
+        f"aggregate({messages_col}, cast('' as string),"
+        " (acc, m) -> concat(acc, '<|', m.role, '|>', '\\n', m.content, '\\n'))"
+    )
+    out = df.withColumn("chat_text", chat)
+    n_tokens = F.least(
+        F.floor(F.length("chat_text") / 4), F.lit(max_seq_length)
+    ).cast("long")
+    return (
+        out.withColumn("num_messages", F.size(messages_col).cast("long"))
+        .withColumn("n_input_tokens", F.greatest(n_tokens - 1, F.lit(0)).cast("long"))
+        .withColumn("n_target_tokens", F.greatest(n_tokens - 1, F.lit(0)).cast("long"))
+        .withColumn("chat_sha256", F.sha2("chat_text", 256))
+        .drop("chat_text")
+    )
+
+
+# Oracle: build the same two-turn conversation per document (user = first
+# 200 chars, assistant = next 200) and replay the template + token ramp.
+_Q_FINETUNE_ORACLE = f"""
+WITH conv AS (
+  SELECT doc_id,
+         '<|user|>' || chr(10) || substr(text, 1, 200) || chr(10) ||
+         '<|assistant|>' || chr(10) || substr(text, 201, 200) || chr(10) AS chat_text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, chat_text,
+         least(length(chat_text) // 4, {MAX_SEQ_LENGTH}) AS n_tokens
+  FROM conv
+)
+SELECT doc_id,
+       cast(2 AS BIGINT) AS num_messages,
+       cast(greatest(n_tokens - 1, 0) AS BIGINT) AS n_input_tokens,
+       cast(greatest(n_tokens - 1, 0) AS BIGINT) AS n_target_tokens,
+       sha256(chat_text) AS chat_sha256
+FROM t
+"""
+
+
+@register("finetune_format", _Q_FINETUNE_ORACLE, "conversation -> causal-LM training-row formatter")
+def finetune_format(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    conv = d.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.substring("text", 1, 200).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.substring("text", 201, 200).alias("content"),
+            ),
+        ).alias("messages"),
+    )
+    return format_training_examples(conv).select(
+        "doc_id", "num_messages", "n_input_tokens", "n_target_tokens", "chat_sha256"
+    )

@@ -82,7 +82,10 @@ class QualityFilterRun:
 
         survivors = cheap_survivors(df.select(*KEY_COLS, "lang", "content"), self.cfg)
         run, schema = model_filter_map(
-            self.cfg, scrub=False, extra_cols=[*KEY_COLS, "lang", "content"]
+            self.cfg,
+            scrub=False,
+            extra_cols=[*KEY_COLS, "lang", "content"],
+            input_schema=survivors.schema,
         )
         return survivors.mapInPandas(run, schema=schema)
 

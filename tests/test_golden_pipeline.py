@@ -79,3 +79,27 @@ def test_curate_returns_only_kept_scrubbed(spark, corpus_df, corpus_pdf):
     assert (merged["scrubbed_sha256"] == merged["scrubbed_sha256_gold"]).all()
     # scrub must have removed every raw PII email
     assert not got["content"].str.contains("@example.com").any()
+
+
+def test_model_filter_map_preserves_passthrough_types(spark, corpus_df):
+    """Non-string passthrough columns must keep their real type (the
+    schema is derived from the input schema, not assumed string)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.functions.rules import DEFAULT_RULES
+    from curator_spark.plans.quality_pipeline import model_filter_map
+
+    df = corpus_df.withColumn("priority", F.xxhash64("path").cast("long"))
+    run, schema = model_filter_map(
+        DEFAULT_RULES,
+        scrub=True,
+        extra_cols=["repo", "path", "commit", "lang", "content", "priority"],
+        input_schema=df.schema,
+    )
+    out = df.mapInPandas(run, schema=schema)
+    assert dict(out.dtypes)["priority"] == "bigint"
+    got = out.select("path", "priority").toPandas()
+    exp = df.select("path", F.col("priority").alias("p2")).toPandas()
+    merged = got.merge(exp, on="path")
+    assert len(merged) == len(got) > 0
+    assert (merged["priority"] == merged["p2"]).all()

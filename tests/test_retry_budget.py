@@ -1,0 +1,129 @@
+"""Per-row retry budget + auto batch sizing + cost projection.
+
+Mirrors the reference's retry semantics (max_retries=10 in
+request_processor/config.py:28; the retry-queue drain in
+base_online_request_processor.py:409-453; failed request persistence in
+base_request_processor.py:508-537) and auto batch sizing by byte/request
+caps (base_request_processor.py:260-296), tested like the reference's
+test_all.py:251-290 (flaky-then-success) and :403 (permanent failure).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.engine.checkpoint import ResumableStage
+from curator_spark.engine.lineage import append_lineage, cost_projection, read_lineage
+
+
+@pytest.fixture()
+def ids_path(spark, tmp_path):
+    p = str(tmp_path / "in")
+    spark.range(20).selectExpr("id", "concat('row-', id) AS payload").write.parquet(p)
+    return p
+
+
+def _flaky_transform(counter_file: str):
+    """Attempt 1 drops id % 5 == 0; later attempts succeed for everything
+    except id == 0, which fails permanently."""
+
+    def transform(df):
+        n = 0
+        if os.path.exists(counter_file):
+            n = int(open(counter_file).read())
+        open(counter_file, "w").write(str(n + 1))
+        if n == 0:
+            return df.filter(F.col("id") % 5 != 0)
+        return df.filter(F.col("id") != 0)
+
+    return transform
+
+
+def test_retry_recovers_flaky_rows(spark, ids_path, tmp_path):
+    df = spark.read.parquet(ids_path)
+    stage = ResumableStage("flaky", ["id"], str(tmp_path / "w"), n_batches=1)
+    res = stage.run_with_retries(
+        spark, df, _flaky_transform(str(tmp_path / "calls")), max_retries=3
+    )
+    out = stage.output(spark)
+    # 5, 10, 15 recovered on attempt 2; 0 is a terminal failure
+    assert out.count() == 19
+    assert out.filter(F.col("id") == 0).count() == 0
+    failed = stage.failed_requests(spark)
+    assert failed is not None and [r["id"] for r in failed.collect()] == [0]
+    # retry attempts committed as extra batch dirs beyond the base range
+    assert any(b >= 1 for b in res.batches_run)
+    # retry lineage rows recorded
+    lin = read_lineage(spark, f"{tmp_path}/w/_lineage").toPandas()
+    assert (lin["stage"] == "flaky.retry").any()
+
+
+def test_require_all_responses_raises_on_terminal_failure(spark, ids_path, tmp_path):
+    df = spark.read.parquet(ids_path)
+    stage = ResumableStage("strict", ["id"], str(tmp_path / "w2"), n_batches=1)
+    with pytest.raises(RuntimeError, match="still failed after 2 retries"):
+        stage.run_with_retries(
+            spark,
+            df,
+            _flaky_transform(str(tmp_path / "calls2")),
+            max_retries=2,
+            require_all_responses=True,
+        )
+
+
+def test_no_retries_needed_is_clean(spark, ids_path, tmp_path):
+    df = spark.read.parquet(ids_path)
+    stage = ResumableStage("clean", ["id"], str(tmp_path / "w3"), n_batches=2)
+    res = stage.run_with_retries(spark, df, lambda d: d, max_retries=3)
+    assert res.batches_run == [0, 1]
+    assert stage.failed_requests(spark) is None
+    assert stage.output(spark).count() == 20
+
+
+def test_auto_batch_sizing_scales_with_input(spark, tmp_path):
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    spark.range(100).coalesce(1).write.parquet(small)
+    spark.range(1000).coalesce(1).write.parquet(big)
+
+    s1 = ResumableStage("auto", ["id"], str(tmp_path / "ws"), n_batches=None,
+                        batch_max_rows=100)
+    s1.run(spark, spark.read.parquet(small), lambda d: d)
+    s2 = ResumableStage("auto", ["id"], str(tmp_path / "wb"), n_batches=None,
+                        batch_max_rows=100)
+    s2.run(spark, spark.read.parquet(big), lambda d: d)
+    assert s1.n_batches == 1
+    assert s2.n_batches == 10
+    assert s2.output(spark).count() == 1000
+
+    # resume with auto sizing: same input -> same granule, nothing re-run
+    s3 = ResumableStage("auto", ["id"], str(tmp_path / "wb"), n_batches=None,
+                        batch_max_rows=100)
+    r = s3.run(spark, spark.read.parquet(big), lambda d: d)
+    assert s3.n_batches == 10 and r.batches_run == []
+
+
+def test_cost_projection(spark, tmp_path):
+    lin_dir = str(tmp_path / "lin")
+    append_lineage(
+        spark,
+        lin_dir,
+        [
+            {"run_hash": "r", "stage": "filter", "partition_id": 0,
+             "rows_in": 1000, "rows_out": 900, "bytes_in": 5000, "wall_ms": 2000},
+            {"run_hash": "r", "stage": "filter", "partition_id": 1,
+             "rows_in": 1000, "rows_out": 800, "bytes_in": 5000, "wall_ms": 2000},
+        ],
+    )
+    proj = cost_projection(
+        read_lineage(spark, lin_dir), total_rows=10_000, cost_per_1k_rows=0.5,
+        stage="filter",
+    )
+    assert proj["rows_done"] == 2000
+    assert proj["rows_per_sec"] == pytest.approx(500.0)
+    assert proj["eta_seconds"] == pytest.approx(16.0)
+    assert proj["cost_so_far"] == pytest.approx(1.0)
+    assert proj["projected_total_cost"] == pytest.approx(5.0)
