@@ -23,3 +23,4 @@ from . import setops_asof  # noqa: F401,E402
 from . import corpus_pipeline  # noqa: F401,E402
 from . import sampling  # noqa: F401,E402
 from . import finetune_fmt  # noqa: F401,E402
+from . import kmeans_ivf  # noqa: F401,E402

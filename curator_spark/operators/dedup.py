@@ -168,8 +168,7 @@ def dedup_ngram_jaccard(spark, sf_dir, threshold: float = 0.6):
 _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands of 2 -> catches jaccard >~ 0.5 with high prob
 
-_Q_MINHASH_ORACLE = f"""
-WITH shingled AS ({_DOCS_SHINGLED_DUCK}),
+_MINHASH_PAIR_CTES = f"""shingled AS ({_DOCS_SHINGLED_DUCK}),
 sh AS (
   SELECT doc_id, unnest(sh) AS shingle
   FROM shingled WHERE len(sh) > 0
@@ -193,7 +192,10 @@ bands AS (
 capped AS (
   SELECT doc_id, band, band_key FROM bands
   QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= {BUCKET_CAP}
-)
+)"""
+
+_Q_MINHASH_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.band = b.band
          AND a.doc_id < b.doc_id
@@ -296,6 +298,81 @@ def dedup_simhash(spark, sf_dir):
         sig.groupBy("simhash")
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over the MinHash candidate pairs —
+# the step that turns pairwise near-dup hits into KEEP/DROP groups
+# (cluster_id = min doc_id in the component; keep that one, drop the rest).
+#
+# Spark form: GraphX-style min-label propagation as a driver-paced loop of
+# DataFrame joins — each iteration is one shuffle join + groupBy-min, a
+# localCheckpoint cuts the growing lineage, and the loop exits when no
+# label changes. Iterations ~ O(log diameter) for near-dup graphs (tight
+# clusters, tiny diameter). This is the standard distributed CC shape at
+# 10^9+ nodes; nothing driver-side except the per-iteration convergence
+# probe. DuckDB oracle: recursive transitive closure, min reachable id.
+# ---------------------------------------------------------------------------
+_Q_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.band = b.band
+           AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+assign AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assign
+"""
+
+
+@register("dedup_clusters", _Q_CLUSTERS_ORACLE, "connected components over MinHash pairs (iterative label propagation)")
+def dedup_clusters(spark, sf_dir, max_iters: int = 20):
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        converged = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(W.partitionBy("label")).cast("long").alias("cluster_size"),
     )
 
 

@@ -1,0 +1,180 @@
+"""IVF with a TRAINED coarse quantizer: Lloyd's k-means over the embedding
+corpus, then the inverted-file search (assign -> probe -> re-rank).
+
+``ann_ivf_topk`` (similarity.py) uses the first k vectors as centroids —
+the honest placeholder. This is the real thing: k-means iterations as
+distributed DataFrame jobs (assignment = broadcast-centroid crossJoin +
+min_by groupBy; update = posexplode + per-(cell,dim) sum — all map-side
+combining, no skew: the widest groupBy key space is k*dim rows).
+
+Bit-exact oracle trick: embeddings are quantized to INTEGER-VALUED doubles
+(round(x*1000)) before training. Centroid updates are integer sums (exact,
+order-independent) divided by integer counts (IEEE division — identical in
+Spark and DuckDB), and every distance folds sequentially over dims on both
+sides, so the centroids — and hence assignments, probes, and final ranks —
+are IDENTICAL in the DuckDB replay, which unrolls the same Lloyd iterations
+as chained CTEs. The reported candidate distance is a pure integer (exact
+hash compare, no float rounding at all).
+
+At 10^9 vectors you'd train on a sample (the assignment/update jobs below
+ARE the full-corpus form; swap emb for emb.sample(...) in the loop) and
+broadcast the k*dim centroid table exactly as done here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_K = 8
+_ITERS = 2
+_N_PROBE = 3
+_N_QUERIES = 5
+_TOP_K = 10
+_DIM = 64
+
+_QUANT = "transform(embedding, x -> round(cast(x as double) * 1000, 0))"
+_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, c) -> (x - c) * (x - c)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+_QUANT_DUCK = "list_transform(embedding, x -> round(cast(x AS DOUBLE) * 1000, 0))"
+_L2_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _assign(emb, cents):
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    min_by((dist, cell)) as a partial-aggregating groupBy."""
+    d = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", F.expr(_L2.format(a="xq", b="cent"))
+    )
+    return d.groupBy("vec_id").agg(
+        F.expr("min_by(cell, struct(dist, cell))").alias("cell"),
+        F.any_value("xq").alias("xq"),
+    )
+
+
+def kmeans_centroids(emb, k: int = _K, iters: int = _ITERS):
+    """Lloyd's k-means over (vec_id, xq): deterministic init = first k
+    vectors; update = per-(cell, dim) integer sums / counts."""
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("xq").alias("cent")
+    )
+    for _ in range(iters):
+        a = _assign(emb, cents)
+        sums = (
+            a.select("cell", F.posexplode("xq").alias("j", "x"))
+            .groupBy("cell", "j")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = (
+            sums.withColumn("c", F.col("s") / F.col("n"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, c))), p -> p.c)"
+                ).alias("cent")
+            )
+        )
+    return cents
+
+
+def _duck_iteration(i: int) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs (assign{i} -> cents{i+1})."""
+    dist = _L2_DUCK.format(a="e.xq", b="c.cent")
+    return f"""assign{i} AS (
+  SELECT e.vec_id, e.xq,
+         (SELECT c.cell FROM cents{i} c ORDER BY {dist}, c.cell LIMIT 1) AS cell
+  FROM emb_q e
+),
+sums{i} AS (
+  SELECT a.cell, jj.j, sum(a.xq[jj.j + 1]) AS s, count(*) AS n
+  FROM assign{i} a, (SELECT unnest(range(0, {_DIM})) AS j) jj
+  GROUP BY a.cell, jj.j
+),
+cents{i + 1} AS (
+  SELECT cell, list(s / n ORDER BY j) AS cent FROM sums{i} GROUP BY cell
+)"""
+
+
+_FINAL = _ITERS
+_ITER_CTES = ",\n".join(_duck_iteration(i) for i in range(_ITERS))
+
+_Q_KMEANS_IVF_ORACLE = f"""
+WITH emb_q AS (
+  SELECT vec_id, {_QUANT_DUCK} AS xq FROM embeddings
+),
+cents0 AS (
+  SELECT cast(vec_id AS INT) AS cell, xq AS cent FROM emb_q WHERE vec_id < {_K}
+),
+{_ITER_CTES},
+final_assign AS (
+  SELECT e.vec_id, e.xq,
+         (SELECT c.cell FROM cents{_FINAL} c
+          ORDER BY {_L2_DUCK.format(a='e.xq', b='c.cent')}, c.cell LIMIT 1) AS cell
+  FROM emb_q e
+),
+q AS (SELECT vec_id AS q_id, xq AS q_xq FROM emb_q WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT q_id, cell,
+         row_number() OVER (PARTITION BY q_id
+            ORDER BY {_L2_DUCK.format(a='q.q_xq', b='c.cent')}, c.cell) AS pr
+  FROM q, cents{_FINAL} c
+),
+cand AS (
+  SELECT q.q_id, a.vec_id AS c_id,
+         {_L2_DUCK.format(a='q.q_xq', b='a.xq')} AS dist
+  FROM q
+  JOIN probes p ON p.q_id = q.q_id AND p.pr <= {_N_PROBE}
+  JOIN final_assign a ON a.cell = p.cell
+  WHERE a.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, c_id, cast(dist AS BIGINT) AS l2q,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rank
+  FROM cand
+)
+SELECT q_id, c_id, l2q, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_ivf_kmeans",
+    _Q_KMEANS_IVF_ORACLE,
+    "IVF with k-means-trained coarse quantizer (bit-exact integer-quantized training)",
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    emb_q = e.select("vec_id", F.expr(_QUANT).alias("xq"))
+    # the centroid table is k rows — materialize once, broadcast everywhere
+    cents = kmeans_centroids(emb_q).localCheckpoint()
+    assigned = _assign(emb_q, cents)
+    q = emb_q.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("xq").alias("q_xq")
+    )
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", F.expr(_L2.format(a="q_xq", b="cent"))
+    )
+    w_probe = W.partitionBy("q_id").orderBy("dist", "cell")
+    probes = (
+        qd.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("q_id", "q_xq", "cell")
+    )
+    cand = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    dist = F.expr(_L2.format(a="q_xq", b="xq"))
+    w_rank = W.partitionBy("q_id").orderBy("dist", "c_id")
+    return (
+        cand.withColumn("dist", dist)
+        .withColumn("c_id", F.col("vec_id"))
+        .withColumn("l2q", F.col("dist").cast("bigint"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "l2q", "rank")
+    )

@@ -253,15 +253,17 @@ def ann_ivf_topk(spark, sf_dir):
     cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
     )
-    # assign: argmax-dot centroid per vector (broadcast centroids; ties -> min cell_id)
+    # assign: argmax-dot centroid per vector (broadcast centroids; ties ->
+    # min cell_id). max_by with a (dot, -cell_id) sort key does this as a
+    # partial-aggregating groupBy — no per-vector sort, map-side combine
+    # shrinks the shuffle to one row per vector (the window form shuffled
+    # all n_cells rows per vector and then sorted them).
     dots = e.crossJoin(F.broadcast(cents)).withColumn(
         "dot", F.expr(_DOT.format(a="embedding", b="cent"))
     )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("dot"), "cell_id")
-    assigned = (
-        dots.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+    assigned = dots.groupBy("vec_id").agg(
+        F.expr("max_by(cell_id, struct(dot, -cell_id))").alias("cell_id"),
+        F.any_value("embedding").alias("embedding"),
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
