@@ -24,3 +24,4 @@ from . import corpus_pipeline  # noqa: F401,E402
 from . import sampling  # noqa: F401,E402
 from . import finetune_fmt  # noqa: F401,E402
 from . import kmeans_ivf  # noqa: F401,E402
+from . import para_dedup  # noqa: F401,E402

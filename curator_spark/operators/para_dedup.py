@@ -1,0 +1,75 @@
+"""Paragraph-level dedup — the CCNet-style pass web-scale pipelines run
+before document-level dedup: drop individual paragraphs that repeat across
+many documents (boilerplate headers, license blocks, nav chrome), keep the
+rest of each document intact and in order.
+
+Spark shape (100 TB): explode paragraphs (flatMap, no Python), one
+hash-aggregate over md5(paragraph) to find repeated content — uniform keys
+(hash of content), no skew — broadcast-or-shuffle anti-join the hot set
+back, then rebuild each document with a groupBy + order-preserving
+sort_array(collect_list(struct(idx, para))). Two shuffles total: the
+paragraph-count agg and the rebuild groupBy.
+
+Reference anchor: curator's scrub/normalize family (SURVEY §2.2 M6) covers
+in-document rewriting; cross-document paragraph pruning is the scale
+extension the training-data tier needs (CCNet, Gopher/MassiveText rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# a paragraph repeated in > MAX_DF distinct documents is boilerplate
+MAX_DF = 2
+
+_Q_PARA_ORACLE = f"""
+WITH paras AS (
+  SELECT doc_id, p.i - 1 AS idx, p.para
+  FROM documents,
+       LATERAL (SELECT unnest(str_split(text, chr(10) || chr(10))) AS para,
+                       generate_subscripts(str_split(text, chr(10) || chr(10)), 1) AS i) p
+  WHERE trim(p.para) != ''
+),
+df AS (
+  SELECT md5(trim(para)) AS h, count(DISTINCT doc_id) AS n_docs
+  FROM paras GROUP BY md5(trim(para))
+),
+kept AS (
+  SELECT p.doc_id, p.idx, p.para
+  FROM paras p JOIN df ON md5(trim(p.para)) = df.h
+  WHERE df.n_docs <= {MAX_DF}
+)
+SELECT doc_id,
+       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
+       count(*) AS n_paras_kept
+FROM kept GROUP BY doc_id
+"""
+
+
+@register("dedup_paragraphs", _Q_PARA_ORACLE, "cross-document repeated-paragraph removal (CCNet-style)")
+def dedup_paragraphs(spark, sf_dir, max_df: int = MAX_DF):
+    d = load(spark, sf_dir, "documents")
+    paras = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n\n", -1)).alias("idx", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .withColumn("h", F.md5(F.trim("para")))
+    )
+    hot = (
+        paras.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+        .select("h")
+    )
+    kept = paras.join(hot, "h", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(idx, para))), p -> p.para)"),
+            "\n\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )

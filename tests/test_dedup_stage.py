@@ -83,3 +83,51 @@ def test_lsh_bucket_cap_bounds_hot_bucket(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_paragraph_dedup_prunes_boilerplate(spark, tmp_path):
+    """Paragraphs repeated across > max_df documents are dropped; the rest
+    of each document survives in order, matching the DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    from curator_spark.operators import QUERIES
+
+    boiler = "This file is part of FooCorp platform.\nAll rights reserved."
+    rows = [
+        {
+            "doc_id": i,
+            "text": f"{boiler}\n\nunique body {i} alpha beta\n\nsection {i} gamma",
+        }
+        for i in range(10)
+    ]
+    rows.append({"doc_id": 99, "text": "standalone doc\n\nwith two paragraphs"})
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(path)
+
+    got = (
+        QUERIES["dedup_paragraphs"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # boilerplate (in 10 docs > max_df=2) removed, body kept in order
+    doc0 = got[got.doc_id == 0].iloc[0]
+    assert doc0["text_dedup"] == "unique body 0 alpha beta\n\nsection 0 gamma"
+    assert doc0["n_paras_kept"] == 2
+    # untouched doc keeps both paragraphs
+    doc99 = got[got.doc_id == 99].iloc[0]
+    assert doc99["text_dedup"] == "standalone doc\n\nwith two paragraphs"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    exp = (
+        con.execute(QUERIES["dedup_paragraphs"].oracle)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
