@@ -33,6 +33,11 @@ BENCH_QUERIES = [
     "asof_join",
     "cube_agg",
     "quality_filter_documents",
+    # round-2 operators
+    "dedup_clusters",
+    "ann_ivf_kmeans",
+    "finetune_format",
+    "dedup_paragraphs",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
