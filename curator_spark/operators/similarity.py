@@ -94,21 +94,24 @@ _N_PLANES = 6
 _DIM = 64
 
 
-def _plane_sign(p: int, j: int) -> float:
-    """Python replica of _SIGN_DUCK: bit 0 of the first 15 md5 hex chars."""
+def _plane_sign(p: int, j: int, salt: str = "") -> float:
+    """Python replica of _SIGN_DUCK: bit 0 of the first 15 md5 hex chars.
+    ``salt`` derives an independent hash table (multi-table LSH)."""
     import hashlib
 
-    bit = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:15], 16) & 1
+    bit = int(hashlib.md5(f"{salt}{p}:{j}".encode()).hexdigest()[:15], 16) & 1
     return 1.0 if bit == 1 else -1.0
 
 
-def bucket_expr(emb: str, n_planes: int = _N_PLANES, dim: int = _DIM) -> str:
+def bucket_expr(
+    emb: str, n_planes: int = _N_PLANES, dim: int = _DIM, salt: str = ""
+) -> str:
     """SQL expression: the n_planes-bit LSH bucket of an embedding column,
     one bit per hyperplane via an inlined-constant dot product."""
     bits = []
     for p in range(n_planes):
         arr = "array(" + ",".join(
-            f"{_plane_sign(p, j):.1f}D" for j in range(dim)
+            f"{_plane_sign(p, j, salt):.1f}D" for j in range(dim)
         ) + ")"
         dot = (
             f"aggregate(zip_with({emb}, {arr}, (x, s) -> cast(x as double) * s),"
@@ -292,6 +295,101 @@ def ann_ivf_topk(spark, sf_dir):
         cand.withColumn("cos_sim", cos)
         .withColumn("c_id", F.col("vec_id"))
         .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table LSH: R independent hash tables (independently-salted plane
+# sets), candidates = union of per-table bucket matches, exact re-rank.
+# Recall grows ~1-(1-p)^R per extra table at the cost of R bucket joins —
+# the standard knob when a single 2^m bucketing misses near neighbors that
+# straddle a hyperplane. Everything stays md5-portable: table r's planes
+# derive from md5('t<r>:' || p || ':' || j), so the DuckDB oracle rebuilds
+# all R tables bit-for-bit.
+# ---------------------------------------------------------------------------
+_N_TABLES = 2
+
+_SIGN_MULTI_DUCK = (
+    "CASE WHEN (('0x' || substr(md5("
+    "(CASE WHEN tt.t = 0 THEN '' ELSE 't' || tt.t || ':' END)"
+    " || cast(p.p AS VARCHAR) || ':' || cast(j.j AS VARCHAR)), 1, 15))::BIGINT & 1) = 1 "
+    "THEN 1.0 ELSE -1.0 END"
+)
+
+_Q_ANN_MULTI_ORACLE = f"""
+WITH planes AS (
+  SELECT tt.t AS t, p.p AS p, j.j AS j, {_SIGN_MULTI_DUCK} AS sign
+  FROM (SELECT unnest(range(0, {_N_TABLES})) AS t) tt,
+       (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
+       (SELECT unnest(range(0, {_DIM})) AS j) j
+),
+sigs AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         CASE WHEN sum(cast(e.embedding[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+  FROM sigs GROUP BY vec_id, t
+),
+cand_ids AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
+  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {_N_QUERIES} AND cb.vec_id != qb.vec_id
+),
+scored AS (
+  SELECT ci.q_id, ci.c_id,
+         round({_DOT_DUCK.format(a='qe.embedding', b='ce.embedding')} /
+               (sqrt({_DOT_DUCK.format(a='qe.embedding', b='qe.embedding')}) *
+                sqrt({_DOT_DUCK.format(a='ce.embedding', b='ce.embedding')})), 6) AS cos_sim
+  FROM cand_ids ci
+  JOIN embeddings qe ON qe.vec_id = ci.q_id
+  JOIN embeddings ce ON ce.vec_id = ci.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("ann_lsh_multitable", _Q_ANN_MULTI_ORACLE, "multi-table LSH: union of R bucket joins, exact re-rank")
+def ann_lsh_multitable(spark, sf_dir, n_tables: int = _N_TABLES):
+    e = load(spark, sf_dir, "embeddings")
+    cand = None
+    for r in range(n_tables):
+        salt = "" if r == 0 else f"t{r}:"
+        wb = e.withColumn("bucket", F.expr(bucket_expr("embedding", salt=salt)))
+        qb = wb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), "bucket"
+        )
+        cb = wb.select(F.col("vec_id").alias("c_id"), F.col("bucket").alias("c_bucket"))
+        c = qb.join(
+            cb, (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id"))
+        ).select("q_id", "c_id")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    ce = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    cos = F.round(
+        F.expr(_DOT.format(a="q_emb", b="c_emb"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+            * F.sqrt(F.expr(_DOT.format(a="c_emb", b="c_emb")))
+        ),
+        6,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        cand.join(qe, "q_id")
+        .join(ce, "c_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "c_id", "cos_sim", "rank")
     )

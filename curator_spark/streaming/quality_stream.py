@@ -56,6 +56,23 @@ def stream_quality_filter(
     )
 
 
+def stream_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-delivered events by event_id within
+    the watermark horizon — the continuous-ingestion analog of the batch
+    ``dedup_exact`` operator. ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state store by event time (a bare dropDuplicates would grow
+    per-key state forever — unusable on an unbounded 100 TB/day feed)."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_event_metrics(
     spark: SparkSession, source_dir: str, schema: T.StructType
 ) -> DataFrame:

@@ -109,3 +109,32 @@ def test_entry_smoke(spark):
     rows = df.limit(10).collect()
     assert len(rows) >= 0
     assert "keep" in df.columns and "scrubbed_sha256" in df.columns
+
+
+def test_multitable_lsh_improves_recall(spark):
+    """Recall@10 vs the brute-force ground truth must not DROP when adding
+    hash tables (union of candidate sets is a superset per table)."""
+    from curator_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in QUERIES["ann_bruteforce_topk"].fn(spark, sf).collect()
+    }
+    single = {
+        (r["q_id"], r["c_id"]) for r in QUERIES["ann_lsh_topk"].fn(spark, sf).collect()
+    }
+    multi = {
+        (r["q_id"], r["c_id"])
+        for r in QUERIES["ann_lsh_multitable"].fn(spark, sf).collect()
+    }
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    # monotonicity is the guarantee (table 0's buckets are a subset of the
+    # union, and extra candidates can only replace entries with BETTER
+    # cosine); absolute recall is low by construction on this synthetic
+    # corpus — near-random vectors have no strong neighbors, so the global
+    # top-10 is mostly outside any single 2^6 bucket
+    assert r_multi >= r_single
+    # the union of R tables must surface at least as many candidates
+    assert len(multi) >= len(single)

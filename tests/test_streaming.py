@@ -66,3 +66,48 @@ def test_stream_event_metrics(spark, tmp_path):
     # the closed windows carry sane counts
     got = spark.sql("SELECT * FROM stream_metrics_out").toPandas()
     assert (got["n"] > 0).all()
+
+
+def test_stream_dedup_events(spark, tmp_path):
+    """Re-delivered events (same event_id) within the watermark horizon are
+    emitted exactly once."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from curator_spark.streaming.quality_stream import stream_dedup_events
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "dedup_src")
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(200)
+    )
+    base.write.mode("overwrite").parquet(src)
+    # re-deliver the same 200 events as a second file (duplicate batch)
+    base.write.mode("append").parquet(src)
+
+    out = stream_dedup_events(spark, src, schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM stream_dedup_out").toPandas()
+    assert len(got) == 200
+    assert got["event_id"].is_unique
