@@ -1,0 +1,103 @@
+"""Dataset publish / fetch — the local analog of curator's viewer push and
+hub fetch (SURVEY §2 S7/S8; reference: utils.py:24-101 ``push_to_viewer``
+streams rows + a metadata record to a hosted service, utils.py:104+
+``load_dataset`` pulls by id and caches).
+
+The NETWORK side (hosted viewer, HF Hub) is out of scope in this sandbox —
+what this module keeps is the part with engine semantics:
+
+* :func:`publish_dataset` — atomically materialize a DataFrame as a named,
+  fingerprinted bundle: parquet data + ``_MANIFEST.json`` (name, schema,
+  row count, content fingerprint, created_at, free-form metadata — the
+  viewer's metadata record). Publishing the same content twice is
+  idempotent; a changed dataset gets a new fingerprint and overwrites
+  atomically (tmp + rename, same commit primitive as the engine).
+* :func:`fetch_dataset` — load a published bundle by name, validating the
+  manifest (row count, fingerprint of the files on disk) — curator's
+  cached-fetch with integrity check.
+
+Swap point: a real deployment replaces the directory root with the hosted
+API/Hub client; manifest contents are the wire format either way.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _files_fingerprint(data_dir: str) -> str:
+    """Order-insensitive content fingerprint of the bundle's parquet files."""
+    h = hashlib.sha256()
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        with open(os.path.join(data_dir, name), "rb") as f:
+            h.update(hashlib.sha256(f.read()).digest())
+    return h.hexdigest()[:16]
+
+
+def publish_dataset(
+    df: DataFrame,
+    root: str,
+    name: str,
+    metadata: dict | None = None,
+) -> dict:
+    """Write ``df`` as bundle ``root/name``; returns the manifest."""
+    final = os.path.join(root, name)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+    n_rows = df.sparkSession.read.parquet(os.path.join(tmp, "data")).count()
+    manifest = {
+        "name": name,
+        "schema": json.loads(df.schema.json()),
+        "n_rows": n_rows,
+        "fingerprint": _files_fingerprint(os.path.join(tmp, "data")),
+        "created_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "metadata": metadata or {},
+    }
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return manifest
+
+
+def fetch_dataset(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Load bundle ``root/name`` with manifest integrity validation."""
+    final = os.path.join(root, name)
+    manifest_path = os.path.join(final, "_MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(f"no published dataset '{name}' under {root}")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    data_dir = os.path.join(final, "data")
+    actual_fp = _files_fingerprint(data_dir)
+    if actual_fp != manifest["fingerprint"]:
+        raise RuntimeError(
+            f"dataset '{name}' failed integrity check: manifest fingerprint "
+            f"{manifest['fingerprint']} != on-disk {actual_fp}"
+        )
+    df = spark.read.parquet(data_dir)
+    return df
+
+
+def list_datasets(root: str) -> list[dict]:
+    """Manifests of every published bundle under ``root``."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name, "_MANIFEST.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out.append(json.load(f))
+    return out

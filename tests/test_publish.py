@@ -1,0 +1,53 @@
+"""Publish/fetch bundle semantics — local analog of curator's viewer push +
+hub fetch (reference utils.py:24-101, 104+)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.sources.publish import fetch_dataset, list_datasets, publish_dataset
+
+
+def test_publish_fetch_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "pub")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    man = publish_dataset(df, root, "demo", metadata={"run": "r2"})
+    assert man["n_rows"] == 100 and man["name"] == "demo"
+
+    back = fetch_dataset(spark, root, "demo")
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == 9900
+
+    cat = list_datasets(root)
+    assert [m["name"] for m in cat] == ["demo"]
+
+
+def test_publish_overwrite_changes_fingerprint(spark, tmp_path):
+    root = str(tmp_path / "pub2")
+    m1 = publish_dataset(spark.range(10), root, "d")
+    m2 = publish_dataset(spark.range(20), root, "d")
+    assert m1["fingerprint"] != m2["fingerprint"]
+    assert fetch_dataset(spark, root, "d").count() == 20
+
+
+def test_fetch_detects_corruption(spark, tmp_path):
+    root = str(tmp_path / "pub3")
+    publish_dataset(spark.range(10), root, "d")
+    data_dir = os.path.join(root, "d", "data")
+    victim = next(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    with open(victim, "ab") as f:
+        f.write(b"corruption")
+    with pytest.raises(RuntimeError, match="integrity"):
+        fetch_dataset(spark, root, "d")
+
+
+def test_fetch_missing_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        fetch_dataset(spark, str(tmp_path), "nope")
