@@ -148,12 +148,29 @@ class SparkCurator:
 
         return df.mapInPandas(run, schema=out_schema)
 
+    # set by the retry loop before each re-run; execute_batch may consult it
+    # (curator's attempt counter, base_online_request_processor.py:409-453)
+    retry_attempt: int = 0
+
     def run_resumable(
-        self, spark, df: DataFrame, key_cols: list[str], work_dir: str, n_batches: int = 8
+        self,
+        spark,
+        df: DataFrame,
+        key_cols: list[str],
+        work_dir: str,
+        n_batches: int = 8,
+        max_retries: int = 0,
     ):
         """Checkpointed execution: commits in atomic slices, resumes after a
         kill, skips entirely when the fingerprint matches a completed run —
-        curator's cache-dir semantics (llm/llm.py:213-225)."""
+        curator's cache-dir semantics (llm/llm.py:213-225).
+
+        ``max_retries`` > 0 re-runs rows whose output row carries __error
+        (curator's per-request retry budget, request_processor/config.py:28):
+        each attempt commits as an extra batch; an error row superseded by a
+        later success disappears from the returned view; keys that exhaust
+        the budget keep their (deduplicated) error row — errors stay data.
+        """
         from .engine.checkpoint import ResumableStage
 
         stage = ResumableStage(
@@ -164,7 +181,36 @@ class SparkCurator:
             n_batches=n_batches,
         )
         stage.run(spark, df, lambda d: self(d))
-        return stage.output(spark)
+        attempt = stage.committed_retry_attempts()
+        while attempt < max_retries:
+            out = stage.output(spark)
+            ok_keys = filter_failed(out).select(*key_cols).distinct()
+            retry_keys = (
+                failed_rows(out)
+                .select(*key_cols)
+                .distinct()
+                .join(ok_keys, key_cols, "left_anti")
+                .localCheckpoint()
+            )
+            if retry_keys.isEmpty():
+                break
+            attempt += 1
+            self.retry_attempt = attempt
+            retry_in = df.join(retry_keys, key_cols, "left_semi")
+            stage.commit_retry_batch(spark, self(retry_in), attempt)
+        # final view: successes + error rows only for keys that never
+        # succeeded (one error row per key — the latest outcome)
+        out = stage.output(spark)
+        if not max_retries:
+            return out
+        ok = filter_failed(out).withColumn(ERROR_COL, F.lit(None).cast("string"))
+        ok_keys = ok.select(*key_cols).distinct()
+        errs = (
+            failed_rows(out)
+            .join(ok_keys, key_cols, "left_anti")
+            .dropDuplicates(key_cols)
+        )
+        return ok.unionByName(errs)
 
 
 def filter_failed(df: DataFrame) -> DataFrame:

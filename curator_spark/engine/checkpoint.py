@@ -307,38 +307,11 @@ class ResumableStage:
         disk and not re-run.
         """
         res = self.run(spark, df, transform, input_token=input_token)
-        done_attempts = [
-            b - self.n_batches
-            for b in self.committed_batches()
-            if b >= self.n_batches
-        ]
-        attempt = max(done_attempts) if done_attempts else 0
+        attempt = self.committed_retry_attempts()
         failed = self.failed_rows(spark, df).localCheckpoint()
         while attempt < max_retries and not failed.isEmpty():
             attempt += 1
-            out = transform(failed)
-            tmp = os.path.join(self.stage_dir, f"_tmp-retry-{attempt}")
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            out.write.mode("overwrite").parquet(tmp)
-            self._commit_dir(tmp, self._batch_dir(self.n_batches + attempt))
-            append_lineage(
-                spark,
-                self.lineage_dir,
-                [
-                    {
-                        "run_hash": self.run_hash,
-                        "stage": f"{self.name}.retry",
-                        "partition_id": self.n_batches + attempt,
-                        "rows_in": failed.count(),
-                        "rows_out": _parquet_rows(
-                            self._batch_dir(self.n_batches + attempt)
-                        ),
-                        "bytes_in": 0,
-                        "wall_ms": 0,
-                    }
-                ],
-            )
+            self.commit_retry_batch(spark, transform(failed), attempt, failed.count())
             failed = self.failed_rows(spark, df).localCheckpoint()
         n_failed = failed.count()
         failed_dir = os.path.join(self.stage_dir, "failed_requests")
@@ -362,6 +335,38 @@ class ResumableStage:
             batches_run=res.batches_run
             + [self.n_batches + a for a in range(1, attempt + 1)],
             batches_skipped=res.batches_skipped,
+        )
+
+    def committed_retry_attempts(self) -> int:
+        """Highest committed retry attempt (0 if none) — resume point."""
+        done = [b - self.n_batches for b in self.committed_batches() if b >= self.n_batches]
+        return max(done) if done else 0
+
+    def commit_retry_batch(
+        self, spark: SparkSession, out: DataFrame, attempt: int, rows_in: int = 0
+    ) -> None:
+        """Atomically commit one retry attempt's output as an extra batch
+        dir (flows into output(); resumes like any committed batch)."""
+        b = self.n_batches + attempt
+        tmp = os.path.join(self.stage_dir, f"_tmp-retry-{attempt}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        out.write.mode("overwrite").parquet(tmp)
+        self._commit_dir(tmp, self._batch_dir(b))
+        append_lineage(
+            spark,
+            self.lineage_dir,
+            [
+                {
+                    "run_hash": self.run_hash,
+                    "stage": f"{self.name}.retry",
+                    "partition_id": b,
+                    "rows_in": rows_in,
+                    "rows_out": _parquet_rows(self._batch_dir(b)),
+                    "bytes_in": 0,
+                    "wall_ms": 0,
+                }
+            ],
         )
 
     def failed_requests(self, spark: SparkSession) -> DataFrame | None:

@@ -127,3 +127,49 @@ def test_cost_projection(spark, tmp_path):
     assert proj["eta_seconds"] == pytest.approx(16.0)
     assert proj["cost_so_far"] == pytest.approx(1.0)
     assert proj["projected_total_cost"] == pytest.approx(5.0)
+
+
+def test_curator_api_retry_budget(spark, tmp_path):
+    """SparkCurator.run_resumable(max_retries): rows whose execute/parse
+    failed are re-run; a later success supersedes the error row; a
+    permanently-failing row keeps one error row (errors stay data).
+    Mirrors reference test_all.py:251-290 (flaky-then-success) / :403."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from curator_spark.api import SparkCurator
+
+    class Flaky(SparkCurator):
+        response_schema = T.StructType([T.StructField("out", T.StringType())])
+
+        def prompt(self, row):
+            return str(row["id"])
+
+        def execute_batch(self, prompts, params):
+            # attempt 0: ids % 5 == 0 fail; later attempts: only id 0 fails
+            def run(p):
+                i = int(p)
+                if self.retry_attempt == 0 and i % 5 == 0:
+                    return "ERR"
+                if i == 0:
+                    return "ERR"
+                return f"ok-{i}"
+
+            return prompts.map(run)
+
+        def parse(self, row, response):
+            if response == "ERR":
+                raise ValueError("transient failure")
+            return {"out": response}
+
+    df = spark.range(20).selectExpr("id")
+    cur = Flaky()
+    out = cur.run_resumable(
+        spark, df, ["id"], str(tmp_path / "w"), n_batches=2, max_retries=3
+    ).toPandas()
+    assert len(out) == 20
+    ok = out[out["__error"].isnull()]
+    bad = out[out["__error"].notnull()]
+    assert len(ok) == 19 and len(bad) == 1
+    assert bad.iloc[0]["id"] == 0
+    assert sorted(ok["out"]) == sorted(f"ok-{i}" for i in range(1, 20))
