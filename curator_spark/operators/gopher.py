@@ -1,0 +1,109 @@
+"""Gopher/MassiveText repetition-quality signals — the classic web-scale
+quality-filter metrics beyond the reference's heuristic set (SURVEY §2
+extension; same family as functions/rules.py):
+
+* ``dup_line_frac``    — 1 - distinct_lines / lines (boilerplate/spam tell)
+* ``top_bigram_frac``  — occurrences of the most frequent word bigram over
+                         total bigrams (repetition tell)
+* ``repetition_drop``  — the Gopher-style verdict at the canonical 0.30 /
+                         0.18 thresholds.
+
+Scale shape: everything is ONE per-row expression — the bigram mode is a
+sort + linear fold over adjacent runs (no explode, no groupBy, zero
+shuffle), so at 10^12 docs this is a map-only stage. The DuckDB oracle
+computes the same values relationally (unnest + GROUP BY), proving the
+fold correct; both sides divide the same small integers, so the doubles
+are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+from .dedup import _let
+
+_DUP_LINE_THRESHOLD = 0.30
+_TOP_BIGRAM_THRESHOLD = 0.18
+
+# distinct count of a sorted array: 1 + #adjacent-unequal (same idiom as the
+# rules pipeline); max run length of a sorted array: linear fold.
+_LINES = "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l != '')"
+_WORDS = "filter(split(text, '[ \\t\\n]+'), w -> w != '')"
+_BIGRAMS = _let(
+    _WORDS,
+    "w",
+    "CASE WHEN size(w) < 2 THEN cast(array() as array<string>)"
+    " ELSE transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])) END",
+)
+
+_DISTINCT_SORTED = (
+    "CASE WHEN size({a}) <= 1 THEN size({a})"
+    " ELSE 1 + size(filter(sequence(1, size({a}) - 1), i -> {a}[i] != {a}[i-1])) END"
+)
+_MAX_RUN_SORTED = (
+    "CASE WHEN size({a}) = 0 THEN 0"
+    " ELSE aggregate(sequence(1, size({a}) - 1),"
+    " named_struct('run', 1, 'best', 1),"
+    " (acc, i) -> CASE WHEN {a}[i] = {a}[i-1]"
+    "   THEN named_struct('run', acc.run + 1, 'best', greatest(acc.best, acc.run + 1))"
+    "   ELSE named_struct('run', 1, 'best', acc.best) END).best END"
+)
+
+_DUP_LINE_EXPR = _let(
+    f"array_sort({_LINES})",
+    "sl",
+    "CASE WHEN size(sl) = 0 THEN cast(0.0 as double)"
+    f" ELSE 1.0 - cast({_DISTINCT_SORTED.format(a='sl')} as double) / size(sl) END",
+)
+_TOP_BIGRAM_EXPR = _let(
+    f"array_sort({_BIGRAMS})",
+    "sb",
+    "CASE WHEN size(sb) = 0 THEN cast(0.0 as double)"
+    f" ELSE cast({_MAX_RUN_SORTED.format(a='sb')} as double) / size(sb) END",
+)
+
+_Q_GOPHER_ORACLE = f"""
+WITH lines AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
+  FROM (SELECT doc_id, trim(unnest(str_split(text, chr(10)))) AS l FROM documents)
+  WHERE l != ''
+  GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '') AS w
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+                 i -> w[i+1] || ' ' || w[i+2])) AS bg
+  FROM words
+),
+bg_stats AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) AS dup_line_frac,
+       coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) AS top_bigram_frac,
+       (coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) > {_DUP_LINE_THRESHOLD}
+        OR coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) > {_TOP_BIGRAM_THRESHOLD}) AS repetition_drop
+FROM documents d
+LEFT JOIN lines l USING (doc_id)
+LEFT JOIN bg_stats b USING (doc_id)
+"""
+
+
+@register("gopher_repetition", _Q_GOPHER_ORACLE, "Gopher/MassiveText repetition-quality signals (zero-shuffle per-row)")
+def gopher_repetition(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(_DUP_LINE_EXPR).alias("dup_line_frac"),
+        F.expr(_TOP_BIGRAM_EXPR).alias("top_bigram_frac"),
+        (
+            (F.expr(_DUP_LINE_EXPR) > _DUP_LINE_THRESHOLD)
+            | (F.expr(_TOP_BIGRAM_EXPR) > _TOP_BIGRAM_THRESHOLD)
+        ).alias("repetition_drop"),
+    )

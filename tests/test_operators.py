@@ -138,3 +138,41 @@ def test_multitable_lsh_improves_recall(spark):
     assert r_multi >= r_single
     # the union of R tables must surface at least as many candidates
     assert len(multi) >= len(single)
+
+
+def test_gopher_repetition_flags_spam(spark, tmp_path):
+    """The per-row sorted-fold form must agree with the relational oracle
+    and fire on genuinely repetitive documents (testdata has none above
+    the thresholds, so exercise them synthetically)."""
+    import duckdb
+    import pandas as pd
+
+    from curator_spark.operators import QUERIES
+
+    rows = [
+        {"doc_id": 1, "text": "same line\nsame line\nsame line\nother"},
+        {"doc_id": 2, "text": "buy now " * 30 + "limited offer"},
+        {"doc_id": 3, "text": "a perfectly normal document with varied words here"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "one"},
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(path)
+    got = (
+        QUERIES["gopher_repetition"].fn(spark, str(tmp_path))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    by = got.set_index("doc_id")
+    assert by.loc[1, "dup_line_frac"] == pytest.approx(0.5)  # 2 distinct / 4
+    assert by.loc[1, "repetition_drop"]
+    assert by.loc[2, "top_bigram_frac"] > 0.18 and by.loc[2, "repetition_drop"]
+    assert not by.loc[3, "repetition_drop"]
+    assert by.loc[4, "dup_line_frac"] == 0.0 and by.loc[5, "top_bigram_frac"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    exp = (
+        con.execute(QUERIES["gopher_repetition"].oracle)
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
