@@ -69,3 +69,19 @@ def test_lsh_signature_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gopher_is_map_only(spark):
+    """The repetition signals are pure per-row expressions: no shuffle, no
+    Python nodes, and the scan reads only (doc_id, text)."""
+    plan = _plan(spark, "gopher_repetition")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_paragraph_dedup_prunes_columns(spark):
+    plan = _plan(spark, "dedup_paragraphs")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema
