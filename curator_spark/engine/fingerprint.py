@@ -19,8 +19,23 @@ from .. import __version__
 
 
 def config_fingerprint(stage_name: str, config: dict[str, Any] | None) -> str:
+    """CURATOR_SPARK_DISABLE_CACHE=1 salts every fingerprint with a fresh
+    uuid so no prior checkpoint is ever reused — the reference's
+    CURATOR_DISABLE_CACHE semantics (tests/unittests/test_caching.py:187-216:
+    disable => every run gets a fresh cache dir)."""
+    import os
+    import uuid
+
+    salt = ""
+    if os.environ.get("CURATOR_SPARK_DISABLE_CACHE") == "1":
+        salt = uuid.uuid4().hex
     payload = json.dumps(
-        {"stage": stage_name, "config": config or {}, "code_version": __version__},
+        {
+            "stage": stage_name,
+            "config": config or {},
+            "code_version": __version__,
+            "salt": salt,
+        },
         sort_keys=True,
         default=str,
     )

@@ -133,3 +133,22 @@ def test_assert_complete_strictness(spark, corpus_df, tmp_path):
         stage3.run(spark, corpus_df, lambda d: d, fail_after_batches=2)
     with pytest.raises(RuntimeError, match="no committed output"):
         stage3.assert_complete(spark, corpus_df)
+
+
+def test_disable_cache_env_forces_fresh_run(spark, tmp_path, monkeypatch):
+    """CURATOR_SPARK_DISABLE_CACHE=1 -> every construction gets a fresh
+    fingerprint, so nothing is reused (reference CURATOR_DISABLE_CACHE,
+    test_caching.py:187-216)."""
+    df = spark.range(50).selectExpr("id")
+    work = str(tmp_path / "w")
+
+    s1 = ResumableStage("dc", ["id"], work, n_batches=2)
+    s1.run(spark, df, lambda d: d)
+    # cached rerun without the env: nothing re-runs
+    s2 = ResumableStage("dc", ["id"], work, n_batches=2)
+    assert s2.run(spark, df, lambda d: d).batches_run == []
+
+    monkeypatch.setenv("CURATOR_SPARK_DISABLE_CACHE", "1")
+    s3 = ResumableStage("dc", ["id"], work, n_batches=2)
+    assert s3.fingerprint != s1.fingerprint
+    assert s3.run(spark, df, lambda d: d).batches_run == [0, 1]
