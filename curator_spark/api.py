@@ -160,6 +160,7 @@ class SparkCurator:
         work_dir: str,
         n_batches: int = 8,
         max_retries: int = 0,
+        input_token: str | None = None,
     ):
         """Checkpointed execution: commits in atomic slices, resumes after a
         kill, skips entirely when the fingerprint matches a completed run —
@@ -180,7 +181,7 @@ class SparkCurator:
             config={"fingerprint": self.fingerprint()},
             n_batches=n_batches,
         )
-        stage.run(spark, df, lambda d: self(d))
+        stage.run(spark, df, lambda d: self(d), input_token=input_token)
         attempt = stage.committed_retry_attempts()
         while attempt < max_retries:
             out = stage.output(spark)
@@ -201,7 +202,11 @@ class SparkCurator:
         # final view: successes + error rows only for keys that never
         # succeeded (one error row per key — the latest outcome)
         out = stage.output(spark)
-        if not max_retries:
+        # the dedup view must apply whenever retry batches EXIST on disk
+        # (e.g. a plain max_retries=0 resume of a previously-retried run),
+        # not only when this call performed retries — otherwise superseded
+        # error rows and per-attempt duplicates leak to the caller
+        if not max_retries and stage.committed_retry_attempts() == 0:
             return out
         ok = filter_failed(out).withColumn(ERROR_COL, F.lit(None).cast("string"))
         ok_keys = ok.select(*key_cols).distinct()

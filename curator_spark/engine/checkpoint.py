@@ -186,9 +186,11 @@ class ResumableStage:
             if have == want:
                 return
             # input changed under the same stage dir: invalidate everything
+            # derived from the old input — shards, committed batches, AND
+            # the terminal-failure table (old failures aren't this input's)
             shutil.rmtree(self.input_dir)
             for d in os.listdir(self.stage_dir):
-                if d.startswith("batch="):
+                if d.startswith("batch=") or d == "failed_requests":
                     shutil.rmtree(os.path.join(self.stage_dir, d))
         tmp = self.input_dir + ".tmp"
         if os.path.exists(tmp):

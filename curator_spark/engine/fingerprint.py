@@ -48,28 +48,36 @@ def run_fingerprint(input_token: str, stage_fingerprints: list[str]) -> str:
 
 
 def input_identity(df) -> str:
-    """Snapshot identity of a DataFrame's input — the dataset half of
-    curator's cache key (llm/llm.py:144-169 hashes the dataset fingerprint
-    alongside the config). File-backed inputs hash the sorted
-    (uri, size, mtime) list; in-memory inputs fall back to the schema plus
-    an 'ephemeral' marker (callers with in-memory inputs that need exact
-    identity should pass an explicit input_token)."""
+    """Snapshot identity of a DataFrame — the dataset half of curator's
+    cache key (llm/llm.py:144-169 hashes the dataset fingerprint alongside
+    the config). Combines:
+
+    * the sorted (uri, size, mtime_ns) list of input files (file-backed
+      data identity), and
+    * the DataFrame's ``semanticHash()`` — the canonicalized logical plan,
+      which distinguishes two different transforms/filters over the SAME
+      files and most in-memory inputs (range params, LocalRelation shape).
+
+    Residual blind spot: createDataFrame literals whose canonicalized plan
+    hashes equal — callers needing exact identity for such inputs pass an
+    explicit input_token."""
     import os
 
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
-    if files:
-        items = []
-        for uri in files:
-            path = uri[len("file:") :] if uri.startswith("file:") else uri
-            try:
-                st = os.stat(path)
-                items.append(f"{uri}|{st.st_size}|{int(st.st_mtime)}")
-            except OSError:
-                items.append(uri)
-        payload = "\n".join(items)
-    else:
-        payload = "ephemeral|" + df.schema.json()
+    items = []
+    for uri in files:
+        path = uri[len("file:") :] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            items.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            items.append(uri)
+    try:
+        plan_token = str(df.semanticHash())
+    except Exception:
+        plan_token = "nosemhash|" + df.schema.json()
+    payload = plan_token + "\n" + "\n".join(items)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -67,11 +67,25 @@ def cost_projection(
     Returns rows/sec so far (total rows / total wall), ETA seconds for the
     remaining rows at that rate, and linear cost so-far / projected-total.
     One tiny aggregate over the (n_batches)-row lineage table — driver-side
-    by design, like the reference's tracker."""
+    by design, like the reference's tracker.
+
+    The lineage table is append-only, so an invalidated-and-re-run batch
+    contributes MULTIPLE rows per (stage, partition_id); only the LATEST
+    row per partition is counted (otherwise rows_done double-counts and
+    throughput/cost inflate). Retry passes appear under stage
+    '<name>.retry' — pass the exact base stage name to exclude them, or
+    stage=None to aggregate everything including retries."""
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     if stage is not None:
         lineage = lineage.filter(F.col("stage") == stage)
+    w = W.partitionBy("stage", "partition_id").orderBy(F.desc("finished_at"))
+    lineage = (
+        lineage.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     agg = lineage.agg(
         F.sum("rows_in").alias("rows_done"),
         F.sum("wall_ms").alias("wall_ms"),

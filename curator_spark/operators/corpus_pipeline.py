@@ -33,10 +33,17 @@ _GOLDEN = os.path.join(
     "corpus_golden_2000.parquet",
 )
 
+# avg_ppl is derived from an INTEGER-quantized sum (round(ppl*10000) as
+# bigint) rather than avg(double): float averages depend on summation
+# order (Spark sums partials across partitions, DuckDB in file order), so
+# a group mean within an ulp of a 0.00005 boundary could flip round(.,4)
+# between engines — the same tie class as the mov_avg HALF_UP fix. Integer
+# sums are order-free, and both engines then divide identical scalars.
 _Q_CORPUS_ORACLE = f"""
 SELECT lang_pred,
        count(*) AS n_kept,
-       round(avg(ppl), 4) AS avg_ppl,
+       round(cast(sum(cast(round(ppl * 10000, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 10000, 4) AS avg_ppl,
        cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
 FROM read_parquet('{_GOLDEN}')
 GROUP BY lang_pred
@@ -55,7 +62,13 @@ def corpus_quality_pipeline(spark, sf_dir):
         kept.groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+            # integer-quantized mean (see oracle comment: order-free sums)
+            F.round(
+                F.sum(F.round(F.col("ppl") * 10000, 0).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 10000,
+                4,
+            ).alias("avg_ppl"),
             # order-insensitive corpus fingerprint: sum of 48-bit sha prefixes
             F.sum(
                 F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")

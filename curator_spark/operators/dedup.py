@@ -306,13 +306,16 @@ def dedup_simhash(spark, sf_dir):
 # the step that turns pairwise near-dup hits into KEEP/DROP groups
 # (cluster_id = min doc_id in the component; keep that one, drop the rest).
 #
-# Spark form: GraphX-style min-label propagation as a driver-paced loop of
-# DataFrame joins — each iteration is one shuffle join + groupBy-min, a
-# localCheckpoint cuts the growing lineage, and the loop exits when no
-# label changes. Iterations ~ O(log diameter) for near-dup graphs (tight
-# clusters, tiny diameter). This is the standard distributed CC shape at
-# 10^9+ nodes; nothing driver-side except the per-iteration convergence
-# probe. DuckDB oracle: recursive transitive closure, min reachable id.
+# Spark form: min-label propagation WITH pointer jumping, as a
+# driver-paced loop of DataFrame joins. Each iteration does (a) one
+# neighbor-min hop (shuffle join + groupBy-min) and (b) one label
+# compression hop label(u) <- label(label(u)) — the pointer-jumping step
+# that makes convergence O(log diameter) instead of O(diameter) (plain
+# propagation moves the min one hop per round and would silently
+# mis-cluster any chain longer than max_iters). A localCheckpoint cuts the
+# growing lineage; the loop exits when no label changes and RAISES if the
+# iteration cap is hit un-converged — never a silently-wrong answer.
+# DuckDB oracle: recursive transitive closure, min reachable id.
 # ---------------------------------------------------------------------------
 _Q_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_PAIR_CTES},
@@ -338,27 +341,34 @@ FROM assign
 """
 
 
-@register("dedup_clusters", _Q_CLUSTERS_ORACLE, "connected components over MinHash pairs (iterative label propagation)")
-def dedup_clusters(spark, sf_dir, max_iters: int = 20):
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+def connected_components(pairs, a_col: str, b_col: str, max_iters: int = 20):
+    """(doc_id, cluster_id=min id in component, cluster_size) from an
+    undirected pair table — the reusable CC core (see module comment on
+    the pointer-jumping shape)."""
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .localCheckpoint()
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jumping: label(u) <- min(label(u), label(label(u)))
+        parents = stepped.select(
+            F.col("u").alias("label"), F.col("label").alias("gl")
+        )
         new_labels = (
-            labels.join(nbr, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            stepped.join(parents, "label", "left")
+            .select("u", F.least("label", F.coalesce("gl", "label")).alias("label"))
             .localCheckpoint()
         )
         converged = (
@@ -369,10 +379,22 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         labels = new_labels
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iters} iterations "
+            "(raise max_iters; components deeper than 2^max_iters hops)"
+        )
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(W.partitionBy("label")).cast("long").alias("cluster_size"),
+    )
+
+
+@register("dedup_clusters", _Q_CLUSTERS_ORACLE, "connected components over MinHash pairs (pointer-jumping label propagation)")
+def dedup_clusters(spark, sf_dir, max_iters: int = 20):
+    return connected_components(
+        dedup_minhash_lsh(spark, sf_dir), "doc_a", "doc_b", max_iters=max_iters
     )
 
 

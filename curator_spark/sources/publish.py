@@ -32,14 +32,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _files_fingerprint(data_dir: str) -> str:
-    """Order-insensitive content fingerprint of the bundle's parquet files."""
+    """Content fingerprint of the bundle's parquet files (chunked reads —
+    never holds a whole file in memory)."""
     h = hashlib.sha256()
     for name in sorted(os.listdir(data_dir)):
         if not name.endswith(".parquet"):
             continue
+        fh = hashlib.sha256()
         with open(os.path.join(data_dir, name), "rb") as f:
-            h.update(hashlib.sha256(f.read()).digest())
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                fh.update(chunk)
+        h.update(fh.digest())
     return h.hexdigest()[:16]
+
+
+def _parquet_rows(data_dir: str) -> int:
+    """Row count from parquet footers — metadata only, no Spark job."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(data_dir, format="parquet").count_rows()
 
 
 def publish_dataset(
@@ -54,7 +65,7 @@ def publish_dataset(
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
-    n_rows = df.sparkSession.read.parquet(os.path.join(tmp, "data")).count()
+    n_rows = _parquet_rows(os.path.join(tmp, "data"))
     manifest = {
         "name": name,
         "schema": json.loads(df.schema.json()),
@@ -65,9 +76,18 @@ def publish_dataset(
     }
     with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2)
+    # crash-safe overwrite: move the old bundle ASIDE (rename, not rmtree)
+    # before publishing, so a crash between the two renames leaves the old
+    # data recoverable under .old-* instead of destroyed
+    aside = None
     if os.path.exists(final):
-        shutil.rmtree(final)
+        aside = f"{final}.old-{manifest['fingerprint']}"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.rename(final, aside)
     os.rename(tmp, final)
+    if aside is not None:
+        shutil.rmtree(aside)
     return manifest
 
 
@@ -86,8 +106,13 @@ def fetch_dataset(spark: SparkSession, root: str, name: str) -> DataFrame:
             f"dataset '{name}' failed integrity check: manifest fingerprint "
             f"{manifest['fingerprint']} != on-disk {actual_fp}"
         )
-    df = spark.read.parquet(data_dir)
-    return df
+    actual_rows = _parquet_rows(data_dir)
+    if actual_rows != manifest["n_rows"]:
+        raise RuntimeError(
+            f"dataset '{name}' failed integrity check: manifest n_rows "
+            f"{manifest['n_rows']} != on-disk {actual_rows}"
+        )
+    return spark.read.parquet(data_dir)
 
 
 def list_datasets(root: str) -> list[dict]:

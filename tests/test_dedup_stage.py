@@ -131,3 +131,21 @@ def test_paragraph_dedup_prunes_boilerplate(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-link chain has diameter 60: plain one-hop propagation would
+    need 60 iterations, pointer jumping must converge within ~log2(60)+slack
+    and label every node with the chain minimum."""
+    import pandas as pd
+
+    from curator_spark.operators.dedup import connected_components
+
+    chain = pd.DataFrame({"doc_a": range(60), "doc_b": range(1, 61)})
+    two = pd.DataFrame({"doc_a": [100], "doc_b": [101]})
+    pairs = spark.createDataFrame(pd.concat([chain, two]))
+    out = connected_components(pairs, "doc_a", "doc_b", max_iters=12).toPandas()
+    chain_nodes = out[out.doc_id <= 60]
+    assert (chain_nodes["cluster_id"] == 0).all()
+    assert (chain_nodes["cluster_size"] == 61).all()
+    assert (out[out.doc_id >= 100]["cluster_id"] == 100).all()
