@@ -83,13 +83,23 @@ def attach_distractors(
         .withColumn("rank", (F.col("own_rank") + F.col("j")) % F.col("n_total"))
         # when n_total <= k the wrap can land back on the oracle chunk —
         # never attach a chunk as its own distractor (it would silently
-        # shrink the set after the groupBy)
+        # shrink the set after the groupBy) — and distinct wrapped ranks
+        # only (j and j+n_total alias to the same chunk)
         .filter(F.col("rank") != F.col("own_rank"))
+        .dropDuplicates(["chunk_key", "rank"])
     )
-    out = q.join(ranked.select("rank", "distractor"), "rank")
-    return (
-        out.groupBy("chunk_key", "question", "chunk")
+    agg = (
+        q.join(ranked.select("rank", "distractor"), "rank")
+        .groupBy("chunk_key")
         .agg(F.sort_array(F.collect_list("distractor")).alias("distractors"))
+    )
+    # left join back: a question whose corpus offers NO distractors (single
+    # chunk) survives with an empty list instead of silently disappearing
+    return questions.join(agg, "chunk_key", "left").select(
+        "chunk_key",
+        "question",
+        "chunk",
+        F.coalesce("distractors", F.array().cast("array<string>")).alias("distractors"),
     )
 
 

@@ -121,3 +121,16 @@ def test_agent_loop(spark, docs):
     assert len(out) == 50
     assert out["agent_done"].all()
     assert out["conversation"].str.count("\\+").eq(3).all()
+
+
+def test_raft_single_chunk_corpus(spark):
+    """A corpus yielding ONE chunk has no possible distractors: the
+    question row must survive with an empty list, not vanish."""
+    import pandas as pd
+
+    one = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": "only one tiny document"}])
+    )
+    out = raft_pipeline(one, make_question_gen(), chunk_size=500, k=3).toPandas()
+    assert len(out) == 1
+    assert list(out.iloc[0]["distractors"]) == []
