@@ -54,14 +54,17 @@ def input_identity(df) -> str:
 
     * the sorted (uri, size, mtime_ns) list of input files (file-backed
       data identity), and
-    * the DataFrame's ``semanticHash()`` — the canonicalized logical plan,
-      which distinguishes two different transforms/filters over the SAME
-      files and most in-memory inputs (range params, LocalRelation shape).
+    * the NORMALIZED analyzed-plan text (expression ids ``#123`` stripped
+      — they vary per session, so raw plan strings and semanticHash()
+      both break legitimate cross-session resume), which distinguishes
+      two different transforms/filters over the SAME files and most
+      in-memory inputs (range params, projections).
 
-    Residual blind spot: createDataFrame literals whose canonicalized plan
-    hashes equal — callers needing exact identity for such inputs pass an
+    Residual blind spot: createDataFrame literals print only their schema
+    in the plan — callers needing exact identity for such inputs pass an
     explicit input_token."""
     import os
+    import re
 
     try:
         files = sorted(df.inputFiles())
@@ -76,8 +79,9 @@ def input_identity(df) -> str:
         except OSError:
             items.append(uri)
     try:
-        plan_token = str(df.semanticHash())
+        plan = df._jdf.queryExecution().analyzed().toString()
+        plan_token = re.sub(r"#\d+", "#", plan)
     except Exception:
-        plan_token = "nosemhash|" + df.schema.json()
+        plan_token = "noplan|" + df.schema.json()
     payload = plan_token + "\n" + "\n".join(items)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
