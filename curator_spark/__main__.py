@@ -1,0 +1,89 @@
+"""spark-submit entry point — the deployment surface the north rule names:
+
+    spark-submit --py-files curator_spark.zip -m curator_spark \\
+        --input /data/corpus --work-dir /data/runs/r1 [--n-batches auto]
+
+or locally: ``python -m curator_spark --input ... --work-dir ...``.
+
+Runs the full resumable quality-filter pipeline (langid -> perplexity ->
+heuristic rules -> PII/toxicity scrub) over a parquet/Iceberg-shaped corpus
+table (repo, path, commit, lang, content), committing in atomic batches;
+re-invoking after a kill resumes from the last committed batch. Prints one
+JSON line with run stats (the machine-readable analog of curator's status
+tracker output).
+
+On a cluster, drop ``--cores`` (let the cluster manager size executors) and
+point --input/--work-dir at shared storage; everything else is identical —
+the session factory only fills master() when no master is configured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="curator_spark")
+    p.add_argument("--input", required=True, help="corpus parquet path")
+    p.add_argument("--work-dir", required=True, help="checkpoint/run directory")
+    p.add_argument("--output", default=None, help="optional final parquet export")
+    p.add_argument(
+        "--n-batches",
+        default="8",
+        help="'auto' = size from input bytes/rows; else an integer",
+    )
+    p.add_argument("--cores", type=int, default=None, help="local[] cores (local runs)")
+    p.add_argument("--exact-dedup", action="store_true", help="dedup identical content first")
+    p.add_argument("--min-chars", type=int, default=None)
+    p.add_argument("--max-perplexity", type=float, default=None)
+    args = p.parse_args(argv)
+
+    from .engine.lineage import cost_projection, read_lineage
+    from .functions.rules import DEFAULT_RULES, RuleConfig
+    from .plans.runner import QualityFilterRun
+    from .session import get_spark
+
+    cfg = DEFAULT_RULES
+    overrides = {}
+    if args.min_chars is not None:
+        overrides["min_chars"] = args.min_chars
+    if args.max_perplexity is not None:
+        overrides["max_perplexity"] = args.max_perplexity
+    if overrides:
+        d = {**DEFAULT_RULES.to_dict(), **overrides}
+        d["allowed_langs"] = tuple(d["allowed_langs"])
+        cfg = RuleConfig(**d)
+
+    n_batches = None if args.n_batches == "auto" else int(args.n_batches)
+    spark = get_spark("curator_spark_cli", cores=args.cores)
+    corpus = spark.read.parquet(args.input)
+    run = QualityFilterRun(
+        args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup
+    )
+    r1, r2 = run.run(spark, corpus)
+    out = run.output(spark)
+    n_out = out.count()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    lineage = read_lineage(spark, f"{args.work_dir}/_lineage")
+    proj = cost_projection(lineage, total_rows=n_out, stage="filter")
+    print(
+        json.dumps(
+            {
+                "run_hash": run.run_hash,
+                "kept_rows": n_out,
+                "filter_batches_run": r1.batches_run,
+                "filter_batches_skipped": r1.batches_skipped,
+                "scrub_batches_run": r2.batches_run,
+                "rows_per_sec_filter": round(proj["rows_per_sec"], 1),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

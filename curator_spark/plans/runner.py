@@ -33,9 +33,11 @@ class QualityFilterRun:
         self,
         work_dir: str,
         cfg: RuleConfig = DEFAULT_RULES,
-        n_batches: int = 8,
+        n_batches: int | None = 8,
         exact_dedup: bool = False,
     ) -> None:
+        """``n_batches=None``: each stage auto-sizes its commit granule
+        from its own input's bytes/rows (see ResumableStage)."""
         self.work_dir = work_dir
         self.cfg = cfg
         self.n_batches = n_batches
@@ -154,10 +156,16 @@ class QualityFilterRun:
 
     def is_complete(self) -> bool:
         """Whole-run cache check — curator's attempt_loading_cached_dataset
-        short-circuit (base_request_processor.py:364-385)."""
+        short-circuit (base_request_processor.py:364-385). With auto batch
+        sizing the expected counts live on the stages (resolved at run());
+        unresolved (never-run) stages report incomplete."""
+        f_n = self.filter_stage.n_batches
+        s_n = self.scrub_stage.n_batches
+        if f_n is None or s_n is None:
+            return False
         return (
-            len(self.filter_stage.committed_batches()) == self.n_batches
-            and len(self.scrub_stage.committed_batches()) == self.n_batches
+            len(self.filter_stage.committed_batches()) == f_n
+            and len(self.scrub_stage.committed_batches()) == s_n
         )
 
     def output(self, spark: SparkSession) -> DataFrame:

@@ -21,9 +21,17 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Respect an externally-configured master (spark-submit --master on a
+    # real cluster sets spark.master in the system conf); only local runs
+    # get local[cores].
+    from pyspark import SparkConf
+
+    external_master = SparkConf().get("spark.master", None)
+    b = SparkSession.builder.appName(app_name)
+    if external_master is None:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

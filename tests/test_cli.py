@@ -1,0 +1,46 @@
+"""python -m curator_spark CLI — the spark-submit deployment surface."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_cli_end_to_end(spark, corpus_df, tmp_path, capsys):
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    rc = main(
+        [
+            "--input", inp,
+            "--work-dir", str(tmp_path / "run"),
+            "--output", str(tmp_path / "out"),
+            "--n-batches", "4",
+        ]
+    )
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    assert stats["kept_rows"] > 0
+    assert len(stats["filter_batches_run"]) == 4
+    assert spark.read.parquet(str(tmp_path / "out")).count() == stats["kept_rows"]
+
+    # re-invocation resumes: nothing re-runs
+    rc = main(["--input", inp, "--work-dir", str(tmp_path / "run"), "--n-batches", "4"])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["filter_batches_run"] == []
+
+
+def test_cli_auto_batches(spark, corpus_df, tmp_path, capsys):
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    rc = main(
+        ["--input", inp, "--work-dir", str(tmp_path / "run"), "--n-batches", "auto"]
+    )
+    assert rc == 0
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["kept_rows"] > 0 and len(stats["filter_batches_run"]) >= 1
