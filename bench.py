@@ -76,9 +76,11 @@ def main() -> None:
         write_corpus(spark, corpus_dir, CORPUS_ROWS, seed=42, partitions=cores * 4)
 
     corpus = spark.read.parquet(corpus_dir)
-    # median of 3 — this sandbox host shows heavy CPU-steal variance;
-    # count(scrubbed_sha256) forces the scrub+sha columns to evaluate
-    # (a bare count() would let Catalyst prune the scrub work entirely)
+    # one UNTIMED warmup first (JVM JIT + python-worker spin-up + page
+    # cache), then median of 3 — this sandbox host shows heavy CPU-steal
+    # variance; count(scrubbed_sha256) forces the scrub+sha columns to
+    # evaluate (a bare count() would let Catalyst prune the scrub work)
+    curate(corpus.limit(20000)).agg(F.count("scrubbed_sha256")).collect()
     runs = []
     kept = 0
     for _ in range(3):

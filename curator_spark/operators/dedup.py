@@ -111,6 +111,30 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+# The kept table (what a pipeline actually consumes downstream): one
+# canonical row per distinct content, min doc_id wins. Same single
+# hash-aggregate shuffle as dedup_exact, realized as a semi-join-free
+# window-on-digest (uniform keys — no skew possible).
+_Q_EXACT_KEEP_ORACLE = """
+SELECT doc_id, text
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+"""
+
+
+@register("dedup_exact_keep", _Q_EXACT_KEEP_ORACLE, "exact dedup: the kept (canonical) rows")
+def dedup_exact_keep(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard similarity join: explode distinct shingles,
 # self-join on shingle, |A∩B| / |A∪B| >= threshold.
