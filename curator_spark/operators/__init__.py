@@ -26,3 +26,4 @@ from . import finetune_fmt  # noqa: F401,E402
 from . import kmeans_ivf  # noqa: F401,E402
 from . import para_dedup  # noqa: F401,E402
 from . import gopher  # noqa: F401,E402
+from . import decontaminate  # noqa: F401,E402

@@ -1,0 +1,74 @@
+"""Decontamination — benchmark n-gram overlap detection, the GPT-3/Llama
+training-data staple: flag corpus documents that share any N-gram with an
+evaluation/benchmark suite so they can be dropped before training.
+
+Scale shape (10^12 docs x a few MB of benchmark text): the benchmark side
+collapses to a DISTINCT n-gram set that is tiny relative to the corpus, so
+the plan is
+
+    corpus --explode n-grams--> semi-ish join against broadcast(bench_grams)
+           --groupBy doc--> overlap counts
+
+— the only shuffle is the per-doc count; the membership probe is a
+broadcast hash join (map-side). At extreme benchmark sizes you'd swap the
+broadcast for a bloom filter pushed into the scan; the join shape is
+unchanged.
+
+The synthetic stand-in for a benchmark suite is the first ``_N_BENCH``
+documents of the corpus itself — deterministic, and near-duplicate docs in
+the testdata give non-trivial cross-document hits. Word 8-grams via the
+same linear-time shingling idiom as dedup.py (guarded for short docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .dedup import _WORDS_SPARK, _let
+from .registry import load, register
+
+_N = 8  # n-gram width (GPT-3 used 13-grams; 8 fits the synthetic doc sizes)
+_N_BENCH = 5  # first N docs act as the benchmark suite
+
+_GRAMS_SPARK = _let(
+    _WORDS_SPARK,
+    "wz",
+    f"CASE WHEN size(wz) < {_N} THEN cast(array() as array<string>)"
+    f" ELSE array_distinct(transform(sequence(0, size(wz) - {_N}),"
+    f" i -> concat_ws(' ', {', '.join(f'wz[i+{k}]' for k in range(_N))}))) END",
+)
+
+_WORDS_DUCK = "list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')"
+_DUCK_CONCAT = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _N + 1))
+_GRAMS_DUCK = (
+    f"list_distinct(list_transform(range(0, greatest(len(w) - {_N - 1}, 0)),"
+    f" i -> {_DUCK_CONCAT}))"
+)
+
+_Q_DECON_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_GRAMS_DUCK}) AS g
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_N_BENCH}),
+hits AS (
+  SELECT gr.doc_id, count(*) AS n_contaminated_grams
+  FROM grams gr JOIN bench USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, n_contaminated_grams FROM hits
+"""
+
+
+@register("decontaminate", _Q_DECON_ORACLE, "benchmark n-gram overlap (decontamination) via broadcast gram set")
+def decontaminate(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("g"))
+    bench = grams.filter(F.col("doc_id") < _N_BENCH).select("g").distinct()
+    return (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )

@@ -176,3 +176,44 @@ def test_gopher_repetition_flags_spam(spark, tmp_path):
         .df().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, tmp_path):
+    """A corpus doc embedding a benchmark doc's text must be flagged; clean
+    docs must not appear; values match the DuckDB oracle exactly."""
+    import duckdb
+    import pandas as pd
+
+    from curator_spark.operators import QUERIES
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    # docs 0..4 form the benchmark suite; 12 embeds suite text, 13 is clean
+    rows = [
+        {"doc_id": i, "text": f"benchmark question {i} " + bench_text[: 20 + i]}
+        for i in range(4)
+    ]
+    rows.append({"doc_id": 4, "text": bench_text})
+    rows.append(
+        {"doc_id": 12, "text": "some padding then " + bench_text + " then more padding"}
+    )
+    rows.append(
+        {"doc_id": 13, "text": "a completely clean document about spark physical plans and shuffles and joins here"}
+    )
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(path)
+
+    got = (
+        QUERIES["decontaminate"].fn(spark, str(tmp_path))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    flagged = set(got["doc_id"])
+    assert 12 in flagged         # embeds benchmark text
+    assert 13 not in flagged     # clean
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    exp = (
+        con.execute(QUERIES["decontaminate"].oracle)
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
