@@ -429,13 +429,14 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
 # comparison float-robust.
 # ---------------------------------------------------------------------------
 _Q_EMB_ORACLE = """
-WITH pairs AS (
+WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   x -> cast(x[1] AS DOUBLE) * cast(x[2] AS DOUBLE))) /
          (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) *
           sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))) AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM embnz a JOIN embnz b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, round(cos, 3) AS cos_sim FROM pairs WHERE cos >= 0.5
 """
@@ -443,7 +444,9 @@ SELECT vec_a, vec_b, round(cos, 3) AS cos_sim FROM pairs WHERE cos >= 0.5
 
 @register("dedup_embedding_cosine", _Q_EMB_ORACLE, "embedding cosine near-dup pairs")
 def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.5):
-    e = load(spark, sf_dir, "embeddings")
+    from .similarity import _NONZERO_SPARK
+
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
     dot = (
         "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0.0 as double), (acc, v) -> acc + v)"
@@ -474,7 +477,8 @@ _EMB_DIM = 64
 _EMB_THRESHOLD = 0.5
 
 _Q_EMB_LSH_ORACLE = f"""
-WITH planes AS (
+WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+planes AS (
   SELECT p.p AS p, j.j AS j,
          CASE WHEN (('0x' || substr(md5(cast(p.p AS VARCHAR) || ':' || cast(j.j AS VARCHAR)), 1, 15))::BIGINT & 1) = 1
               THEN 1.0 ELSE -1.0 END AS sign
@@ -485,13 +489,13 @@ sigs AS (
   SELECT e.vec_id, pl.p,
          CASE WHEN sum(cast(e.embedding[pl.j + 1] AS DOUBLE) * pl.sign) > 0
               THEN '1' ELSE '0' END AS bit
-  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p
+  FROM embnz e, planes pl GROUP BY e.vec_id, pl.p
 ),
 buckets AS (
   SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
 ),
 withb AS (SELECT b.vec_id, b.bucket, e.embedding
-          FROM buckets b JOIN embeddings e USING (vec_id)
+          FROM buckets b JOIN embnz e USING (vec_id)
           QUALIFY row_number() OVER (PARTITION BY b.bucket ORDER BY b.vec_id) <= {BUCKET_CAP}),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -507,9 +511,9 @@ SELECT vec_a, vec_b, round(cos, 3) AS cos_sim FROM pairs WHERE cos >= {_EMB_THRE
 
 @register("dedup_embedding_lsh", _Q_EMB_LSH_ORACLE, "embedding near-dup, LSH-bucketed scale path")
 def dedup_embedding_lsh(spark, sf_dir):
-    from .similarity import bucket_expr
+    from .similarity import _NONZERO_SPARK, bucket_expr
 
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
     # signature as one per-row inlined-constant expression (see
     # similarity.bucket_expr) — zero shuffle before the bucket self-join
     withb = cap_bucket_width(

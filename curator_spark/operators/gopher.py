@@ -41,8 +41,11 @@ _DISTINCT_SORTED = (
     "CASE WHEN size({a}) <= 1 THEN size({a})"
     " ELSE 1 + size(filter(sequence(1, size({a}) - 1), i -> {a}[i] != {a}[i-1])) END"
 )
+# NB: size<=1 must short-circuit — sequence(1, 0) is the DESCENDING ramp
+# [1, 0], and {a}[1] on a 1-element array throws under ANSI mode (the same
+# trap as dedup's shingle guard).
 _MAX_RUN_SORTED = (
-    "CASE WHEN size({a}) = 0 THEN 0"
+    "CASE WHEN size({a}) <= 1 THEN size({a})"
     " ELSE aggregate(sequence(1, size({a}) - 1),"
     " named_struct('run', 1, 'best', 1),"
     " (acc, i) -> CASE WHEN {a}[i] = {a}[i-1]"

@@ -35,9 +35,18 @@ _DOT_DUCK = (
 _N_QUERIES = 5
 _TOP_K = 10
 
+# cosine is undefined for a zero vector, and under ANSI mode the ||a||*||b||
+# division would throw DIVIDE_BY_ZERO — every cosine operator works over the
+# nonzero-norm subset, mirrored in the oracles via the embnz CTE.
+_NONZERO_SPARK = (
+    "aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
+    " cast(0.0 as double), (a, b) -> a + b) > 0"
+)
+
 _Q_ANN_ORACLE = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}),
-c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embnz WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embnz),
 scored AS (
   SELECT q_id, c_id,
          round({_DOT_DUCK.format(a='q_emb', b='c_emb')} /
@@ -56,7 +65,7 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 
 @register("ann_bruteforce_topk", _Q_ANN_ORACLE, "exact cosine top-k, broadcast query side")
 def ann_bruteforce_topk(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -127,7 +136,8 @@ _SIGN_DUCK = (
 )
 
 _Q_ANN_LSH_ORACLE = f"""
-WITH planes AS (
+WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+planes AS (
   SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
   FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
        (SELECT unnest(range(0, {_DIM})) AS j) j
@@ -136,16 +146,16 @@ sigs AS (
   SELECT e.vec_id, pl.p,
          CASE WHEN sum(cast(e.embedding[pl.j + 1] AS DOUBLE) * pl.sign) > 0
               THEN '1' ELSE '0' END AS bit
-  FROM embeddings e, planes pl
+  FROM embnz e, planes pl
   GROUP BY e.vec_id, pl.p
 ),
 buckets AS (
   SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
 ),
 q AS (SELECT b.vec_id AS q_id, b.bucket, e.embedding AS q_emb
-      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id < {_N_QUERIES}),
+      FROM buckets b JOIN embnz e USING (vec_id) WHERE b.vec_id < {_N_QUERIES}),
 c AS (SELECT b.vec_id AS c_id, b.bucket, e.embedding AS c_emb
-      FROM buckets b JOIN embeddings e USING (vec_id)),
+      FROM buckets b JOIN embnz e USING (vec_id)),
 cand AS (
   SELECT q.q_id, c.c_id, q.q_emb, c.c_emb FROM q JOIN c ON q.bucket = c.bucket
   WHERE q.q_id != c.c_id
@@ -168,7 +178,7 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 
 @register("ann_lsh_topk", _Q_ANN_LSH_ORACLE, "random-hyperplane LSH buckets + exact re-rank")
 def ann_lsh_topk(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
     # whole signature as ONE per-row expression (planes inlined as
     # constants): no shuffle until the bucket join itself
     withb = e.withColumn("bucket", F.expr(bucket_expr("embedding")))
@@ -210,17 +220,18 @@ _N_CELLS = 8
 _N_PROBE = 3
 
 _Q_ANN_IVF_ORACLE = f"""
-WITH cents AS (
-  SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < {_N_CELLS}
+WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+cents AS (
+  SELECT vec_id AS cell_id, embedding AS cent FROM embnz WHERE vec_id < {_N_CELLS}
 ),
 assigned AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cell_id FROM cents c
           ORDER BY {_DOT_DUCK.format(a='e.embedding', b='c.cent')} DESC, c.cell_id
           LIMIT 1) AS cell_id
-  FROM embeddings e
+  FROM embnz e
 ),
-q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embnz WHERE vec_id < {_N_QUERIES}),
 probes AS (
   SELECT q.q_id, c.cell_id,
          row_number() OVER (PARTITION BY q.q_id
@@ -252,7 +263,7 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 
 @register("ann_ivf_topk", _Q_ANN_IVF_ORACLE, "IVF coarse-quantizer ANN: cell assign + n_probe + re-rank")
 def ann_ivf_topk(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
     cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
     )
@@ -319,7 +330,8 @@ _SIGN_MULTI_DUCK = (
 )
 
 _Q_ANN_MULTI_ORACLE = f"""
-WITH planes AS (
+WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+planes AS (
   SELECT tt.t AS t, p.p AS p, j.j AS j, {_SIGN_MULTI_DUCK} AS sign
   FROM (SELECT unnest(range(0, {_N_TABLES})) AS t) tt,
        (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
@@ -329,7 +341,7 @@ sigs AS (
   SELECT e.vec_id, pl.t, pl.p,
          CASE WHEN sum(cast(e.embedding[pl.j + 1] AS DOUBLE) * pl.sign) > 0
               THEN '1' ELSE '0' END AS bit
-  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.t, pl.p
+  FROM embnz e, planes pl GROUP BY e.vec_id, pl.t, pl.p
 ),
 buckets AS (
   SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
@@ -346,8 +358,8 @@ scored AS (
                (sqrt({_DOT_DUCK.format(a='qe.embedding', b='qe.embedding')}) *
                 sqrt({_DOT_DUCK.format(a='ce.embedding', b='ce.embedding')})), 6) AS cos_sim
   FROM cand_ids ci
-  JOIN embeddings qe ON qe.vec_id = ci.q_id
-  JOIN embeddings ce ON ce.vec_id = ci.c_id
+  JOIN embnz qe ON qe.vec_id = ci.q_id
+  JOIN embnz ce ON ce.vec_id = ci.c_id
 ),
 ranked AS (
   SELECT q_id, c_id, cos_sim,
@@ -360,7 +372,7 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 
 @register("ann_lsh_multitable", _Q_ANN_MULTI_ORACLE, "multi-table LSH: union of R bucket joins, exact re-rank")
 def ann_lsh_multitable(spark, sf_dir, n_tables: int = _N_TABLES):
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
     cand = None
     for r in range(n_tables):
         salt = "" if r == 0 else f"t{r}:"

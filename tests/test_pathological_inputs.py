@@ -1,0 +1,104 @@
+"""Adversarial-input gate: every document/embedding operator must survive —
+and still match its DuckDB oracle on — corner-case data the fixed testdata
+never exercises: empty docs, single words, whitespace-only text, a 5000-char
+single token, unicode, byte-identical duplicates, blank-line runs, and
+zero-norm / duplicate / antipodal / denormal embeddings.
+
+This is the class of bug round-1 ADVICE caught (sequence(0,-1) descending
+ramp under ANSI) and round-2 hardening fixed twice more (gopher run-fold on
+1-element arrays; cosine DIVIDE_BY_ZERO on the zero vector).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# queries that read documents/embeddings (relational ones read TPC-H tables
+# the fixture copies verbatim — no new behavior to catch there)
+SENSITIVE = [
+    "chunk_documents", "dedup_exact", "dedup_exact_keep", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_paragraphs",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_multitable",
+    "ann_ivf_topk", "ann_ivf_kmeans",
+    "langid_documents", "token_stats", "doc_quality", "doc_fingerprint",
+    "scrub_documents", "quality_filter_documents", "normalize_text",
+    "stratified_sample", "finetune_format", "gopher_repetition",
+    "decontaminate",
+]
+
+
+@pytest.fixture(scope="module")
+def patho_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("patho_sf"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    docs = pd.DataFrame([
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "one"},
+        {"doc_id": 2, "text": "two words"},
+        {"doc_id": 3, "text": "   \t\n  "},
+        {"doc_id": 4, "text": "x" * 5000},
+        {"doc_id": 5, "text": "dup dup dup dup dup dup dup dup"},
+        {"doc_id": 6, "text": "dup dup dup dup dup dup dup dup"},
+        {"doc_id": 7, "text": "café naïve 中文 über tokens mixed unicode content here"},
+        {"doc_id": 8, "text": "a b"},
+        {"doc_id": 9, "text": "line1\n\nline2\n\n\n\nline3\n\nline1"},
+        {"doc_id": 10, "text": "auto-generated do not edit " * 3 + "1.2.3.4 test@example.com"},
+    ])
+    docs["lang"] = "en"
+    docs["source"] = "web"
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    pq.write_table(
+        pa.Table.from_pandas(docs, schema=schema, preserve_index=False),
+        f"{d}/documents.parquet",
+    )
+    rng = np.random.RandomState(7)
+    v = rng.randn(64).astype(np.float32)
+    rows = [
+        {"vec_id": 0, "embedding": [0.0] * 64},        # zero norm
+        {"vec_id": 1, "embedding": list(v)},
+        {"vec_id": 2, "embedding": list(v)},           # exact duplicate
+        {"vec_id": 3, "embedding": list(-v)},          # antipode
+        {"vec_id": 4, "embedding": [1e-30] * 64},      # near-denormal
+    ] + [
+        {"vec_id": i, "embedding": list(rng.randn(64).astype(np.float32))}
+        for i in range(5, 40)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("vec_id", pa.int64()),
+                              ("embedding", pa.list_(pa.float32()))]),
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    return d
+
+
+def test_all_sensitive_queries_survive_and_match(patho_dir):
+    """One subprocess run of the oracle gate over the adversarial tables —
+    exit 0 means every query ran AND value-hash-matched DuckDB."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "check_oracles.py"),
+         patho_dir, *SENSITIVE],
+        capture_output=True, text=True, cwd=REPO, timeout=900,
+    )
+    tail = "\n".join(out.stdout.replace("\r", "\n").splitlines()[-60:])
+    assert out.returncode == 0, f"pathological gate failed:\n{tail}\n{out.stderr[-2000:]}"
+    assert f"{len(SENSITIVE)}/{len(SENSITIVE)} ok" in out.stdout
