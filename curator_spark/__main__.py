@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--cores", type=int, default=None, help="local[] cores (local runs)")
     p.add_argument("--exact-dedup", action="store_true", help="dedup identical content first")
+    p.add_argument(
+        "--decontaminate",
+        default=None,
+        help="parquet of benchmark docs (content column): drop corpus rows "
+        "sharing any word 8-gram with them before filtering",
+    )
     p.add_argument("--min-chars", type=int, default=None)
     p.add_argument("--max-perplexity", type=float, default=None)
     args = p.parse_args(argv)
@@ -59,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
     n_batches = None if args.n_batches == "auto" else int(args.n_batches)
     spark = get_spark("curator_spark_cli", cores=args.cores)
     corpus = spark.read.parquet(args.input)
+    if args.decontaminate:
+        from .operators.decontaminate import decontaminate_against
+
+        bench = spark.read.parquet(args.decontaminate)
+        corpus = decontaminate_against(corpus, bench, text_col="content")
     run = QualityFilterRun(
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup
     )

@@ -60,6 +60,27 @@ SELECT doc_id, n_contaminated_grams FROM hits
 """
 
 
+def decontaminate_against(
+    corpus, bench, text_col: str = "content", key_cols: list[str] | None = None, n: int = _N
+):
+    """Drop corpus rows sharing any word n-gram with ``bench[text_col]`` —
+    the pipeline-facing form (used by the CLI's --decontaminate): returns
+    the CLEAN corpus via one broadcast gram probe + a left-anti join on the
+    flagged keys."""
+    key_cols = key_cols or ["repo", "path", "commit"]
+    grams_expr = _GRAMS_SPARK.replace("text", text_col)
+    bench_grams = bench.select(
+        F.explode(F.expr(grams_expr)).alias("g")
+    ).distinct()
+    flagged = (
+        corpus.select(*key_cols, F.explode(F.expr(grams_expr)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select(*key_cols)
+        .distinct()
+    )
+    return corpus.join(flagged, key_cols, "left_anti")
+
+
 @register("decontaminate", _Q_DECON_ORACLE, "benchmark n-gram overlap (decontamination) via broadcast gram set")
 def decontaminate(spark, sf_dir):
     d = load(spark, sf_dir, "documents").repartition(

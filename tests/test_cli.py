@@ -44,3 +44,31 @@ def test_cli_auto_batches(spark, corpus_df, tmp_path, capsys):
         [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     )
     assert stats["kept_rows"] > 0 and len(stats["filter_batches_run"]) >= 1
+
+
+def test_cli_decontaminate(spark, corpus_df, tmp_path, capsys):
+    """--decontaminate drops corpus rows sharing 8-grams with the benchmark
+    parquet before filtering."""
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    # benchmark = content of 3 real corpus docs -> those docs must vanish
+    bench_pdf = corpus_df.limit(3).select("content").toPandas()
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(bench_pdf).write.parquet(bench)
+
+    import json as _json
+
+    main(["--input", inp, "--work-dir", str(tmp_path / "r1"), "--n-batches", "2"])
+    base = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    main(
+        ["--input", inp, "--work-dir", str(tmp_path / "r2"), "--n-batches", "2",
+         "--decontaminate", bench]
+    )
+    decon = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert decon["kept_rows"] < base["kept_rows"]
