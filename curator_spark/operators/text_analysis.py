@@ -325,3 +325,40 @@ def quality_filter_documents(spark, sf_dir):
         keep.alias("keep"),
         F.sha2(scrub_content(F.col("text")), 256).alias("scrubbed_sha256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Drop-reason attribution: how many documents each rule rejected — the
+# per-rule accounting every curation run reports (curator's status-tracker
+# totals, online_status_tracker.py:229-300, re-expressed as data). One
+# explode + one groupBy over the flagship's reasons column; the total is a
+# 1-row broadcast, not a driver action.
+# ---------------------------------------------------------------------------
+_Q_REASON_STATS_ORACLE = f"""
+SELECT reason,
+       count(*) AS n_docs,
+       round(count(*) * 1.0 / any_value(t.n_total), 6) AS frac
+FROM (SELECT unnest(str_split(reasons, ',')) AS reason
+      FROM ({_Q_FLAGSHIP_ORACLE}) WHERE reasons != '') r,
+     (SELECT count(*) AS n_total FROM documents) t
+GROUP BY reason
+"""
+
+
+@register("drop_reason_stats", _Q_REASON_STATS_ORACLE, "per-rule drop attribution over the flagship filter")
+def drop_reason_stats(spark, sf_dir):
+    q = quality_filter_documents(spark, sf_dir)
+    tot = q.agg(F.count(F.lit(1)).alias("n_total"))
+    exploded = q.select(F.explode(F.split("reasons", ",")).alias("reason")).filter(
+        F.col("reason") != ""
+    )
+    return (
+        exploded.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "reason",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n_total"), 6).alias("frac"),
+        )
+    )
