@@ -1,8 +1,10 @@
 """Adversarial-input gate: every document/embedding operator must survive —
 and still match its DuckDB oracle on — corner-case data the fixed testdata
 never exercises: empty docs, single words, whitespace-only text, a 5000-char
-single token, unicode, byte-identical duplicates, blank-line runs, and
-zero-norm / duplicate / antipodal / denormal embeddings.
+single token, unicode, byte-identical duplicates, blank-line runs,
+zero-norm / duplicate / antipodal / denormal embeddings, and events with
+duplicate timestamps (window-order ties), null props, and shuffled
+(out-of-order) file layout.
 
 This is the class of bug round-1 ADVICE caught (sequence(0,-1) descending
 ramp under ANSI) and round-2 hardening fixed twice more (gopher run-fold on
@@ -36,6 +38,10 @@ SENSITIVE = [
     "scrub_documents", "quality_filter_documents", "normalize_text",
     "stratified_sample", "finetune_format", "gopher_repetition",
     "decontaminate",
+    # event-time operators over the tie/null/out-of-order events table
+    "sessionize", "tumbling_window", "datetime_extract", "distinct_types",
+    "asof_join", "set_ops", "json_extract", "validate_json_map",
+    "topk_per_group", "groupby_collect",
 ]
 
 
@@ -43,8 +49,31 @@ SENSITIVE = [
 def patho_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("patho_sf"))
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders", "lineitem"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    # events: duplicate timestamps (ties under every window ORDER BY),
+    # null props, shuffled row layout
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev, eid = [], 0
+    for u in range(3):
+        for _ in range(10):
+            ev.append({"event_id": eid, "ts": base, "user_id": u,
+                       "event_type": "click", "value": 1.0, "props": '{"k":1}'})
+            eid += 1
+    for u in range(3):
+        for k in range(10):
+            ev.append({"event_id": eid, "ts": base + dt.timedelta(seconds=100000 - k * 997),
+                       "user_id": u, "event_type": ["view", "buy"][k % 2],
+                       "value": float(k), "props": None})
+            eid += 1
+    ev_df = pd.DataFrame(ev).sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ev_schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                           ("user_id", pa.int64()), ("event_type", pa.string()),
+                           ("value", pa.float64()), ("props", pa.string())])
+    pq.write_table(pa.Table.from_pandas(ev_df, schema=ev_schema, preserve_index=False),
+                   f"{d}/events.parquet")
     docs = pd.DataFrame([
         {"doc_id": 0, "text": ""},
         {"doc_id": 1, "text": "one"},
