@@ -408,10 +408,20 @@ def connected_components(pairs, a_col: str, b_col: str, max_iters: int = 20):
             f"connected_components: not converged after {max_iters} iterations "
             "(raise max_iters; components deeper than 2^max_iters hops)"
         )
-    return labels.select(
+    # cluster_size via groupBy + join back, NOT count().over(partitionBy
+    # label): one boilerplate/license component can hold 10^8-10^9 docs at
+    # web scale, and a window would funnel every member row of that label
+    # into a single task. The groupBy partial-aggregates map-side (the hot
+    # label arrives at the reducer as a handful of partial counts), and the
+    # join back is AQE-skew-splittable (OptimizeSkewedJoin can split the big
+    # side per key; a window never can).
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),
-        F.count(F.lit(1)).over(W.partitionBy("label")).cast("long").alias("cluster_size"),
+        "cluster_size",
     )
 
 

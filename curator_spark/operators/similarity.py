@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .dedup import BUCKET_CAP as _BUCKET_CAP
+from .dedup import cap_bucket_width
 from .registry import load, register
 
 _DOT = (
@@ -155,7 +157,8 @@ buckets AS (
 q AS (SELECT b.vec_id AS q_id, b.bucket, e.embedding AS q_emb
       FROM buckets b JOIN embnz e USING (vec_id) WHERE b.vec_id < {_N_QUERIES}),
 c AS (SELECT b.vec_id AS c_id, b.bucket, e.embedding AS c_emb
-      FROM buckets b JOIN embnz e USING (vec_id)),
+      FROM buckets b JOIN embnz e USING (vec_id)
+      QUALIFY row_number() OVER (PARTITION BY b.bucket ORDER BY b.vec_id) <= {_BUCKET_CAP}),
 cand AS (
   SELECT q.q_id, c.c_id, q.q_emb, c.c_emb FROM q JOIN c ON q.bucket = c.bucket
   WHERE q.q_id != c.c_id
@@ -185,7 +188,12 @@ def ann_lsh_topk(spark, sf_dir):
     q = withb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("bucket"), F.col("embedding").alias("q_emb")
     )
-    c = withb.select(
+    # skew guard (same cap as every dedup LSH path, mirrored in the oracle's
+    # QUALIFY): a hot bucket — e.g. many near-zero vectors sharing one
+    # signature — would otherwise make the candidate join Q x bucket_width
+    # with no bound. Queries stay uncapped; only the candidate side truncates
+    # (deterministically, lowest vec_ids kept).
+    c = cap_bucket_width(withb, "bucket", "vec_id").select(
         F.col("vec_id").alias("c_id"), F.col("bucket").alias("c_bucket"), F.col("embedding").alias("c_emb")
     )
     cand = q.join(c, (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")))
@@ -347,9 +355,13 @@ buckets AS (
   SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
   FROM sigs GROUP BY vec_id, t
 ),
+capped AS (
+  SELECT vec_id, t, bucket FROM buckets
+  QUALIFY row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) <= {_BUCKET_CAP}
+),
 cand_ids AS (
   SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS c_id
-  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+  FROM buckets qb JOIN capped cb ON qb.t = cb.t AND qb.bucket = cb.bucket
   WHERE qb.vec_id < {_N_QUERIES} AND cb.vec_id != qb.vec_id
 ),
 scored AS (
@@ -380,7 +392,12 @@ def ann_lsh_multitable(spark, sf_dir, n_tables: int = _N_TABLES):
         qb = wb.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("q_id"), "bucket"
         )
-        cb = wb.select(F.col("vec_id").alias("c_id"), F.col("bucket").alias("c_bucket"))
+        # per-table hot-bucket cap on the candidate side (oracle mirrors via
+        # the `capped` CTE; tables are independent so capping inside the
+        # loop == capping per (t, bucket))
+        cb = cap_bucket_width(wb, "bucket", "vec_id").select(
+            F.col("vec_id").alias("c_id"), F.col("bucket").alias("c_bucket")
+        )
         c = qb.join(
             cb, (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id"))
         ).select("q_id", "c_id")

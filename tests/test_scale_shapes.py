@@ -1,0 +1,111 @@
+"""Round-3 scale-shape gates: the two plans VERDICT r2 flagged `weak`.
+
+1. connected_components must size clusters via groupBy+join (AQE-splittable,
+   map-side combined), never a count().over(partitionBy cluster) window —
+   one license-boilerplate component can hold 10^8+ docs at web scale and a
+   window funnels every member row into one task. Gate: a hot component
+   holding ~30% of all docs resolves correctly AND the final plan contains
+   no Window operator.
+
+2. The ANN LSH candidate joins must bound bucket width with the same
+   BUCKET_CAP the dedup paths use. Gate: a fixture where one bucket is
+   6x the cap still passes the full DuckDB value-hash oracle (cap mirrored
+   on both engines), and the fixture genuinely exercises the cap.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.operators.dedup import BUCKET_CAP, connected_components
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cc_hot_component_no_window(spark):
+    # star: hub 0 ~ 1..359 (30% of a 1200-doc corpus in ONE component),
+    # plus a 20-node chain (pointer-jumping depth) and isolated pairs
+    edges = [(0, i) for i in range(1, 360)]
+    edges += [(1000 + i, 1001 + i) for i in range(19)]
+    edges += [(2000, 2001), (2002, 2003)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(pairs, "doc_a", "doc_b")
+
+    # the skew-killer gate: no un-aggregated window anywhere in the plan
+    assert "Window" not in _plan(out), "cluster_size must not use a window"
+
+    rows = {r.doc_id: (r.cluster_id, r.cluster_size) for r in out.collect()}
+    assert rows[0] == (0, 360) and rows[359] == (0, 360)
+    for i in range(1000, 1020):
+        assert rows[i] == (1000, 20)
+    assert rows[2001] == (2000, 2)
+    assert rows[2003] == (2002, 2)
+    assert len(rows) == 360 + 20 + 4
+
+
+@pytest.fixture(scope="module")
+def hot_bucket_dir(tmp_path_factory):
+    """embeddings where one LSH bucket holds 6x BUCKET_CAP vectors: positive
+    scalings of one direction share every sign-of-dot bit, so they land in
+    the SAME bucket in both engines by construction."""
+    d = str(tmp_path_factory.mktemp("hot_bucket_sf"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+    rng = np.random.RandomState(11)
+    base = rng.randn(64).astype(np.float32)
+    rows = [
+        {"vec_id": i, "embedding": list(base * np.float32((i + 1) / 50.0))}
+        for i in range(6 * BUCKET_CAP)
+    ] + [
+        {"vec_id": 6 * BUCKET_CAP + i,
+         "embedding": list(rng.randn(64).astype(np.float32))}
+        for i in range(40)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    return d
+
+
+def test_hot_bucket_exceeds_cap(spark, hot_bucket_dir):
+    from curator_spark.operators.similarity import bucket_expr
+
+    widths = (
+        spark.read.parquet(f"{hot_bucket_dir}/embeddings.parquet")
+        .withColumn("bucket", F.expr(bucket_expr("embedding")))
+        .groupBy("bucket")
+        .count()
+    )
+    assert widths.agg(F.max("count")).first()[0] >= 6 * BUCKET_CAP
+
+
+def test_ann_lsh_cap_oracle_parity_under_skew(hot_bucket_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "check_oracles.py"),
+         hot_bucket_dir, "ann_lsh_topk", "ann_lsh_multitable",
+         "dedup_embedding_lsh"],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    tail = "\n".join(out.stdout.replace("\r", "\n").splitlines()[-20:])
+    assert out.returncode == 0, f"hot-bucket gate failed:\n{tail}\n{out.stderr[-2000:]}"
+    assert "3/3 ok" in out.stdout
