@@ -320,6 +320,124 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe LSH: ONE hash table, but each query probes its exact bucket
+# plus every bucket at hamming distance 1 (n_planes bit-flips). This buys
+# most of multi-table's recall WITHOUT a second signature pass or a second
+# index: at 10^9 vectors the signatures are the expensive part (full-corpus
+# scan + n_planes dot products per vector), while extra probes only multiply
+# the tiny query side (n_planes+1 probe rows per query). The probe set is a
+# compile-time bit-flip enumeration over the bucket string, so the DuckDB
+# oracle rebuilds it exactly. Candidate side is BUCKET_CAP-capped like every
+# other LSH path.
+# ---------------------------------------------------------------------------
+
+
+def probe_expr(bucket_col: str, n_planes: int = _N_PLANES) -> str:
+    """SQL expression: array of the exact bucket plus its n_planes
+    hamming-distance-1 neighbors (one bit of the '0'/'1' string flipped)."""
+    probes = [bucket_col]
+    for b in range(n_planes):
+        probes.append(
+            f"concat(substring({bucket_col}, 1, {b}),"
+            f" CASE WHEN substring({bucket_col}, {b + 1}, 1) = '1'"
+            f" THEN '0' ELSE '1' END,"
+            f" substring({bucket_col}, {b + 2}, {n_planes}))"
+        )
+    return "array(" + ", ".join(probes) + ")"
+
+
+_Q_ANN_MULTIPROBE_ORACLE = f"""
+WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+planes AS (
+  SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
+       (SELECT unnest(range(0, {_DIM})) AS j) j
+),
+sigs AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN sum(cast(e.embedding[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embnz e, planes pl GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
+),
+capped AS (
+  SELECT vec_id, bucket FROM buckets
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {_BUCKET_CAP}
+),
+qprobe AS (
+  SELECT b.vec_id AS q_id, e.embedding AS q_emb,
+         CASE WHEN f.bb = -1 THEN b.bucket
+              ELSE substr(b.bucket, 1, f.bb) ||
+                   (CASE WHEN substr(b.bucket, f.bb + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+                   substr(b.bucket, f.bb + 2, {_N_PLANES}) END AS probe
+  FROM buckets b JOIN embnz e USING (vec_id),
+       (SELECT unnest(range(-1, {_N_PLANES})) AS bb) f
+  WHERE b.vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT qp.q_id, qp.q_emb, c.vec_id AS c_id, e2.embedding AS c_emb
+  FROM qprobe qp
+  JOIN capped c ON qp.probe = c.bucket
+  JOIN embnz e2 ON e2.vec_id = c.vec_id
+  WHERE c.vec_id != qp.q_id
+),
+scored AS (
+  SELECT q_id, c_id,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("ann_lsh_multiprobe", _Q_ANN_MULTIPROBE_ORACLE, "multi-probe LSH: hamming-1 bucket probes on one table, exact re-rank")
+def ann_lsh_multiprobe(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
+    withb = e.withColumn("bucket", F.expr(bucket_expr("embedding")))
+    # query side fans out to n_planes+1 probe buckets (a handful of rows per
+    # query — the corpus side is untouched, unlike multi-table's R passes)
+    q = withb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.expr(probe_expr("bucket"))).alias("probe"),
+    )
+    c = cap_bucket_width(withb, "bucket", "vec_id").select(
+        F.col("vec_id").alias("c_id"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("embedding").alias("c_emb"),
+    )
+    # a candidate has exactly one bucket and the probe set is distinct
+    # strings, so each (q_id, c_id) pair joins at most once — no dedup pass
+    cand = q.join(
+        c, (F.col("probe") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id"))
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="q_emb", b="c_emb"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+            * F.sqrt(F.expr(_DOT.format(a="c_emb", b="c_emb")))
+        ),
+        6,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multi-table LSH: R independent hash tables (independently-salted plane
 # sets), candidates = union of per-table bucket matches, exact re-rank.
 # Recall grows ~1-(1-p)^R per extra table at the cost of R bucket joins —
