@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from .registry import load, register
 
 _K = 8
-_ITERS = 2
+_ITERS = 4
 _N_PROBE = 3
 _N_QUERIES = 5
 _TOP_K = 10
@@ -62,7 +62,15 @@ def _assign(emb, cents):
 
 def kmeans_centroids(emb, k: int = _K, iters: int = _ITERS):
     """Lloyd's k-means over (vec_id, xq): deterministic init = first k
-    vectors; update = per-(cell, dim) integer sums / counts."""
+    vectors; update = per-(cell, dim) integer sums / counts.
+
+    Iterative-job hygiene: the training input is persisted (each Lloyd
+    iteration re-reads it — without the persist, iters scans of the source),
+    and the k-row centroid table is localCheckpoint'd per iteration, so the
+    plan each job executes is scan(cached emb) x broadcast(k rows) rather
+    than a lineage that re-nests every previous iteration."""
+    if not emb.is_cached:
+        emb = emb.persist()
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("xq").alias("cent")
     )
@@ -81,6 +89,7 @@ def kmeans_centroids(emb, k: int = _K, iters: int = _ITERS):
                     "transform(array_sort(collect_list(struct(j, c))), p -> p.c)"
                 ).alias("cent")
             )
+            .localCheckpoint()
         )
     return cents
 
@@ -151,9 +160,12 @@ SELECT q_id, c_id, l2q, rank FROM ranked WHERE rank <= {_TOP_K}
 )
 def ann_ivf_kmeans(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    emb_q = e.select("vec_id", F.expr(_QUANT).alias("xq"))
+    # persisted once: training reads it every Lloyd iteration and the final
+    # assignment + query side read it again (at 10^9 vectors: persist the
+    # SAMPLE used for training; the full corpus is only scanned by assign)
+    emb_q = e.select("vec_id", F.expr(_QUANT).alias("xq")).persist()
     # the centroid table is k rows — materialize once, broadcast everywhere
-    cents = kmeans_centroids(emb_q).localCheckpoint()
+    cents = kmeans_centroids(emb_q)
     assigned = _assign(emb_q, cents)
     q = emb_q.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("xq").alias("q_xq")
