@@ -10,33 +10,66 @@ the plan is
            --groupBy doc--> overlap counts
 
 — the only shuffle is the per-doc count; the membership probe is a
-broadcast hash join (map-side). At extreme benchmark sizes you'd swap the
-broadcast for a bloom filter pushed into the scan; the join shape is
-unchanged.
+broadcast hash join (map-side).
+
+When the benchmark gram set is too big to broadcast (a 100-benchmark suite
+at 13-grams can run to hundreds of millions of grams), ``method="bloom"``
+switches the probe to a two-step exact filter:
+
+    1. bloom_filter_agg over the bench grams -> ONE bloom-filter value
+       broadcast to every task; might_contain() prunes the corpus gram
+       stream map-side (no shuffle, ~1% false positives at the default
+       sizing),
+    2. the few surviving grams are confirmed with an ordinary shuffled
+       semi-join against the full bench gram set — exact, tiny, and only
+       over rows the bloom already said "maybe".
+
+False positives therefore cost a little shuffle, never a wrong answer: the
+bloom path returns byte-identical results to the broadcast path.
 
 The synthetic stand-in for a benchmark suite is the first ``_N_BENCH``
 documents of the corpus itself — deterministic, and near-duplicate docs in
 the testdata give non-trivial cross-document hits. Word 8-grams via the
-same linear-time shingling idiom as dedup.py (guarded for short docs).
+same linear-time shingling idiom as dedup.py (guarded for short docs);
+``n`` is a real parameter everywhere (13 = GPT-3's width).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
-from .dedup import _WORDS_SPARK, _let
+from .dedup import _let
 from .registry import load, register
 
-_N = 8  # n-gram width (GPT-3 used 13-grams; 8 fits the synthetic doc sizes)
+_N = 8  # default n-gram width (13 = GPT-3; 8 fits the synthetic doc sizes)
 _N_BENCH = 5  # first N docs act as the benchmark suite
 
-_GRAMS_SPARK = _let(
-    _WORDS_SPARK,
-    "wz",
-    f"CASE WHEN size(wz) < {_N} THEN cast(array() as array<string>)"
-    f" ELSE array_distinct(transform(sequence(0, size(wz) - {_N}),"
-    f" i -> concat_ws(' ', {', '.join(f'wz[i+{k}]' for k in range(_N))}))) END",
-)
+# Above this many distinct bench grams, method="auto" flips from a plain
+# broadcast join to the bloom prefilter + exact confirm.
+BROADCAST_MAX_GRAMS = 5_000_000
+
+
+def words_expr(text_col: str) -> str:
+    """Whitespace-split word array of a column (column name is a real
+    parameter — never a string substitution into a template)."""
+    return f"filter(split({text_col}, '[ \\t\\n]+'), w -> w != '')"
+
+
+def grams_expr(text_col: str, n: int = _N) -> str:
+    """Distinct word n-grams of ``text_col`` as one linear-time per-row
+    expression (the `_let` idiom keeps the split from re-evaluating per
+    gram; CASE guards short docs from sequence()'s descending-ramp trap)."""
+    joined = ", ".join(f"wz[i+{k}]" for k in range(n))
+    return _let(
+        words_expr(text_col),
+        "wz",
+        f"CASE WHEN size(wz) < {n} THEN cast(array() as array<string>)"
+        f" ELSE array_distinct(transform(sequence(0, size(wz) - {n}),"
+        f" i -> concat_ws(' ', {joined}))) END",
+    )
+
 
 _WORDS_DUCK = "list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')"
 _DUCK_CONCAT = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _N + 1))
@@ -60,24 +93,124 @@ SELECT doc_id, n_contaminated_grams FROM hits
 """
 
 
-def decontaminate_against(
-    corpus, bench, text_col: str = "content", key_cols: list[str] | None = None, n: int = _N
-):
-    """Drop corpus rows sharing any word n-gram with ``bench[text_col]`` —
-    the pipeline-facing form (used by the CLI's --decontaminate): returns
-    the CLEAN corpus via one broadcast gram probe + a left-anti join on the
-    flagged keys."""
-    key_cols = key_cols or ["repo", "path", "commit"]
-    grams_expr = _GRAMS_SPARK.replace("text", text_col)
-    bench_grams = bench.select(
-        F.explode(F.expr(grams_expr)).alias("g")
-    ).distinct()
-    flagged = (
-        corpus.select(*key_cols, F.explode(F.expr(grams_expr)).alias("g"))
-        .join(F.broadcast(bench_grams), "g")
+def _flag_broadcast(corpus_grams, bench_grams, key_cols):
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
         .select(*key_cols)
         .distinct()
     )
+
+
+_BLOOM_K = 6  # hash functions; with ~10 bits/item -> ~1% false positives
+
+
+def build_bloom(grams, num_bits: int):
+    """Distributed bloom-filter build over a gram column ``g``: each gram
+    contributes _BLOOM_K bit positions (double hashing off one xxhash64),
+    positions bit_or-aggregate into 64-bit words, and only the NONZERO words
+    come back to the driver. The bitmap size is fixed up front, so the
+    collect is bounded by num_bits/64 longs no matter how many grams went in
+    — this is what replaces Spark's internal bloom_filter_agg (not exposed
+    in the public function registry)."""
+    num_words = (num_bits + 63) // 64
+    pos = (
+        grams.select(F.xxhash64("g").alias("h"))
+        .select(
+            F.expr("h & 4294967295").alias("h1"),
+            F.expr("shiftrightunsigned(h, 32) | 1").alias("h2"),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_BLOOM_K - 1}),"
+                    f" i -> pmod(h1 + i * h2, cast({num_bits} as bigint)))"
+                )
+            ).alias("pos")
+        )
+    )
+    words = (
+        pos.select(
+            F.expr("cast(pos / 64 as long)").alias("word"),
+            F.expr("shiftleft(cast(1 as long), cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros(num_words, dtype=np.int64)
+    for r in words:
+        arr[r.word] = r.bits
+    return arr.view(np.uint64)
+
+
+def _might_contain_udf(spark, bitmap, num_bits: int):
+    """Vectorized (Arrow-batched) bloom probe over a PRECOMPUTED xxhash64
+    column — the JVM computes the hash so build and probe use the identical
+    function; Python only does numpy bit math on int64 batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        arr = bc.value
+        hv = h.to_numpy().astype(np.uint64)
+        h1 = hv & np.uint64(0xFFFFFFFF)
+        h2 = (hv >> np.uint64(32)) | np.uint64(1)
+        res = np.ones(len(hv), dtype=bool)
+        for i in range(_BLOOM_K):
+            p = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+            word = (p >> np.uint64(6)).astype(np.int64)
+            bit = (p & np.uint64(63)).astype(np.uint64)
+            res &= ((arr[word] >> bit) & np.uint64(1)) == 1
+        return pd.Series(res)
+
+    return might_contain
+
+
+def _flag_bloom(corpus_grams, bench_grams, key_cols, expected_grams: int):
+    spark = corpus_grams.sparkSession
+    # ~10 bits/item with 6 hashes -> ~1% FPP; FPs only cost confirm-join
+    # traffic, never a wrong answer
+    num_bits = max(expected_grams * 10, 1024)
+    bitmap = build_bloom(bench_grams, num_bits)
+    probe = _might_contain_udf(spark, bitmap, num_bits)
+    maybe = corpus_grams.filter(probe(F.xxhash64("g")))
+    # exact confirm: shuffled semi-join, but only over bloom survivors
+    return maybe.join(bench_grams, "g", "left_semi").select(*key_cols).distinct()
+
+
+def decontaminate_against(
+    corpus,
+    bench,
+    text_col: str = "content",
+    key_cols: list[str] | None = None,
+    n: int = _N,
+    method: str = "auto",
+    broadcast_max_grams: int = BROADCAST_MAX_GRAMS,
+):
+    """Drop corpus rows sharing any word ``n``-gram with ``bench[text_col]``
+    — the pipeline-facing form (used by the CLI's --decontaminate): returns
+    the CLEAN corpus. ``method``: "broadcast" (gram set joins broadcast),
+    "bloom" (bloom prefilter + exact confirm — for gram sets beyond
+    broadcast limits), or "auto" (count the bench grams — an action on the
+    small side only — and pick). Both methods return identical rows."""
+    key_cols = key_cols or ["repo", "path", "commit"]
+    ge = grams_expr(text_col, n)
+    bench_grams = bench.select(F.explode(F.expr(ge)).alias("g")).distinct()
+    corpus_grams = corpus.select(*key_cols, F.explode(F.expr(ge)).alias("g"))
+    if method == "auto":
+        n_grams = bench_grams.count()
+        method = "bloom" if n_grams > broadcast_max_grams else "broadcast"
+    else:
+        n_grams = None
+    if method == "broadcast":
+        flagged = _flag_broadcast(corpus_grams, bench_grams, key_cols)
+    elif method == "bloom":
+        expected = n_grams if n_grams is not None else bench_grams.count()
+        flagged = _flag_bloom(corpus_grams, bench_grams, key_cols, max(expected, 1))
+    else:
+        raise ValueError(f"unknown decontamination method: {method!r}")
     return corpus.join(flagged, key_cols, "left_anti")
 
 
@@ -86,7 +219,7 @@ def decontaminate(spark, sf_dir):
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    grams = d.select("doc_id", F.explode(F.expr(_GRAMS_SPARK)).alias("g"))
+    grams = d.select("doc_id", F.explode(F.expr(grams_expr("text"))).alias("g"))
     bench = grams.filter(F.col("doc_id") < _N_BENCH).select("g").distinct()
     return (
         grams.join(F.broadcast(bench), "g")

@@ -1,0 +1,78 @@
+"""Bloom-filter decontamination path: when the benchmark gram set exceeds
+the broadcast threshold, the probe switches to a distributed-built bloom
+bitmap (bounded collect: num_bits/64 longs regardless of gram count) +
+vectorized pandas probe + exact confirm semi-join — and must return rows
+BYTE-IDENTICAL to the broadcast path (false positives cost confirm-join
+traffic, never a wrong answer)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from curator_spark.operators.decontaminate import (
+    _BLOOM_K,
+    build_bloom,
+    decontaminate_against,
+    grams_expr,
+)
+
+KEYS = ["repo", "path", "commit"]
+
+
+def _keyset(df):
+    return {tuple(r) for r in df.select(*KEYS).collect()}
+
+
+def test_bloom_path_matches_broadcast(spark, corpus_df):
+    bench = corpus_df.limit(25).select("content")
+    a = decontaminate_against(corpus_df, bench, method="broadcast")
+    b = decontaminate_against(corpus_df, bench, method="bloom")
+    assert _keyset(a) == _keyset(b)
+    assert a.count() < corpus_df.count()  # something was actually dropped
+
+
+def test_auto_flips_to_bloom_over_threshold(spark, corpus_df):
+    """Force the threshold below the real gram count: auto must take the
+    bloom path (observable: no broadcast of the gram set needed) and still
+    match the broadcast answer."""
+    bench = corpus_df.limit(25).select("content")
+    n_grams = bench.select(
+        F.explode(F.expr(grams_expr("content"))).alias("g")
+    ).distinct().count()
+    assert n_grams > 10  # the fixture genuinely exceeds the forced threshold
+    auto = decontaminate_against(
+        corpus_df, bench, method="auto", broadcast_max_grams=10
+    )
+    bcast = decontaminate_against(corpus_df, bench, method="broadcast")
+    assert _keyset(auto) == _keyset(bcast)
+
+
+def test_ngram_width_is_respected(spark, corpus_df):
+    """n is a real parameter (round-2 ADVICE: it was silently ignored):
+    narrower grams flag strictly more overlap, and n=13 parses fine."""
+    bench = corpus_df.limit(25).select("content")
+    kept_n2 = decontaminate_against(corpus_df, bench, n=2).count()
+    kept_n8 = decontaminate_against(corpus_df, bench, n=8).count()
+    kept_n13 = decontaminate_against(corpus_df, bench, n=13).count()
+    assert kept_n2 <= kept_n8 <= kept_n13
+
+
+def test_bloom_bitmap_has_no_false_negatives(spark, corpus_df):
+    """Every inserted gram must probe positive (bloom guarantee) — checked
+    with the same double-hash math the pandas UDF runs."""
+    bench = corpus_df.limit(10).select("content")
+    grams = bench.select(F.explode(F.expr(grams_expr("content"))).alias("g")).distinct()
+    num_bits = 1 << 14
+    bitmap = build_bloom(grams, num_bits)
+    hv = np.array(
+        [r.h for r in grams.select(F.xxhash64("g").alias("h")).collect()],
+        dtype=np.int64,
+    ).astype(np.uint64)
+    h1 = hv & np.uint64(0xFFFFFFFF)
+    h2 = (hv >> np.uint64(32)) | np.uint64(1)
+    hit = np.ones(len(hv), dtype=bool)
+    for i in range(_BLOOM_K):
+        p = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+        hit &= ((bitmap[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1)) == 1
+    assert hit.all()
