@@ -1,0 +1,155 @@
+"""Pluggable model scorers for the quality pipeline's model stage.
+
+The langid + perplexity stage is an executor-local model invoked over Arrow
+batches (reference pattern: curator's offline processor loads the model
+once per worker and batch-infers —
+request_processor/vllm_offline_request_processor.py:41-53,192-197). This
+module makes WHICH model a config choice instead of a hard-coded stand-in:
+
+* :class:`TrigramScorer` — the default: the deterministic char-trigram
+  langid + perplexity stand-ins (functions.langid / functions.perplexity).
+  Zero dependencies, bit-reproducible, what every oracle/golden verifies.
+* :class:`FastTextKenLMScorer` — the production swap: a real fastText
+  ``.bin`` language-ID model and a KenLM ``.arpa``/``.klm`` n-gram LM.
+  Ship the files with ``spark-submit --files langid.bin lm.klm`` and pass
+  the bare names; they resolve via SparkFiles on each executor. The class
+  raises a clear ImportError where the libraries aren't installed (they are
+  not in this container — the LOADING and PLUMBING are real, the import is
+  the only gate).
+
+Executor-side lifecycle: pipeline stages receive a zero-arg ``loader``
+callable (serializable; the scorer itself never crosses the wire) and call
+:func:`get_scorer` inside the Arrow map. The result is cached in a
+module-level singleton dict keyed by the loader's identity, so a worker
+process builds the model ONCE no matter how many partitions/batches it
+processes (proved by tests/test_pluggable_scorer.py with a load-marker
+scorer).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Tuple
+
+import numpy as np
+import pandas as pd
+
+Loader = Callable[[], "Scorer"]
+
+
+class Scorer:
+    """score(texts) -> (lang_pred: pd.Series[str], ppl: np.ndarray[float64]),
+    both aligned to ``texts.index``."""
+
+    def score(self, texts: pd.Series) -> Tuple[pd.Series, np.ndarray]:
+        raise NotImplementedError
+
+
+class TrigramScorer(Scorer):
+    """Default: deterministic trigram langid + perplexity, sharing ONE
+    encode pass per batch (exactly what the DuckDB oracles replay)."""
+
+    def score(self, texts: pd.Series) -> Tuple[pd.Series, np.ndarray]:
+        from .langid import detect_prog_lang_batch
+        from .perplexity import batch_encoding, ppl_from_encoding
+
+        return detect_prog_lang_batch(texts), ppl_from_encoding(
+            batch_encoding(texts)
+        )
+
+
+def _resolve_model_file(path: str) -> str:
+    """A bare filename shipped with ``spark-submit --files`` lives in the
+    SparkFiles root on executors; an absolute/existing path wins as-is."""
+    if os.path.exists(path):
+        return path
+    from pyspark import SparkFiles
+
+    candidate = SparkFiles.get(os.path.basename(path))
+    if os.path.exists(candidate):
+        return candidate
+    raise FileNotFoundError(
+        f"model file {path!r} not found locally or in SparkFiles; ship it "
+        "with spark-submit --files (or SparkContext.addFile) and pass the "
+        "bare filename"
+    )
+
+
+class FastTextKenLMScorer(Scorer):
+    """Real models: fastText language-ID + KenLM perplexity.
+
+    lang labels are fastText's ``__label__xx`` with the prefix stripped;
+    perplexity is per-doc ``10^(-logscore/words)`` (KenLM's standard form).
+    """
+
+    def __init__(self, fasttext_bin: str, kenlm_model: str, langid_prefix: int = 512):
+        try:
+            import fasttext  # type: ignore
+        except ImportError as e:  # pragma: no cover - lib absent in container
+            raise ImportError(
+                "FastTextKenLMScorer needs the 'fasttext' package on every "
+                "executor (pip install fasttext-wheel); the default "
+                "TrigramScorer runs without it"
+            ) from e
+        try:
+            import kenlm  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "FastTextKenLMScorer needs the 'kenlm' package on every "
+                "executor (pip install kenlm); the default TrigramScorer "
+                "runs without it"
+            ) from e
+        self._ft = fasttext.load_model(_resolve_model_file(fasttext_bin))
+        self._lm = kenlm.Model(_resolve_model_file(kenlm_model))
+        self._prefix = langid_prefix
+
+    def score(self, texts: pd.Series) -> Tuple[pd.Series, np.ndarray]:  # pragma: no cover
+        clean = texts.fillna("").str.slice(0, self._prefix).str.replace("\n", " ")
+        labels, _ = self._ft.predict(clean.tolist())
+        lang = pd.Series(
+            [ls[0].removeprefix("__label__") if ls else "unknown" for ls in labels],
+            index=texts.index,
+            dtype=object,
+        )
+        ppl = np.fromiter(
+            (self._lm.perplexity(t) for t in texts.fillna("")),
+            dtype=np.float64,
+            count=len(texts),
+        )
+        return lang, ppl
+
+
+def default_scorer_loader() -> Scorer:
+    return TrigramScorer()
+
+
+def fasttext_kenlm_loader(fasttext_bin: str, kenlm_model: str) -> Loader:
+    """Serializable loader for the production scorer: the returned closure
+    carries only the two path strings; models load lazily per worker."""
+
+    def load() -> Scorer:
+        return FastTextKenLMScorer(fasttext_bin, kenlm_model)
+
+    # stable cache identity per (paths) pair, not per closure object
+    load.__qualname__ = f"fasttext_kenlm_loader({fasttext_bin!r},{kenlm_model!r})"
+    return load
+
+
+# per-worker-process singleton cache (the executor-local-model pattern)
+_SCORER_CACHE: dict[str, Scorer] = {}
+
+
+def _loader_key(loader: Loader) -> str:
+    return f"{getattr(loader, '__module__', '?')}.{getattr(loader, '__qualname__', repr(loader))}"
+
+
+def get_scorer(loader: Loader | None) -> Scorer:
+    """Resolve a loader to its per-worker singleton instance. ``None`` means
+    the default trigram stand-in."""
+    loader = loader or default_scorer_loader
+    key = _loader_key(loader)
+    inst = _SCORER_CACHE.get(key)
+    if inst is None:
+        inst = loader()
+        _SCORER_CACHE[key] = inst
+    return inst

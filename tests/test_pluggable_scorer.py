@@ -1,0 +1,123 @@
+"""Pluggable model scorers (functions.scorers): the langid/perplexity stage
+must accept an injected scorer, build it ONCE per worker process (the
+executor-local-model pattern — reference:
+vllm_offline_request_processor.py:41-53), and with the default loader
+produce byte-identical pipeline output to the hard-wired stand-in."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from curator_spark.functions.scorers import (
+    FastTextKenLMScorer,
+    TrigramScorer,
+    default_scorer_loader,
+    get_scorer,
+)
+from curator_spark.plans.quality_pipeline import annotate, curate
+
+
+def _marker_loader(marker_dir: str):
+    """'Heavyweight' scorer standing in for a real model load: every
+    construction drops a pid-stamped marker file, so the number of marker
+    files == number of loads (scoring itself is the default trigram math,
+    keeping pipeline output unchanged). Class and loader are defined inside
+    this factory so cloudpickle ships them BY VALUE — test modules aren't
+    importable on executors, exactly like a user's driver script."""
+
+    def load():
+        import os as _os
+
+        from curator_spark.functions.scorers import TrigramScorer as _TS
+
+        class MarkerScorer(_TS):
+            def __init__(self, d: str):
+                _os.makedirs(d, exist_ok=True)
+                # one file per (pid, load ordinal): a second load in the
+                # SAME pid means the singleton cache failed — that's what
+                # the test counts
+                path = _os.path.join(d, f"load-{_os.getpid()}")
+                n = 0
+                while _os.path.exists(f"{path}-{n}"):
+                    n += 1
+                with open(f"{path}-{n}", "w") as f:
+                    f.write("loaded")
+
+        return MarkerScorer(marker_dir)
+
+    load.__qualname__ = f"marker_loader({marker_dir!r})"
+    return load
+
+
+def test_injected_scorer_loads_once_per_worker(spark, corpus_df, tmp_path):
+    marker_dir = str(tmp_path / "loads")
+    loader = _marker_loader(marker_dir)
+    # many partitions >> workers, run TWICE: loads must track worker pids,
+    # not partitions or jobs
+    df = corpus_df.repartition(16)
+    n1 = curate(df, scorer_loader=loader).count()
+    n2 = curate(df, scorer_loader=loader).count()
+    assert n1 == n2 > 0
+    loads = os.listdir(marker_dir)
+    pids = {name.rsplit("-", 2)[1] for name in loads}
+    # singleton cache: exactly one load per python worker process
+    assert len(loads) == len(pids)
+    assert 0 < len(pids) <= 16
+
+
+def test_injected_default_matches_builtin(spark, corpus_df):
+    base = curate(corpus_df).orderBy("repo", "path", "commit")
+    injected = curate(corpus_df, scorer_loader=default_scorer_loader).orderBy(
+        "repo", "path", "commit"
+    )
+    assert base.collect() == injected.collect()
+
+
+def test_injected_marker_scorer_keeps_golden_parity(spark, corpus_df, tmp_path):
+    """Swapping the loader must not change WHAT is computed when the model
+    is equivalent: marker scorer == default, row for row, through both
+    curate() and annotate()."""
+    loader = _marker_loader(str(tmp_path / "loads2"))
+    a = curate(corpus_df).orderBy("repo", "path", "commit").collect()
+    b = curate(corpus_df, scorer_loader=loader).orderBy(
+        "repo", "path", "commit"
+    ).collect()
+    assert a == b
+    cols = ["repo", "path", "commit", "lang_pred", "keep", "scrubbed_sha256"]
+    a2 = annotate(corpus_df).select(cols).orderBy(*cols[:3]).collect()
+    b2 = (
+        annotate(corpus_df, scorer_loader=loader)
+        .select(cols)
+        .orderBy(*cols[:3])
+        .collect()
+    )
+    assert a2 == b2
+
+
+def test_driver_side_singleton_cache():
+    s1 = get_scorer(None)
+    s2 = get_scorer(default_scorer_loader)
+    assert s1 is s2  # None and the explicit default share one instance
+
+
+def test_fasttext_kenlm_scorer_is_an_honest_gate():
+    """The real-model class must fail loudly (ImportError naming the
+    package) in this container, not silently fall back."""
+    try:
+        import fasttext  # type: ignore # noqa: F401
+
+        has_ft = True
+    except ImportError:
+        has_ft = False
+    if has_ft:  # environment surprise: then construction must want files
+        import pytest
+
+        with pytest.raises((FileNotFoundError, ValueError)):
+            FastTextKenLMScorer("nonexistent.bin", "nonexistent.klm")
+    else:
+        import pytest
+
+        with pytest.raises(ImportError, match="fasttext"):
+            FastTextKenLMScorer("nonexistent.bin", "nonexistent.klm")
