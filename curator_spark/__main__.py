@@ -79,7 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     lineage = read_lineage(spark, f"{args.work_dir}/_lineage")
-    proj = cost_projection(lineage, total_rows=n_out, stage="filter")
+    # total_rows=None: the run is complete, so the committed input rows ARE
+    # the total (passing the kept-output count here would mix row domains)
+    proj = cost_projection(lineage, total_rows=None, stage="filter")
     print(
         json.dumps(
             {

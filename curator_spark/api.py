@@ -210,10 +210,18 @@ class SparkCurator:
             return out
         ok = filter_failed(out).withColumn(ERROR_COL, F.lit(None).cast("string"))
         ok_keys = ok.select(*key_cols).distinct()
+        # "latest outcome" is real, not dropDuplicates-arbitrary: the commit
+        # batch id (retries commit as batch >= n_batches) orders attempts,
+        # and the window keeps the highest one per key
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_cols).orderBy(F.desc("__origin_batch"))
         errs = (
-            failed_rows(out)
+            failed_rows(stage.output_with_origin(spark))
             .join(ok_keys, key_cols, "left_anti")
-            .dropDuplicates(key_cols)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__origin_batch")
         )
         return ok.unionByName(errs)
 

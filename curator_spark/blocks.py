@@ -68,11 +68,15 @@ def attach_distractors(
     w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = stats.withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
     total = offsets.agg(F.sum("cnt").alias("n_total"))  # 1 row, broadcast
+    # localCheckpoint: ranked is joined TWICE below (own_rank lookup +
+    # distractor lookup) — without it the window+offset-join lineage would
+    # execute twice
     ranked = (
         bucketed.withColumn("r_in", F.row_number().over(w_in) - 1)
         .join(F.broadcast(offsets.select("b", "off")), "b")
         .withColumn("rank", F.col("off") + F.col("r_in"))
         .select("chunk_key", "distractor", "rank")
+        .localCheckpoint()
     )
     q = (
         questions.join(

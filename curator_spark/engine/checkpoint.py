@@ -13,8 +13,9 @@ Spark re-expression of curator's resumable map
 2. **Process batch-by-batch** — each shard is transformed and written to a
    temp dir, then atomically ``rename``d to ``batch=<b>/`` (curator's
    append-only responses checkpoint, base_online_request_processor.py:612-634;
-   atomic-rename emulates an Iceberg snapshot commit — swap in a real
-   catalog by replacing ``_commit_dir``). Within a batch, all of Spark's
+   atomic-rename is LocalCatalog's snapshot commit; EVERY storage
+   operation routes through ``sources.catalog.Catalog``, so a real Iceberg
+   deployment is a constructor swap, not a code change). Within a batch, all of Spark's
    executors work in parallel; the batch is purely the commit granule.
 3. **Resume** — a re-run lists committed ``batch=*`` dirs and processes only
    the missing ones (curator's completed-id skip,
@@ -35,7 +36,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -43,26 +43,11 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.catalog import Catalog, ParquetDirCatalog
 from .fingerprint import config_fingerprint, input_identity
 from .lineage import append_lineage
 
 BATCH_COL = "__batch"
-
-
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers (no Spark job)."""
-    import pyarrow.dataset as ds
-
-    return ds.dataset(path, format="parquet").count_rows()
-
-
-def _parquet_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
 
 
 @dataclass
@@ -92,6 +77,7 @@ class ResumableStage:
         run_hash: str = "",
         batch_target_bytes: int = 128 << 20,
         batch_max_rows: int = 50_000,
+        catalog: Catalog | None = None,
     ) -> None:
         """``n_batches=None`` sizes the commit granule automatically from
         the input: n = max(ceil(bytes / batch_target_bytes),
@@ -100,7 +86,12 @@ class ResumableStage:
         openai_batch_request_processor.py:66-78). At 100 TB a hand-picked
         constant is either a 10-hour commit granule or a million tiny
         files; deriving it from input bytes keeps both bounded. Both stats
-        come from file metadata (sizes + parquet footers), no Spark job."""
+        come from file metadata (sizes + parquet footers), no Spark job.
+
+        ``catalog``: the storage backend every read/write/commit goes
+        through (default: ParquetDirCatalog rooted at ``work_dir`` —
+        atomic-rename commits). Swap in an Iceberg-backed Catalog to make
+        batch commits real snapshot commits; no stage logic changes."""
         self.name = name
         self.key_cols = key_cols
         self.n_batches = n_batches
@@ -111,24 +102,21 @@ class ResumableStage:
         self.stage_dir = os.path.join(work_dir, f"{name}-{self.fingerprint}")
         self.input_dir = os.path.join(self.stage_dir, "input")
         self.lineage_dir = os.path.join(work_dir, "_lineage")
+        self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
 
     # -- commit primitives ---------------------------------------------------
     def _commit_dir(self, tmp: str, final: str) -> None:
-        """Atomic publish: os.rename of a completed directory. The Iceberg
-        analog is a snapshot commit; swap this method to use a catalog."""
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        """The stage's commit = the catalog's publish (LocalCatalog:
+        atomic os.rename; Iceberg: snapshot commit)."""
+        self.catalog.publish(tmp, final)
 
     def _batch_dir(self, b: int) -> str:
         return os.path.join(self.stage_dir, f"batch={b}")
 
     def committed_batches(self) -> list[int]:
         out = []
-        if not os.path.isdir(self.stage_dir):
-            return out
-        for d in os.listdir(self.stage_dir):
-            if d.startswith("batch=") and os.path.exists(
+        for d in self.catalog.list_dir(self.stage_dir):
+            if d.startswith("batch=") and self.catalog.path_exists(
                 os.path.join(self.stage_dir, d, "_SUCCESS")
             ):
                 out.append(int(d.split("=", 1)[1]))
@@ -180,31 +168,27 @@ class ResumableStage:
         cache on the dataset fingerprint too, llm/llm.py:144-169)."""
         marker = os.path.join(self.input_dir, "_SHARDS_OK")
         want = f"{self.fingerprint}|{self.n_batches}|{input_token}"
-        if os.path.exists(marker):
-            with open(marker) as f:
-                have = f.read()
-            if have == want:
+        if self.catalog.path_exists(marker):
+            if self.catalog.get_text(marker) == want:
                 return
             # input changed under the same stage dir: invalidate everything
             # derived from the old input — shards, committed batches, AND
             # the terminal-failure table (old failures aren't this input's)
-            shutil.rmtree(self.input_dir)
-            for d in os.listdir(self.stage_dir):
+            self.catalog.remove(self.input_dir)
+            for d in self.catalog.list_dir(self.stage_dir):
                 if d.startswith("batch=") or d == "failed_requests":
-                    shutil.rmtree(os.path.join(self.stage_dir, d))
+                    self.catalog.remove(os.path.join(self.stage_dir, d))
         tmp = self.input_dir + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        (
+        self.catalog.remove(tmp)
+        self.catalog.write_staged(
             df.withColumn(
                 BATCH_COL,
                 F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_batches)).cast("int"),
-            )
-            .write.partitionBy(BATCH_COL)
-            .mode("overwrite")
-            .parquet(tmp)
+            ),
+            tmp,
+            partition_by=BATCH_COL,
         )
-        open(os.path.join(tmp, "_SHARDS_OK"), "w").write(want)
+        self.catalog.put_text(os.path.join(tmp, "_SHARDS_OK"), want)
         self._commit_dir(tmp, self.input_dir)
 
     # -- the run loop ----------------------------------------------------------
@@ -223,7 +207,6 @@ class ResumableStage:
         (file uris+sizes+mtimes) mixed into the shard marker; pass one for
         in-memory inputs whose identity the automatic probe can't see.
         """
-        os.makedirs(self.stage_dir, exist_ok=True)
         self._resolve_n_batches(df)
         self._ensure_input_shards(df, input_token or input_identity(df))
         done = set(self.committed_batches())
@@ -236,21 +219,20 @@ class ResumableStage:
                     f"fail-injection: stopping {self.name} after {len(ran)} batches"
                 )
             t0 = time.time()
-            shard = spark.read.parquet(self.input_dir).filter(
+            shard = self.catalog.read_path(spark, self.input_dir).filter(
                 F.col(BATCH_COL) == b
             ).drop(BATCH_COL)
             out = transform(shard)
             # "_tmp-" prefix keeps partial writes out of the "batch=*" glob
             tmp = os.path.join(self.stage_dir, f"_tmp-batch-{b}")
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            out.write.mode("overwrite").parquet(tmp)
+            self.catalog.remove(tmp)
+            self.catalog.write_staged(out, tmp)
             self._commit_dir(tmp, self._batch_dir(b))
             wall_ms = int((time.time() - t0) * 1000)
             # A batch no key hashed into has NO partition dir on disk —
             # reachable when rows < n_batches or key hashing is skewed.
             shard_in_dir = os.path.join(self.input_dir, f"{BATCH_COL}={b}")
-            shard_exists = os.path.isdir(shard_in_dir)
+            shard_exists = self.catalog.path_exists(shard_in_dir)
             append_lineage(
                 spark,
                 self.lineage_dir,
@@ -259,9 +241,9 @@ class ResumableStage:
                         "run_hash": self.run_hash,
                         "stage": self.name,
                         "partition_id": b,
-                        "rows_in": _parquet_rows(shard_in_dir) if shard_exists else 0,
-                        "rows_out": _parquet_rows(self._batch_dir(b)),
-                        "bytes_in": _parquet_bytes(shard_in_dir) if shard_exists else 0,
+                        "rows_in": self.catalog.count_rows(shard_in_dir) if shard_exists else 0,
+                        "rows_out": self.catalog.count_rows(self._batch_dir(b)),
+                        "bytes_in": self.catalog.dir_bytes(shard_in_dir) if shard_exists else 0,
                         "wall_ms": wall_ms,
                     }
                 ],
@@ -273,8 +255,9 @@ class ResumableStage:
             "n_batches": self.n_batches,
             "key_cols": self.key_cols,
         }
-        with open(os.path.join(self.stage_dir, "_STAGE_META.json"), "w") as f:
-            json.dump(meta, f)
+        self.catalog.put_text(
+            os.path.join(self.stage_dir, "_STAGE_META.json"), json.dumps(meta)
+        )
         return StageResult(
             name=self.name,
             fingerprint=self.fingerprint,
@@ -319,17 +302,16 @@ class ResumableStage:
         failed_dir = os.path.join(self.stage_dir, "failed_requests")
         if n_failed:
             tmp = failed_dir + ".tmp"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            failed.write.mode("overwrite").parquet(tmp)
+            self.catalog.remove(tmp)
+            self.catalog.write_staged(failed, tmp)
             self._commit_dir(tmp, failed_dir)
             if require_all_responses:
                 raise RuntimeError(
                     f"stage {self.name}: {n_failed} rows still failed after "
                     f"{max_retries} retries (see {failed_dir})"
                 )
-        elif os.path.exists(failed_dir):
-            shutil.rmtree(failed_dir)  # a rerun cleared a previous failure
+        elif self.catalog.path_exists(failed_dir):
+            self.catalog.remove(failed_dir)  # a rerun cleared a previous failure
         return StageResult(
             name=res.name,
             fingerprint=res.fingerprint,
@@ -351,9 +333,8 @@ class ResumableStage:
         dir (flows into output(); resumes like any committed batch)."""
         b = self.n_batches + attempt
         tmp = os.path.join(self.stage_dir, f"_tmp-retry-{attempt}")
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        out.write.mode("overwrite").parquet(tmp)
+        self.catalog.remove(tmp)
+        self.catalog.write_staged(out, tmp)
         self._commit_dir(tmp, self._batch_dir(b))
         append_lineage(
             spark,
@@ -364,7 +345,7 @@ class ResumableStage:
                     "stage": f"{self.name}.retry",
                     "partition_id": b,
                     "rows_in": rows_in,
-                    "rows_out": _parquet_rows(self._batch_dir(b)),
+                    "rows_out": self.catalog.count_rows(self._batch_dir(b)),
                     "bytes_in": 0,
                     "wall_ms": 0,
                 }
@@ -374,11 +355,25 @@ class ResumableStage:
     def failed_requests(self, spark: SparkSession) -> DataFrame | None:
         """Terminal failures from the last run_with_retries, or None."""
         d = os.path.join(self.stage_dir, "failed_requests")
-        return spark.read.parquet(d) if os.path.exists(d) else None
+        return self.catalog.read_path(spark, d) if self.catalog.path_exists(d) else None
 
     # -- derived views ---------------------------------------------------------
     def output(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.stage_dir, "batch=*"))
+        return self.catalog.read_path(
+            spark, os.path.join(self.stage_dir, "batch=*")
+        )
+
+    def output_with_origin(self, spark: SparkSession) -> DataFrame:
+        """output() plus ``__origin_batch``: which commit (base shard or
+        retry attempt — retries are batch ids >= n_batches) produced each
+        row. Lets callers order superseding attempts without a schema
+        change in the committed files (the ordinal IS the partition dir)."""
+        df = self.catalog.read_path(
+            spark,
+            os.path.join(self.stage_dir, "batch=*"),
+            base_path=self.stage_dir,
+        )
+        return df.withColumnRenamed("batch", "__origin_batch")
 
     def failed_rows(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         """Input rows with no committed output — curator's

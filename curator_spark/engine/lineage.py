@@ -55,7 +55,7 @@ def read_lineage(spark: SparkSession, lineage_dir: str) -> DataFrame:
 
 def cost_projection(
     lineage: DataFrame,
-    total_rows: int,
+    total_rows: int | None = None,
     cost_per_1k_rows: float = 0.0,
     stage: str | None = None,
 ) -> dict:
@@ -68,6 +68,12 @@ def cost_projection(
     remaining rows at that rate, and linear cost so-far / projected-total.
     One tiny aggregate over the (n_batches)-row lineage table — driver-side
     by design, like the reference's tracker.
+
+    ``total_rows`` is in the stage's INPUT-row domain (rows_done sums the
+    committed batches' rows_in) — do NOT pass a kept/output count, the
+    remaining/eta/projected fields would mix populations. None (the
+    completed-run case) uses rows_done itself as the total: remaining=0,
+    projection == actuals.
 
     The lineage table is append-only, so an invalidated-and-re-run batch
     contributes MULTIPLE rows per (stage, partition_id); only the LATEST
@@ -92,6 +98,8 @@ def cost_projection(
         F.sum("bytes_in").alias("bytes_done"),
     ).collect()[0]
     rows_done = int(agg["rows_done"] or 0)
+    if total_rows is None:
+        total_rows = rows_done
     wall_s = (agg["wall_ms"] or 0) / 1000.0
     rows_per_sec = rows_done / wall_s if wall_s > 0 else 0.0
     remaining = max(0, total_rows - rows_done)

@@ -34,8 +34,12 @@ def format_training_examples(
         " (acc, m) -> concat(acc, '<|', m.role, '|>', '\\n', m.content, '\\n'))"
     )
     out = df.withColumn("chat_text", chat)
+    # coalesce BEFORE least: least() skips nulls, so a malformed conversation
+    # (any null role/content nulls the rendered concat) would otherwise get
+    # n_tokens = max_seq_length — fabricated tokens instead of zero
     n_tokens = F.least(
-        F.floor(F.length("chat_text") / 4), F.lit(max_seq_length)
+        F.floor(F.coalesce(F.length("chat_text"), F.lit(0)) / 4),
+        F.lit(max_seq_length),
     ).cast("long")
     return (
         out.withColumn("num_messages", F.size(messages_col).cast("long"))
@@ -57,7 +61,7 @@ WITH conv AS (
 ),
 t AS (
   SELECT doc_id, chat_text,
-         least(length(chat_text) // 4, {MAX_SEQ_LENGTH}) AS n_tokens
+         least(coalesce(length(chat_text), 0) // 4, {MAX_SEQ_LENGTH}) AS n_tokens
   FROM conv
 )
 SELECT doc_id,

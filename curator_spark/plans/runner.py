@@ -35,13 +35,21 @@ class QualityFilterRun:
         cfg: RuleConfig = DEFAULT_RULES,
         n_batches: int | None = 8,
         exact_dedup: bool = False,
+        catalog=None,
     ) -> None:
         """``n_batches=None``: each stage auto-sizes its commit granule
-        from its own input's bytes/rows (see ResumableStage)."""
+        from its own input's bytes/rows (see ResumableStage).
+        ``catalog``: the storage backend all stage commits and the runs
+        record go through (sources.catalog.Catalog; default local
+        atomic-rename — pass an Iceberg-backed Catalog on a real
+        deployment and nothing else changes)."""
+        from ..sources.catalog import ParquetDirCatalog
+
         self.work_dir = work_dir
         self.cfg = cfg
         self.n_batches = n_batches
         self.exact_dedup = exact_dedup
+        self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
         # dedup shards by CONTENT hash (not file key): identical payloads
         # must co-locate in one commit batch so the per-batch window sees
         # every copy — sharding is then also the dedup co-partitioning.
@@ -52,6 +60,7 @@ class QualityFilterRun:
                 work_dir,
                 config={"method": "exact-sha256-min-key"},
                 n_batches=n_batches,
+                catalog=self.catalog,
             )
             if exact_dedup
             else None
@@ -62,6 +71,7 @@ class QualityFilterRun:
             work_dir,
             config={"rules": cfg.to_dict()},
             n_batches=n_batches,
+            catalog=self.catalog,
         )
         self.scrub_stage = ResumableStage(
             "scrub",
@@ -69,6 +79,7 @@ class QualityFilterRun:
             work_dir,
             config={"patterns": SCRUB_PATTERNS},
             n_batches=n_batches,
+            catalog=self.catalog,
         )
         self.run_hash = run_fingerprint(
             work_dir, [self.filter_stage.fingerprint, self.scrub_stage.fingerprint]
@@ -138,7 +149,6 @@ class QualityFilterRun:
         # runs table — curator's MetadataDB row (db.py:86-105): one record
         # per completed run keyed by run_hash, with config + timings.
         runs_dir = _os.path.join(self.work_dir, "_runs")
-        _os.makedirs(runs_dir, exist_ok=True)
         record = {
             "run_hash": self.run_hash,
             "config": self.cfg.to_dict(),
@@ -150,8 +160,10 @@ class QualityFilterRun:
             "started_at": started.isoformat(),
             "finished_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
-        with open(_os.path.join(runs_dir, f"{self.run_hash}.json"), "w") as f:
-            _json.dump(record, f, indent=2)
+        self.catalog.put_text(
+            _os.path.join(runs_dir, f"{self.run_hash}.json"),
+            _json.dumps(record, indent=2),
+        )
         return r1, r2
 
     def is_complete(self) -> bool:

@@ -13,6 +13,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _externally_managed_master() -> bool:
+    """True when a cluster launcher already owns spark.master.
+
+    Under ``spark-submit --master yarn/k8s`` the driver python is started
+    by PythonRunner with PYSPARK_GATEWAY_PORT set (JVM already up), or —
+    for pyspark-shell-style launches — PYSPARK_SUBMIT_ARGS carries the
+    submit flags. Probing ``SparkConf().get("spark.master")`` alone is NOT
+    enough: before the gateway exists that conf is an empty Python dict and
+    always answers None, and an explicit builder ``.master()`` would then
+    silently override the cluster manager (explicit builder options beat
+    submit-time system properties)."""
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return True
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().get("spark.master", None) is not None
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "curator_spark",
     cores: int | None = None,
@@ -21,14 +44,10 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
-    # Respect an externally-configured master (spark-submit --master on a
-    # real cluster sets spark.master in the system conf); only local runs
-    # get local[cores].
-    from pyspark import SparkConf
-
-    external_master = SparkConf().get("spark.master", None)
     b = SparkSession.builder.appName(app_name)
-    if external_master is None:
+    # only force local[cores] when no launcher owns the master — never
+    # override spark-submit --master yarn/k8s
+    if not _externally_managed_master():
         b = b.master(f"local[{cores}]")
     b = (
         b

@@ -1,11 +1,23 @@
 """Catalog abstraction — the Iceberg swap point.
 
-The engine's table IO goes through this interface so the local sandbox
-(plain parquet dirs with atomic-rename commits) and a real deployment
-(Iceberg/Delta catalog with snapshot commits) differ only in which Catalog
-is constructed. The checkpoint engine's ``_commit_dir`` (atomic rename +
-_SUCCESS) is the local emulation of an Iceberg snapshot commit; with
-``IcebergCatalog`` the same ResumableStage logic commits real snapshots.
+ALL of the checkpoint engine's storage IO goes through this interface
+(engine/checkpoint.py takes a ``catalog=`` and never touches os/shutil/
+spark.read directly), so the local sandbox (plain parquet dirs with
+atomic-rename commits) and a real deployment (Iceberg/Delta catalog with
+snapshot commits) differ only in which Catalog is constructed — the same
+single-storage-abstraction role curator's cache dir plays
+(reference: base_request_processor.py:145-198).
+
+Two method groups:
+
+* table IO (``read``/``overwrite``/``append``/``exists``) — the
+  dataset-level surface (sinks, publish bundles);
+* stage-storage primitives (``write_staged``/``publish``/``read_path``/
+  ``list_dir``/``remove``/``put_text``/``get_text``/``count_rows``/
+  ``dir_bytes``) — what ResumableStage commits through. ``publish`` is THE
+  commit: ParquetDirCatalog implements it as an atomic ``os.rename`` of a
+  completed directory (the local emulation of an Iceberg snapshot commit);
+  an Iceberg implementation maps it to ``writeTo(...).createOrReplace()``.
 
 Only ``ParquetDirCatalog`` is functional in this container (no Iceberg
 jars baked in — see session.py note); ``IcebergCatalog`` is the documented
@@ -16,12 +28,14 @@ the classpath.
 from __future__ import annotations
 
 import os
+import shutil
 from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class Catalog(ABC):
+    # -- table IO --------------------------------------------------------------
     @abstractmethod
     def read(self, spark: SparkSession, table: str) -> DataFrame: ...
 
@@ -34,10 +48,55 @@ class Catalog(ABC):
     @abstractmethod
     def exists(self, spark: SparkSession, table: str) -> bool: ...
 
+    # -- stage-storage primitives (ResumableStage's entire IO surface) ----------
+    @abstractmethod
+    def write_staged(
+        self, df: DataFrame, tmp: str, partition_by: str | None = None
+    ) -> None:
+        """Write a NOT-yet-visible output (to be made visible by publish)."""
+
+    @abstractmethod
+    def publish(self, tmp: str, final: str) -> None:
+        """Atomically make a staged write visible under ``final`` —
+        the snapshot commit."""
+
+    @abstractmethod
+    def read_path(
+        self, spark: SparkSession, path: str, base_path: str | None = None
+    ) -> DataFrame:
+        """Read a committed location (may be a glob like .../batch=*);
+        ``base_path`` surfaces partition-dir values as columns."""
+
+    @abstractmethod
+    def path_exists(self, path: str) -> bool: ...
+
+    @abstractmethod
+    def list_dir(self, path: str) -> list[str]:
+        """Child entry names of a committed location ([] if absent)."""
+
+    @abstractmethod
+    def remove(self, path: str) -> None:
+        """Drop a committed or staged location (no-op if absent)."""
+
+    @abstractmethod
+    def put_text(self, path: str, text: str) -> None:
+        """Small metadata object (markers, run records)."""
+
+    @abstractmethod
+    def get_text(self, path: str) -> str: ...
+
+    @abstractmethod
+    def count_rows(self, path: str) -> int:
+        """Committed row count from storage metadata (no Spark job)."""
+
+    @abstractmethod
+    def dir_bytes(self, path: str) -> int: ...
+
 
 class ParquetDirCatalog(Catalog):
     """Tables are parquet directories under a root; snapshot commit ==
-    atomic directory rename (engine/checkpoint.py uses the same primitive)."""
+    atomic directory rename. This is the default (and only functional)
+    catalog in this container."""
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -45,6 +104,7 @@ class ParquetDirCatalog(Catalog):
     def _path(self, table: str) -> str:
         return os.path.join(self.root, *table.split("."))
 
+    # -- table IO --------------------------------------------------------------
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self._path(table))
 
@@ -60,12 +120,73 @@ class ParquetDirCatalog(Catalog):
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
+    # -- stage-storage primitives ------------------------------------------------
+    def write_staged(
+        self, df: DataFrame, tmp: str, partition_by: str | None = None
+    ) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
+
+    def publish(self, tmp: str, final: str) -> None:
+        # atomic publish: os.rename of a completed directory (the Iceberg
+        # analog is a snapshot commit)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    def read_path(
+        self, spark: SparkSession, path: str, base_path: str | None = None
+    ) -> DataFrame:
+        r = spark.read
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        return r.parquet(path)
+
+    def path_exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        return os.listdir(path) if os.path.isdir(path) else []
+
+    def remove(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def put_text(self, path: str, text: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+
+    def get_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def count_rows(self, path: str) -> int:
+        """Row count from parquet footers (no Spark job)."""
+        import pyarrow.dataset as ds
+
+        return ds.dataset(path, format="parquet").count_rows()
+
+    def dir_bytes(self, path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
 
 class IcebergCatalog(Catalog):
     """Real-catalog variant: ``spark.read.format("iceberg")`` /
-    ``df.writeTo(table).append()``. Requires the iceberg-spark-runtime jar
-    and a configured catalog (spark.sql.catalog.<name>=...) — not present
-    in this container, so constructing it raises with instructions."""
+    ``df.writeTo(table).append()``; ``publish`` maps to a snapshot commit
+    (``writeTo(...).createOrReplace()``) and the text/metadata primitives
+    to table properties. Requires the iceberg-spark-runtime jar and a
+    configured catalog (spark.sql.catalog.<name>=...) — not present in
+    this container, so constructing it raises with instructions."""
 
     def __init__(self, catalog_name: str) -> None:
         raise NotImplementedError(
@@ -86,4 +207,34 @@ class IcebergCatalog(Catalog):
         raise NotImplementedError
 
     def exists(self, spark, table):  # pragma: no cover
+        raise NotImplementedError
+
+    def write_staged(self, df, tmp, partition_by=None):  # pragma: no cover
+        raise NotImplementedError
+
+    def publish(self, tmp, final):  # pragma: no cover
+        raise NotImplementedError
+
+    def read_path(self, spark, path, base_path=None):  # pragma: no cover
+        raise NotImplementedError
+
+    def path_exists(self, path):  # pragma: no cover
+        raise NotImplementedError
+
+    def list_dir(self, path):  # pragma: no cover
+        raise NotImplementedError
+
+    def remove(self, path):  # pragma: no cover
+        raise NotImplementedError
+
+    def put_text(self, path, text):  # pragma: no cover
+        raise NotImplementedError
+
+    def get_text(self, path):  # pragma: no cover
+        raise NotImplementedError
+
+    def count_rows(self, path):  # pragma: no cover
+        raise NotImplementedError
+
+    def dir_bytes(self, path):  # pragma: no cover
         raise NotImplementedError

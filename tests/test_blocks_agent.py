@@ -75,7 +75,12 @@ def test_attach_distractors_plan_scales(spark):
                 f"single-partition exchange over non-aggregate input:\n"
                 f"{line}\n{lines[i + 1]}"
             )
-    assert "row_number() windowspecdefinition(b#" in plan
+    # the hash-partitioned rank table is localCheckpoint'd and therefore
+    # appears as a materialized RDD scan — computed ONCE even though it is
+    # joined twice (own_rank + distractor lookups); its row_number window
+    # must NOT re-execute inside this plan
+    assert "ExistingRDD" in plan
+    assert "row_number() windowspecdefinition(b#" not in plan
     assert "Union" not in plan
 
 

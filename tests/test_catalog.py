@@ -21,3 +21,58 @@ def test_parquet_dir_catalog_roundtrip(spark, tmp_path):
 def test_iceberg_stub_raises_with_instructions():
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         IcebergCatalog("prod")
+
+
+class RecordingCatalog(ParquetDirCatalog):
+    """Counts every snapshot commit — proves the stage engine routes ALL
+    publishes through the Catalog interface (the Iceberg swap point), not
+    around it."""
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self.publishes: list[str] = []
+        self.staged_writes: list[str] = []
+
+    def publish(self, tmp: str, final: str) -> None:
+        self.publishes.append(final)
+        super().publish(tmp, final)
+
+    def write_staged(self, df, tmp, partition_by=None) -> None:
+        self.staged_writes.append(tmp)
+        super().write_staged(df, tmp, partition_by)
+
+
+def test_resumable_stage_commits_route_through_catalog(spark, corpus_df, tmp_path):
+    from curator_spark.engine.checkpoint import ResumableStage
+
+    cat = RecordingCatalog(str(tmp_path))
+    stage = ResumableStage(
+        "catroute", ["repo", "path", "commit"], str(tmp_path),
+        n_batches=4, catalog=cat,
+    )
+    res = stage.run(spark, corpus_df, lambda df: df.limit(1000))
+    # 1 input-shard publish + 4 batch publishes, every one via the Catalog
+    assert len(res.batches_run) == 4
+    assert len(cat.publishes) == 5
+    assert len(cat.staged_writes) == 5
+    assert stage.output(spark).count() > 0
+    # resume path also goes through the catalog (no new publishes needed)
+    n_before = len(cat.publishes)
+    res2 = stage.run(spark, corpus_df, lambda df: df.limit(1000))
+    assert res2.batches_skipped == [0, 1, 2, 3] and not res2.batches_run
+    assert len(cat.publishes) == n_before
+
+
+def test_quality_filter_run_accepts_catalog(spark, corpus_df, tmp_path):
+    from curator_spark.plans.runner import QualityFilterRun
+
+    cat = RecordingCatalog(str(tmp_path))
+    run = QualityFilterRun(str(tmp_path), n_batches=2, catalog=cat)
+    run.run(spark, corpus_df)
+    assert run.output(spark).count() > 0
+    # filter: 1 shard + 2 batches; scrub: 1 shard + 2 batches
+    assert len(cat.publishes) == 6
+    # the runs record went through the catalog too
+    import os
+
+    assert any(f.endswith(".json") for f in os.listdir(os.path.join(str(tmp_path), "_runs")))
