@@ -433,6 +433,49 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy-dedup KEEP view — what the training pipeline actually consumes:
+# drop every cluster member except the canonical (min doc_id) one. The
+# CCNet/RefinedWeb shape: near-dup pairs -> components -> one survivor per
+# component. One extra left-anti join over the cluster labels (non-canonical
+# members only — a table far smaller than the corpus), inheriting the
+# de-skewed CC above.
+# ---------------------------------------------------------------------------
+_Q_FUZZY_KEEP_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.band = b.band
+           AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+dropped AS (
+  SELECT u AS doc_id FROM (SELECT u, min(label) AS cluster_id FROM reach GROUP BY u)
+  WHERE doc_id != cluster_id
+)
+SELECT d.doc_id, d.text FROM documents d
+LEFT JOIN dropped x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+@register("dedup_fuzzy_keep", _Q_FUZZY_KEEP_ORACLE, "fuzzy dedup: kept corpus after MinHash-cluster dedup (one survivor per component)")
+def dedup_fuzzy_keep(spark, sf_dir, max_iters: int = 20):
+    labels = dedup_clusters(spark, sf_dir, max_iters=max_iters)
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = load(spark, sf_dir, "documents")
+    return d.join(dropped, "doc_id", "left_anti").select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: exact pair join over unit vectors. The DuckDB
 # oracle folds the dot product the same way (element-wise double multiply,
 # sequential sum); threshold chosen away from any pair's value to keep the
