@@ -44,6 +44,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--min-chars", type=int, default=None)
     p.add_argument("--max-perplexity", type=float, default=None)
+    p.add_argument(
+        "--fasttext-bin", default=None,
+        help="real fastText language-ID model (ship with spark-submit "
+        "--files and pass the bare name); requires --kenlm-model too",
+    )
+    p.add_argument(
+        "--kenlm-model", default=None,
+        help="real KenLM .arpa/.klm perplexity model (see --fasttext-bin); "
+        "default is the deterministic trigram stand-in",
+    )
     args = p.parse_args(argv)
 
     from .engine.lineage import cost_projection, read_lineage
@@ -70,8 +80,16 @@ def main(argv: list[str] | None = None) -> int:
 
         bench = spark.read.parquet(args.decontaminate)
         corpus = decontaminate_against(corpus, bench, text_col="content")
+    scorer_loader = None
+    if args.fasttext_bin or args.kenlm_model:
+        if not (args.fasttext_bin and args.kenlm_model):
+            p.error("--fasttext-bin and --kenlm-model must be given together")
+        from .functions.scorers import fasttext_kenlm_loader
+
+        scorer_loader = fasttext_kenlm_loader(args.fasttext_bin, args.kenlm_model)
     run = QualityFilterRun(
-        args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup
+        args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
+        scorer_loader=scorer_loader,
     )
     r1, r2 = run.run(spark, corpus)
     out = run.output(spark)

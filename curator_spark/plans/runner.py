@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine.checkpoint import ResumableStage, StageResult
+from ..functions.scorers import _loader_key
 from ..engine.fingerprint import run_fingerprint
 from ..functions.rules import DEFAULT_RULES, RuleConfig
 from ..functions.scrub import SCRUB_PATTERNS
@@ -36,19 +37,25 @@ class QualityFilterRun:
         n_batches: int | None = 8,
         exact_dedup: bool = False,
         catalog=None,
+        scorer_loader=None,
     ) -> None:
         """``n_batches=None``: each stage auto-sizes its commit granule
         from its own input's bytes/rows (see ResumableStage).
         ``catalog``: the storage backend all stage commits and the runs
         record go through (sources.catalog.Catalog; default local
         atomic-rename — pass an Iceberg-backed Catalog on a real
-        deployment and nothing else changes)."""
+        deployment and nothing else changes).
+        ``scorer_loader``: the langid/perplexity model swap point
+        (functions.scorers; None = trigram stand-in). Its identity is part
+        of the filter stage's fingerprint, so changing models re-runs the
+        filter stage (and only it)."""
         from ..sources.catalog import ParquetDirCatalog
 
         self.work_dir = work_dir
         self.cfg = cfg
         self.n_batches = n_batches
         self.exact_dedup = exact_dedup
+        self.scorer_loader = scorer_loader
         self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
         # dedup shards by CONTENT hash (not file key): identical payloads
         # must co-locate in one commit batch so the per-batch window sees
@@ -69,7 +76,10 @@ class QualityFilterRun:
             "filter",
             KEY_COLS,
             work_dir,
-            config={"rules": cfg.to_dict()},
+            config={
+                "rules": cfg.to_dict(),
+                "scorer": _loader_key(scorer_loader) if scorer_loader else "default",
+            },
             n_batches=n_batches,
             catalog=self.catalog,
         )
@@ -99,6 +109,7 @@ class QualityFilterRun:
             scrub=False,
             extra_cols=[*KEY_COLS, "lang", "content"],
             input_schema=survivors.schema,
+            scorer_loader=self.scorer_loader,
         )
         return survivors.mapInPandas(run, schema=schema)
 

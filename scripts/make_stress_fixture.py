@@ -1,0 +1,81 @@
+"""Build a stress fixture one order of magnitude above the driver's gate
+(sf0.01: 500 docs / 500 vectors -> here 50k docs / 20k vectors) so
+scale-onset divergences surface before they would in production (the
+round-2 mov_avg HALF_UP tie bug was only visible at sf0.1 — this keeps
+probing one order higher than whatever the gate runs).
+
+documents: the sf0.1 texts replicated with deterministic word-level
+perturbation (so MinHash sees real near-dups, not only exact copies) plus
+exact duplicates; embeddings: seeded gaussians with planted duplicates /
+antipodes / zero vectors. TPC-H tables copy through from sf0.1 (the
+relational queries scale with them at sf1 via the driver; the stress here
+targets the document/embedding operators, where OUR operators' scale risk
+lives).
+
+Usage: python scripts/make_stress_fixture.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+N_DOC_COPIES = 10  # 5000 -> 50,000 documents
+N_EMB = 20_000
+
+
+def build(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+    base = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    n = len(base)
+    rng = np.random.RandomState(123)
+    frames = [base]
+    for c in range(1, N_DOC_COPIES):
+        rep = base.copy()
+        rep["doc_id"] = rep["doc_id"] + c * n
+        if c % 3 == 0:
+            pass  # exact duplicates of the base texts (dedup signal)
+        else:
+            # word-level perturbation: append a copy-specific token so
+            # shingle sets overlap heavily but aren't identical (near-dups)
+            rep["text"] = rep["text"] + f" stressvariant{c}"
+        frames.append(rep)
+    docs = pd.concat(frames, ignore_index=True)
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    pq.write_table(
+        pa.Table.from_pandas(docs[["doc_id", "text", "lang", "source", "n_chars"]],
+                             schema=schema, preserve_index=False),
+        f"{out_dir}/documents.parquet",
+    )
+
+    dim = 64
+    emb = rng.randn(N_EMB, dim).astype(np.float32)
+    emb[1000] = emb[999]          # exact duplicate
+    emb[1001] = -emb[999]         # antipode
+    emb[1002] = 0.0               # zero vector
+    emb[1003] = emb[999] * 0.5    # same direction (same LSH bucket)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(N_EMB)]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])),
+        f"{out_dir}/embeddings.parquet",
+    )
+    print(f"stress fixture at {out_dir}: {len(docs)} docs, {N_EMB} embeddings")
+
+
+if __name__ == "__main__":
+    build(sys.argv[1] if len(sys.argv) > 1 else ".bench/stress_sf")

@@ -121,3 +121,32 @@ def test_fasttext_kenlm_scorer_is_an_honest_gate():
 
         with pytest.raises(ImportError, match="fasttext"):
             FastTextKenLMScorer("nonexistent.bin", "nonexistent.klm")
+
+
+def test_runner_scorer_is_fingerprinted(spark, corpus_df, tmp_path):
+    """Changing the scorer must invalidate (re-fingerprint) the filter
+    stage — same rules + different model is a different computation."""
+    from curator_spark.plans.runner import QualityFilterRun
+
+    base = QualityFilterRun(str(tmp_path))
+    swapped = QualityFilterRun(
+        str(tmp_path), scorer_loader=_marker_loader(str(tmp_path / "m"))
+    )
+    assert base.filter_stage.fingerprint != swapped.filter_stage.fingerprint
+    # scrub stage is scorer-independent: unchanged fingerprint
+    assert base.scrub_stage.fingerprint == swapped.scrub_stage.fingerprint
+
+
+def test_runner_with_injected_scorer_end_to_end(spark, corpus_df, tmp_path):
+    from curator_spark.plans.runner import QualityFilterRun
+
+    loader = _marker_loader(str(tmp_path / "loads3"))
+    run = QualityFilterRun(str(tmp_path), n_batches=2, scorer_loader=loader)
+    run.run(spark, corpus_df)
+    injected = {tuple(r) for r in run.output(spark)
+                .select("repo", "path", "commit", "scrubbed_sha256").collect()}
+    base = QualityFilterRun(str(tmp_path / "base"), n_batches=2)
+    base.run(spark, corpus_df)
+    plain = {tuple(r) for r in base.output(spark)
+             .select("repo", "path", "commit", "scrubbed_sha256").collect()}
+    assert injected == plain
