@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",
     "finetune_format",
     "dedup_paragraphs",
+    # round-3 operators
+    "ann_lsh_multiprobe",
+    "dedup_fuzzy_keep",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

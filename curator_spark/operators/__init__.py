@@ -27,3 +27,4 @@ from . import kmeans_ivf  # noqa: F401,E402
 from . import para_dedup  # noqa: F401,E402
 from . import gopher  # noqa: F401,E402
 from . import decontaminate  # noqa: F401,E402
+from . import semdedup  # noqa: F401,E402

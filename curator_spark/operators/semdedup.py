@@ -1,0 +1,112 @@
+"""Semantic deduplication (SemDeDup-style): cluster the embedding corpus
+with the trained k-means quantizer, then drop near-duplicate vectors WITHIN
+each cluster (cosine >= threshold keeps the lowest vec_id). This is the
+embedding-space analog of MinHash dedup — the DataComp/SemDeDup recipe:
+clustering makes the pair search local, so the all-pairs cosine never
+happens across the corpus, only inside a cell.
+
+Scale shape: k-means training is the (persisted, checkpointed) loop from
+kmeans_ivf; assignment is a broadcast-centroid groupBy (map-side combine,
+one row per vector); each cell is BUCKET_CAP-capped before the pair join
+(mirrored in the oracle) so a degenerate cell cannot go quadratic; the
+final keep is a left-anti join against the (small) dropped set.
+
+Bit-exactness: vectors are integer-quantized before everything (see
+kmeans_ivf), so centroids, assignments, and the within-cell cosines are
+identical in the DuckDB replay — integer dot products, IEEE sqrt/divide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .dedup import BUCKET_CAP, cap_bucket_width
+from .kmeans_ivf import (
+    _ITER_CTES,
+    _ITERS,
+    _K,
+    _L2_DUCK,
+    _QUANT,
+    _QUANT_DUCK,
+    _assign,
+    kmeans_centroids,
+)
+from .registry import load, register
+
+_THRESHOLD = 0.9
+
+_DOT_Q = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_DOT_Q_DUCK = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+_Q_SEMDEDUP_ORACLE = f"""
+WITH emb_q AS (
+  SELECT vec_id, {_QUANT_DUCK} AS xq FROM embeddings
+),
+cents0 AS (
+  SELECT cast(vec_id AS INT) AS cell, xq AS cent FROM emb_q WHERE vec_id < {_K}
+),
+{_ITER_CTES},
+final_assign AS (
+  SELECT e.vec_id, e.xq,
+         (SELECT c.cell FROM cents{_ITERS} c
+          ORDER BY {_L2_DUCK.format(a='e.xq', b='c.cent')}, c.cell LIMIT 1) AS cell
+  FROM emb_q e
+),
+capped AS (
+  SELECT vec_id, xq, cell FROM final_assign
+  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= {BUCKET_CAP}
+),
+nz AS (
+  SELECT * FROM capped
+  WHERE list_sum(list_transform(xq, x -> x * x)) > 0
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM nz a JOIN nz b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_DOT_Q_DUCK.format(a='a.xq', b='b.xq')} /
+        (sqrt(list_sum(list_transform(a.xq, x -> x * x))) *
+         sqrt(list_sum(list_transform(b.xq, x -> x * x)))) >= {_THRESHOLD}
+)
+SELECT f.vec_id, f.cell
+FROM final_assign f LEFT JOIN dropped d ON f.vec_id = d.drop_id
+WHERE d.drop_id IS NULL
+"""
+
+
+@register(
+    "dedup_semantic",
+    _Q_SEMDEDUP_ORACLE,
+    "SemDeDup: k-means-clustered embedding dedup, within-cell cosine, keep min id",
+)
+def dedup_semantic(spark, sf_dir, threshold: float = _THRESHOLD):
+    e = load(spark, sf_dir, "embeddings")
+    emb_q = e.select("vec_id", F.expr(_QUANT).alias("xq")).persist()
+    cents = kmeans_centroids(emb_q)
+    assigned = _assign(emb_q, cents)  # (vec_id, cell, xq)
+    capped = cap_bucket_width(assigned, "cell", "vec_id")
+    nz = capped.filter(
+        F.expr("aggregate(transform(xq, x -> x * x), cast(0.0 as double), (a, b) -> a + b) > 0")
+    )
+    a = nz.select(
+        F.col("vec_id").alias("a_id"), F.col("cell").alias("a_cell"), F.col("xq").alias("a_xq")
+    )
+    b = nz.select(
+        F.col("vec_id").alias("drop_id"), F.col("cell").alias("b_cell"), F.col("xq").alias("b_xq")
+    )
+    cos = F.expr(_DOT_Q.format(a="a_xq", b="b_xq")) / (
+        F.sqrt(F.expr(_DOT_Q.format(a="a_xq", b="a_xq")))
+        * F.sqrt(F.expr(_DOT_Q.format(a="b_xq", b="b_xq")))
+    )
+    dropped = (
+        a.join(b, (F.col("a_cell") == F.col("b_cell")) & (F.col("a_id") < F.col("drop_id")))
+        .filter(cos >= threshold)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.drop_id, "left_anti")
+        .select("vec_id", "cell")
+    )

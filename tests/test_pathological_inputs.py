@@ -33,7 +33,8 @@ SENSITIVE = [
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_paragraphs",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_lsh_multitable",
-    "ann_ivf_topk", "ann_ivf_kmeans",
+    "ann_lsh_multiprobe", "ann_ivf_topk", "ann_ivf_kmeans",
+    "dedup_semantic", "dedup_fuzzy_keep",
     "langid_documents", "token_stats", "doc_quality", "doc_fingerprint",
     "scrub_documents", "quality_filter_documents", "normalize_text",
     "stratified_sample", "finetune_format", "gopher_repetition",

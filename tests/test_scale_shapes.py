@@ -142,3 +142,31 @@ def test_ann_lsh_cap_oracle_parity_under_skew(hot_bucket_dir):
     tail = "\n".join(out.stdout.replace("\r", "\n").splitlines()[-20:])
     assert out.returncode == 0, f"hot-bucket gate failed:\n{tail}\n{out.stderr[-2000:]}"
     assert "4/4 ok" in out.stdout
+
+
+def test_semdedup_drops_planted_duplicates(spark, tmp_path):
+    """SemDeDup semantics on planted data: exact duplicates and
+    co-directional vectors (cosine 1.0) in the same cluster collapse to the
+    lowest vec_id; antipodes (cosine -1) and independent vectors survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.operators.semdedup import dedup_semantic
+
+    rng = np.random.RandomState(5)
+    emb = rng.randn(120, 64).astype(np.float32)
+    emb[100] = emb[20]         # exact duplicate of 20
+    emb[101] = emb[20] * 0.25  # co-directional with 20
+    emb[102] = -emb[20]        # antipode (cos = -1: must survive)
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(120)]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))])),
+        f"{d}/embeddings.parquet",
+    )
+    kept = {r.vec_id for r in dedup_semantic(spark, d).collect()}
+    assert 20 in kept
+    assert 100 not in kept and 101 not in kept
+    assert 102 in kept
+    assert len(kept) == 118
