@@ -85,7 +85,10 @@ def dedup_semantic(spark, sf_dir, threshold: float = _THRESHOLD):
     e = load(spark, sf_dir, "embeddings")
     emb_q = e.select("vec_id", F.expr(_QUANT).alias("xq")).persist()
     cents = kmeans_centroids(emb_q)
-    assigned = _assign(emb_q, cents)  # (vec_id, cell, xq)
+    # persisted: the assignment subtree feeds BOTH pair-join sides AND the
+    # final keep — without the persist the broadcast-centroid assignment
+    # would execute three times
+    assigned = _assign(emb_q, cents).persist()  # (vec_id, cell, xq)
     capped = cap_bucket_width(assigned, "cell", "vec_id")
     nz = capped.filter(
         F.expr("aggregate(transform(xq, x -> x * x), cast(0.0 as double), (a, b) -> a + b) > 0")

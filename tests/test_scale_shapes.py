@@ -170,3 +170,25 @@ def test_semdedup_drops_planted_duplicates(spark, tmp_path):
     assert 100 not in kept and 101 not in kept
     assert 102 in kept
     assert len(kept) == 118
+
+
+def test_probe_expr_matches_python_enumeration(spark):
+    """Property check: the compile-time hamming-1 probe expression equals
+    the straightforward python bit-flip enumeration for every 6-bit bucket
+    string (all 64 of them — exhaustive beats sampling here)."""
+    from curator_spark.operators.similarity import _N_PLANES, probe_expr
+
+    buckets = [format(i, f"0{_N_PLANES}b") for i in range(2 ** _N_PLANES)]
+    df = spark.createDataFrame([(b,) for b in buckets], "bucket string")
+    got = {
+        r.bucket: r.probes
+        for r in df.selectExpr(
+            "bucket", f"{probe_expr('bucket')} AS probes"
+        ).collect()
+    }
+    for b in buckets:
+        want = [b] + [
+            b[:i] + ("0" if b[i] == "1" else "1") + b[i + 1:]
+            for i in range(_N_PLANES)
+        ]
+        assert got[b] == want, b
