@@ -1,0 +1,70 @@
+"""Streaming micro-batches committed through the Catalog interface: each
+batch lands as an atomic `batch=<id>` publish (the same layout and the
+same snapshot-commit primitive the batch engine uses), restart with the
+same checkpoint processes only new source files, and the final committed
+set equals the batch pipeline's kept rows exactly."""
+
+from __future__ import annotations
+
+import os
+
+from curator_spark.plans.quality_pipeline import curate
+from curator_spark.sources.catalog import ParquetDirCatalog
+from curator_spark.streaming.catalog_sink import start_catalog_sink
+from curator_spark.streaming.quality_stream import stream_quality_filter
+
+
+class RecordingCatalog(ParquetDirCatalog):
+    def __init__(self, root):
+        super().__init__(root)
+        self.publishes = []
+
+    def publish(self, tmp, final):
+        self.publishes.append(final)
+        super().publish(tmp, final)
+
+
+def _drain(stream_df, out_dir, ckpt, catalog):
+    q = start_catalog_sink(stream_df, out_dir, ckpt, catalog=catalog)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_commits_through_catalog_and_resumes(spark, corpus_pdf, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cat = RecordingCatalog(out)
+
+    half = len(corpus_pdf) // 2
+    first, second = corpus_pdf.iloc[:half], corpus_pdf.iloc[half:]
+    spark.createDataFrame(first).coalesce(2).write.mode("append").parquet(src)
+
+    _drain(stream_quality_filter(spark, src, max_files_per_trigger=2), out, ckpt, cat)
+    n_pub_first = len(cat.publishes)
+    assert n_pub_first > 0
+    # every committed slot is a batch=<id> dir, atomic-published
+    batches = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert len(batches) == n_pub_first
+    n_first = spark.read.parquet(f"{out}/batch=*").count()
+    assert n_first > 0
+
+    # restart with the SAME checkpoint after new files arrive: only the new
+    # files are processed (no slot is re-published, counts only grow)
+    spark.createDataFrame(second).coalesce(2).write.mode("append").parquet(src)
+    _drain(stream_quality_filter(spark, src, max_files_per_trigger=2), out, ckpt, cat)
+    assert len(cat.publishes) > n_pub_first
+    assert len(set(cat.publishes)) == len(cat.publishes)  # no slot re-published
+
+    # the union of committed micro-batches == the batch pipeline's kept set
+    stream_keys = {
+        (r.repo, r.path, r.commit)
+        for r in spark.read.parquet(f"{out}/batch=*").collect()
+    }
+    batch_keys = {
+        (r.repo, r.path, r.commit)
+        for r in curate(spark.createDataFrame(corpus_pdf)).collect()
+    }
+    assert stream_keys == batch_keys
