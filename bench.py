@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     # round-3 operators
     "ann_lsh_multiprobe",
     "dedup_fuzzy_keep",
+    "dedup_semantic",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
@@ -91,6 +92,7 @@ def main() -> None:
         kept = curate(corpus).agg(F.count("scrubbed_sha256")).collect()[0][0]
         runs.append(time.time() - t0)
     dt = sorted(runs)[1]
+    dt_best = min(runs)
     timings["corpus_filter_scrub"] = round(dt, 3)
     files_per_sec = CORPUS_ROWS / dt
 
@@ -114,6 +116,7 @@ def main() -> None:
                 "sf": sf,
                 "corpus_rows": CORPUS_ROWS,
                 "corpus_files_per_sec": round(files_per_sec, 1),
+                "corpus_files_per_sec_best": round(CORPUS_ROWS / dt_best, 1),
                 "corpus_runs_sec": [round(r, 2) for r in runs],
                 "corpus_kept_rows": kept,
                 "cores": cores,

@@ -192,3 +192,30 @@ def test_probe_expr_matches_python_enumeration(spark):
             for i in range(_N_PLANES)
         ]
         assert got[b] == want, b
+
+
+def test_rank_limit_windows_push_partial_group_limit(spark):
+    """Every top-K-per-key window in the suite must keep the Catalyst
+    rank-limit pushdown (WindowGroupLimit Partial BEFORE the exchange):
+    map tasks then ship at most K rows per key, so a hot key (one language
+    owning half the corpus; one hot LSH bucket) never floods one reducer.
+    Regression guard — a frame/expression change that blocks the rewrite
+    silently reintroduces the skew."""
+    from curator_spark.operators.dedup import cap_bucket_width
+    from curator_spark.operators.sampling import stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    strat_plan = _plan(stratified_sample(spark, sf))
+    assert "WindowGroupLimit" in strat_plan
+    assert "Partial" in strat_plan.split("Exchange hashpartitioning(lang")[1]
+
+    capped = cap_bucket_width(
+        spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+            "doc_id", "lang AS bucket"
+        ),
+        "bucket",
+        "doc_id",
+    )
+    cap_plan = _plan(capped)
+    assert "WindowGroupLimit" in cap_plan
+    assert cap_plan.count("WindowGroupLimit") >= 2  # Partial + Final
