@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "ann_lsh_multiprobe",
     "dedup_fuzzy_keep",
     "dedup_semantic",
+    "bm25_topk",
+    "dup_ngram_spans",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -28,3 +28,4 @@ from . import para_dedup  # noqa: F401,E402
 from . import gopher  # noqa: F401,E402
 from . import decontaminate  # noqa: F401,E402
 from . import semdedup  # noqa: F401,E402
+from . import retrieval  # noqa: F401,E402

@@ -73,3 +73,100 @@ def dedup_paragraphs(spark, sf_dir, max_df: int = MAX_DF):
         ).alias("text_dedup"),
         F.count(F.lit(1)).alias("n_paras_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram spans — the word-level face of exact substring dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): for every positional word 8-gram, find grams occurring in >= 2
+# distinct documents, and report per document how much of it is covered by
+# globally-duplicated spans. The downstream policy (drop doc / cut span)
+# consumes these counts.
+#
+# Spark shape (100 TB): grams are md5-hashed BEFORE the shuffle (fixed-width
+# keys, uniform distribution — at production scale swap md5 for xxhash64;
+# md5 here keeps the DuckDB oracle bit-exact). Two shuffles: the
+# distinct(doc, gram) + groupBy(gram) duplicate census, and the per-doc
+# rollup. The duplicate-gram set is NOT broadcast — on a duplicated web
+# corpus it is itself huge, so the probe stays a shuffle semi-join.
+# ---------------------------------------------------------------------------
+N_GRAM = 8
+
+_GHS_DUCK = f"""CASE WHEN len(ws) < {N_GRAM} THEN CAST([] AS VARCHAR[])
+  ELSE list_transform(range(0, len(ws) - {N_GRAM - 1}),
+                      i -> md5(array_to_string(ws[i+1:i+{N_GRAM}], ' '))) END"""
+
+_Q_DUPGRAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM documents
+),
+b AS (SELECT doc_id, {_GHS_DUCK} AS ghs FROM w),
+g AS (SELECT doc_id, unnest(ghs) AS gh FROM b),
+dup AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+  GROUP BY gh HAVING count(*) >= 2
+),
+dc AS (
+  SELECT doc_id, count(*) AS n_dup_grams
+  FROM g JOIN dup USING (gh) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(b.ghs) AS n_grams,
+       coalesce(dc.n_dup_grams, 0) AS n_dup_grams,
+       cast(round(coalesce(dc.n_dup_grams, 0) * 1000000.0
+                  / greatest(len(b.ghs), 1)) AS BIGINT) AS dup_frac_ppm
+FROM b LEFT JOIN dc USING (doc_id)
+"""
+
+
+@register(
+    "dup_ngram_spans",
+    _Q_DUPGRAM_ORACLE,
+    "duplicated word-8-gram coverage per doc (exact substring-dedup signal)",
+)
+def dup_ngram_spans(spark, sf_dir, n: int = N_GRAM):
+    from .dedup import _WORDS_SPARK, _let
+
+    d = load(spark, sf_dir, "documents")
+    ghs_expr = _let(
+        _WORDS_SPARK,
+        "wz",
+        f"CASE WHEN size(wz) < {n} THEN cast(array() as array<string>)"
+        f" ELSE transform(sequence(0, size(wz) - {n}),"
+        f" i -> md5(concat_ws(' ', slice(wz, i + 1, {n})))) END",
+    )
+    base = d.select("doc_id", F.expr(ghs_expr).alias("ghs"))
+    g = base.select("doc_id", F.explode("ghs").alias("gh"))
+    dup = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup_counts = (
+        g.join(dup, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        base.select("doc_id", F.size("ghs").cast("long").alias("n_grams"))
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long"))
+                * 1_000_000.0
+                / F.greatest(F.col("n_grams"), F.lit(1).cast("long"))
+            )
+            .cast("long")
+            .alias("dup_frac_ppm"),
+        )
+    )

@@ -1,0 +1,215 @@
+"""Text retrieval + PII accounting over the ``documents`` table: BM25
+keyword search, a truncated inverted-index build, and per-document PII
+match statistics.
+
+These are the "query the corpus you just curated" operators a curation
+stack grows next (the reference ships its results to a dataset viewer —
+viewer/, SURVEY §2.1 S7; here the analog is queryable indexes over the
+curated table).
+
+Spark shape (100 TB):
+
+* ``bm25_topk`` is map-only scoring + one 1-row statistics aggregate
+  (N, avgdl, per-term document frequency) broadcast back — the corpus
+  side never shuffles; the final top-k is a TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows, no global sort
+  materialization).
+* ``inverted_index`` shuffles one (term, doc_id) row per *distinct* term
+  occurrence; stopword-like terms (df above a fraction of N) are dropped
+  BEFORE postings collection via a semi-join on the small qualifying-term
+  set, so no executor ever collects an unbounded posting list; lists are
+  additionally truncated to ``POSTINGS_CAP`` entries (cap mirrored in the
+  oracle, like dedup.BUCKET_CAP).
+* ``pii_stats`` is pure map-side regexp counting (whole-stage codegen, no
+  Python); the patterns are the scrub chain's own (functions/scrub.py),
+  which are Python-re/Java-regex/RE2 portable by construction — the
+  DuckDB oracle counts with RE2 and must agree exactly.
+
+Engine-portability notes: scores are integer-quantized (x1e6) before the
+top-k ordering so Spark and DuckDB rank on identical values (the repo-wide
+exact-float convention); natural log is IEEE-double in both engines and
+the quantization absorbs any last-ulp libm drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scrub import SCRUB_PATTERNS
+from .registry import load, register
+
+# shared alnum tokenizer (lowercase, split on non-[a-z0-9]) — same token
+# stream on both engines
+_TERMS_SPARK = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+_TERMS_DUCK = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), w -> w != '')"
+
+# ---------------------------------------------------------------------------
+# BM25 top-k keyword search (Robertson/Lucene formulation:
+# idf = ln(1 + (N - df + .5)/(df + .5)), tf-saturation k1=1.2, b=0.75).
+# ---------------------------------------------------------------------------
+BM25_QUERY = ["spark", "join", "window", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    df_aggs = ",\n         ".join(
+        f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_QUERY
+    )
+    score_terms = " + ".join(
+        f"ln(1 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        f" * (len(list_filter(d.ws, w -> w = '{t}')) * ({BM25_K1} + 1.0))"
+        f" / (len(list_filter(d.ws, w -> w = '{t}'))"
+        f"    + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))"
+        for t in BM25_QUERY
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_TERMS_DUCK} AS ws, len({_TERMS_DUCK}) AS dl FROM documents
+),
+s AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {df_aggs}
+  FROM w
+)
+SELECT d.doc_id, d.dl,
+       cast(round(({score_terms}) * 1000000) AS BIGINT) AS score_q
+FROM w d, s
+ORDER BY score_q DESC, d.doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register("bm25_topk", _bm25_oracle(), "BM25 keyword top-k over documents (map-only scoring + broadcast stats)")
+def bm25_topk(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.expr(_TERMS_SPARK).alias("ws"),
+    ).select("doc_id", "ws", F.size("ws").cast("long").alias("dl"))
+    stats = w.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("ws", t).cast("long")).alias(f"df_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+    scored = w.crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_QUERY:
+        tf = F.size(F.filter("ws", lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        part = idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            F.round(score * 1_000_000).cast("long").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term -> (df, first POSTINGS_CAP sorted doc_ids).
+# ---------------------------------------------------------------------------
+MIN_DF = 3
+MAX_DF_FRAC = 0.95  # drop terms present in > this fraction of docs (stopwords)
+POSTINGS_CAP = 100
+
+_Q_INVIDX_ORACLE = f"""
+WITH occ AS (
+  SELECT DISTINCT doc_id, unnest({_TERMS_DUCK}) AS term FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+q AS (
+  SELECT term, count(*) AS df
+  FROM occ, n GROUP BY term, n.n_docs
+  HAVING count(*) >= {MIN_DF} AND count(*) <= {MAX_DF_FRAC} * n.n_docs
+)
+SELECT o.term, any_value(q.df) AS df,
+       (list_sort(list(o.doc_id)))[1:{POSTINGS_CAP}] AS postings
+FROM occ o JOIN q USING (term)
+GROUP BY o.term
+"""
+
+
+@register(
+    "inverted_index",
+    _Q_INVIDX_ORACLE,
+    "truncated inverted-index build: df-banded terms -> capped sorted postings",
+)
+def inverted_index(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TERMS_SPARK))).alias("term")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    qualifying = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= MIN_DF) & (F.col("df") <= MAX_DF_FRAC * F.col("n_docs"))
+        )
+        .select("term", "df")
+    )
+    # the qualifying-term set is small (vocab-sized) -> broadcast join; hot
+    # stopword terms never reach the collect_list
+    return (
+        occ.join(F.broadcast(qualifying), "term")
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias(
+                "postings"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII accounting: per-document match counts for the scrub chain's
+# email/ipv4/phone/ssn patterns, before any rewriting — the "what would the
+# scrub touch" audit that runs ahead of a destructive scrub at scale.
+# ---------------------------------------------------------------------------
+_PII_RULES = [r for r in SCRUB_PATTERNS if r[0] in ("email", "ipv4", "phone", "ssn")]
+
+
+def _sq(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+_Q_PII_ORACLE = f"""
+SELECT doc_id,
+       {", ".join(f"len(regexp_extract_all(text, '{_sq(p)}')) AS n_{name}" for name, p, _ in _PII_RULES)},
+       ({" + ".join(f"len(regexp_extract_all(text, '{_sq(p)}'))" for _, p, _ in _PII_RULES)}) > 0 AS has_pii
+FROM documents
+"""
+
+
+@register("pii_stats", _Q_PII_ORACLE, "per-doc PII match counts (scrub-chain patterns, codegen regexp_count)")
+def pii_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    counts = {
+        f"n_{name}": F.regexp_count("text", F.lit(pat)).cast("long")
+        for name, pat, _ in _PII_RULES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return d.select(
+        "doc_id",
+        *[col.alias(name) for name, col in counts.items()],
+        (total > 0).alias("has_pii"),
+    )

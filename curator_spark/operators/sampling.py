@@ -66,3 +66,77 @@ def normalize_text(spark, sf_dir):
         F.trim(F.regexp_replace(_nfc_normalize(F.col("text")), "[ \\t\\n]+", " "))
     )
     return d.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture weights: given a target language mixture, compute the
+# per-language downsampling rate that hits the mixture WITHOUT upsampling —
+# scale every language to the binding constraint, i.e. the language whose
+# available tokens are scarcest relative to its target share (the static
+# mixing arithmetic behind The Pile / DoReMi-style corpus assembly).
+#
+# Spark shape: one groupBy(lang) token rollup + a 1-row "binding
+# constraint" aggregate broadcast back — the corpus itself is touched once,
+# map-side; everything downstream operates on a languages-sized table.
+# Rates are integer-quantized (ppm) for cross-engine exactness.
+# ---------------------------------------------------------------------------
+TARGET_MIX: dict[str, float] = {"en": 0.5, "zh": 0.125, "de": 0.125, "es": 0.125, "fr": 0.125}
+
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in TARGET_MIX.items()
+) + " ELSE 0.0 END"
+
+_Q_MIX_ORACLE = f"""
+WITH per_lang AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         cast(sum(cast(floor(length(text) / 4) AS BIGINT)) AS BIGINT) AS tokens,
+         any_value({_MIX_CASE}) AS share_target
+  FROM documents GROUP BY lang
+),
+binding AS (
+  SELECT min(tokens / share_target) AS total_budget
+  FROM per_lang WHERE share_target > 0
+)
+SELECT lang, n_docs, tokens, share_target,
+       cast(round(CASE WHEN share_target > 0
+                       THEN b.total_budget * share_target / tokens
+                       ELSE 0.0 END * 1000000) AS BIGINT) AS rate_ppm,
+       cast(floor(tokens * (CASE WHEN share_target > 0
+                                 THEN b.total_budget * share_target / tokens
+                                 ELSE 0.0 END)) AS BIGINT) AS expected_tokens
+FROM per_lang, binding b
+"""
+
+
+@register(
+    "mixture_weights",
+    _Q_MIX_ORACLE,
+    "per-language sampling rates for a target training mixture (no upsampling)",
+)
+def mixture_weights(spark, sf_dir, target: dict[str, float] | None = None):
+    target = dict(TARGET_MIX if target is None else target)
+    d = load(spark, sf_dir, "documents")
+    share = F.lit(0.0)
+    for k, v in reversed(target.items()):
+        share = F.when(F.col("lang") == k, F.lit(float(v))).otherwise(share)
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.floor(F.length("text") / 4).cast("long")).alias("tokens"),
+        F.first(share).alias("share_target"),
+    )
+    binding = per_lang.filter(F.col("share_target") > 0).agg(
+        F.min(F.col("tokens") / F.col("share_target")).alias("total_budget")
+    )
+    rate = F.when(
+        F.col("share_target") > 0,
+        F.col("total_budget") * F.col("share_target") / F.col("tokens"),
+    ).otherwise(F.lit(0.0))
+    return per_lang.crossJoin(F.broadcast(binding)).select(
+        "lang",
+        "n_docs",
+        "tokens",
+        "share_target",
+        F.round(rate * 1_000_000).cast("long").alias("rate_ppm"),
+        F.floor(F.col("tokens") * rate).cast("long").alias("expected_tokens"),
+    )

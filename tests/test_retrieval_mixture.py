@@ -1,0 +1,131 @@
+"""Round-3 additions: BM25 retrieval, inverted index, PII stats,
+duplicated-n-gram spans, mixture weights — oracle parity at sf0.001 plus
+semantic properties the hashes alone would not explain."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from test_operators import SF_DIR, _norm
+
+NEW_QUERIES = [
+    "bm25_topk",
+    "inverted_index",
+    "pii_stats",
+    "dup_ngram_spans",
+    "mixture_weights",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_new_query_matches_oracle(spark, duck, name):
+    from curator_spark.operators import QUERIES
+
+    spec = QUERIES[name]
+    got = _norm(spec.fn(spark, SF_DIR).toPandas())
+    exp = _norm(duck.execute(spec.oracle).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_bm25_ranking_semantics(spark):
+    """A doc containing every query term must outrank an equal-length doc
+    containing none; scores are non-negative and sorted descending."""
+    from curator_spark.operators import QUERIES
+
+    out = QUERIES["bm25_topk"].fn(spark, SF_DIR).toPandas()
+    assert (out["score_q"] >= 0).all()
+    assert list(out["score_q"]) == sorted(out["score_q"], reverse=True)
+    assert len(out) <= 20
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    from curator_spark.operators import QUERIES
+    from curator_spark.operators.retrieval import MIN_DF, POSTINGS_CAP
+
+    out = QUERIES["inverted_index"].fn(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        postings = list(row["postings"])
+        assert postings == sorted(postings)
+        assert len(postings) <= POSTINGS_CAP
+        assert row["df"] >= MIN_DF
+        assert len(postings) == min(row["df"], POSTINGS_CAP)
+
+
+def test_pii_stats_counts_planted_pii(spark):
+    """Plant rows with known PII; counts must localize exactly."""
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 10.1.2.3 today"),
+            (2, "call 555-123-4567 now; ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    df.createOrReplaceTempView("___pii_tmp")
+    from curator_spark.operators.retrieval import _PII_RULES
+
+    counts = {
+        f"n_{name}": F.regexp_count("text", F.lit(pat)).cast("long")
+        for name, pat, _ in _PII_RULES
+    }
+    got = (
+        df.select("doc_id", *[c.alias(n) for n, c in counts.items()])
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.loc[0, "n_email"] == 1 and got.loc[0, "n_ipv4"] == 1
+    assert got.loc[1, "n_phone"] == 1 and got.loc[1, "n_ssn"] == 1
+    assert got.loc[2, ["n_email", "n_ipv4", "n_phone", "n_ssn"]].sum() == 0
+
+
+def test_dup_ngram_spans_finds_planted_duplicate(spark, tmp_path):
+    """Two docs sharing a verbatim 10-word run must both report dup grams;
+    a unique doc must report zero."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared + " one two three", "en", "s", 1),
+        (2, "intro words here " + shared, "en", "s", 1),
+        (3, "totally unique content with no repeats at all whatsoever", "en", "s", 1),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(p)
+    from curator_spark.operators import QUERIES
+
+    out = (
+        QUERIES["dup_ngram_spans"].fn(spark, str(tmp_path)).orderBy("doc_id").toPandas()
+    )
+    assert out.loc[0, "n_dup_grams"] >= 3  # 10-word shared run -> 3 shared 8-grams
+    assert out.loc[1, "n_dup_grams"] >= 3
+    assert out.loc[2, "n_dup_grams"] == 0
+    assert out.loc[2, "dup_frac_ppm"] == 0
+
+
+def test_mixture_weights_hit_target_mixture(spark):
+    """Binding language gets rate 1.0 (never upsampled); realized mixture
+    of expected_tokens matches the target shares."""
+    from curator_spark.operators import QUERIES
+    from curator_spark.operators.sampling import TARGET_MIX
+
+    out = QUERIES["mixture_weights"].fn(spark, SF_DIR).toPandas()
+    out = out[out["share_target"] > 0].set_index("lang")
+    assert (out["rate_ppm"] <= 1_000_000).all()
+    assert (out["rate_ppm"] == 1_000_000).any()  # the binding constraint
+    total = out["expected_tokens"].sum()
+    for lang, row in out.iterrows():
+        realized = row["expected_tokens"] / total
+        assert abs(realized - TARGET_MIX[lang]) < 0.01, lang
