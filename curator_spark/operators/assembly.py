@@ -1,0 +1,204 @@
+"""Training-set assembly operators — the steps between "corpus is curated"
+and "tokens hit the trainer": building labeled data for a quality
+classifier, packing documents into fixed-token training sequences, and the
+corpus-statistics rollups every curation report ships.
+
+Spark shapes (100 TB):
+
+* ``classifier_training_set`` (CCNet / FineWeb recipe: positives = docs the
+  heuristic filter keeps, negatives = docs it drops; balanced by a
+  deterministic hash rank so the dataset is reproducible) — one pass to
+  label, one rank-limited window per class. Only TWO window keys exist
+  (label 0/1), but the ``row_number() <= k`` filter triggers Catalyst's
+  WindowGroupLimit pushdown (a Partial top-k per map task BEFORE the
+  exchange — guarded by tests/test_plans.py), so each reducer receives at
+  most num_input_partitions * k rows per label, not the whole class.
+* ``sequence_packing`` — the concat-and-split packing trainers use: order
+  docs deterministically, running token prefix-sum, pack_id = floor(
+  cum_before / budget). A naive ``Window.orderBy`` with no partitionBy
+  would move the WHOLE corpus into one task (Spark does not distribute
+  un-partitioned windows), so the Spark side runs the classic two-phase
+  distributed prefix-sum instead: an order-preserving bucket key, an
+  intra-bucket running sum (bounded window partitions), and a tiny
+  bucket-offset table (one row per bucket) broadcast back. The oracle is
+  the plain global window — physical strategy differs, values identical.
+* ``length_histogram`` — width_bucket-style banding + groupBy; pure
+  map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rules import DEFAULT_RULES
+from .registry import load, register
+
+_CFG = DEFAULT_RULES
+
+# the SQL-expressible keep predicate shared by doc_quality (text_analysis):
+# length band + alnum ratio + repetition. langid/ppl stay out so the
+# classifier learns the heuristic surface the reference's filter exposes.
+_KEEP_DUCK = f"""(
+  length(text) >= {_CFG.min_chars} AND length(text) <= {_CFG.max_chars}
+  AND length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0
+      / greatest(length(text), 1) >= {_CFG.min_alnum_ratio}
+  AND NOT (len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')) >= {_CFG.repetition_min_words}
+           AND len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 1.0
+               / greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)
+               < {_CFG.min_distinct_word_ratio})
+)"""
+
+N_PER_CLASS = 150
+
+_Q_CLS_ORACLE = f"""
+WITH labeled AS (
+  SELECT doc_id, text, CASE WHEN {_KEEP_DUCK} THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, text, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM labeled
+)
+SELECT doc_id, label, pos, md5(text) AS text_md5
+FROM ranked WHERE pos <= {N_PER_CLASS}
+"""
+
+
+@register(
+    "classifier_training_set",
+    _Q_CLS_ORACLE,
+    "balanced quality-classifier training data (keep=positive, drop=negative; hash-ranked)",
+)
+def classifier_training_set(spark, sf_dir, n_per_class: int = N_PER_CLASS):
+    from .text_analysis import _fast_text_metrics
+
+    d = load(spark, sf_dir, "documents")
+    n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
+    keep = (
+        (n_chars >= _CFG.min_chars)
+        & (n_chars <= _CFG.max_chars)
+        & (alnum_ratio >= _CFG.min_alnum_ratio)
+        & ~((wc >= _CFG.repetition_min_words) & (dr < _CFG.min_distinct_word_ratio))
+    )
+    labeled = d.select(
+        "doc_id", "text", F.when(keep, 1).otherwise(0).alias("label")
+    )
+    w = W.partitionBy("label").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        labeled.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= n_per_class)
+        .select("doc_id", "label", "pos", F.md5("text").alias("text_md5"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split): deterministic global order by doc_id,
+# running token sum, pack boundary every SEQ_BUDGET tokens.
+# ---------------------------------------------------------------------------
+SEQ_BUDGET = 2048
+
+_Q_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, cast(floor(length(text) / 4) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_before,
+       cast(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS pack_id,
+       cast(cum_before % {SEQ_BUDGET} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+PACK_BUCKET = 4096  # docs per prefix-sum bucket (bounds each window task)
+
+
+@register(
+    "sequence_packing",
+    _Q_PACK_ORACLE,
+    "concat-and-split token packing: two-phase distributed prefix-sum -> pack_id/offset",
+)
+def sequence_packing(spark, sf_dir, budget: int = SEQ_BUDGET):
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.floor(F.length("text") / 4).cast("long").alias("n_tokens")
+    )
+    # phase 1: order-preserving bucket key (monotone in doc_id; ids are the
+    # dense assignment the upstream stage produces — for sparse ids derive
+    # the bucket from a range-partitioner sample instead) + running sum
+    # WITHIN each bucket. Window partitions are <= PACK_BUCKET rows.
+    t = t.withColumn("bucket", F.floor(F.col("doc_id") / PACK_BUCKET))
+    w_in = (
+        W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_in_bucket", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
+    )
+    # phase 2: one row per bucket -> exclusive bucket offsets. This table
+    # has corpus_rows/PACK_BUCKET rows (a few thousand at 10^9 docs) — the
+    # single-partition window here is over the TINY table, then broadcast.
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        t.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "bucket_offset",
+            F.coalesce(F.sum("bucket_tokens").over(w_b), F.lit(0)).cast("long"),
+        )
+        .select("bucket", "bucket_offset")
+    )
+    c = c.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum_before", (F.col("bucket_offset") + F.col("cum_in_bucket")).cast("long")
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / budget).cast("long").alias("pack_id"),
+        (F.col("cum_before") % budget).cast("long").alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram per language — fixed power-of-2 bands, map-side
+# combine only.
+# ---------------------------------------------------------------------------
+_Q_HIST_ORACLE = """
+SELECT lang,
+       cast(length(bin(greatest(length(text), 1))) - 1 AS BIGINT) AS len_band,
+       count(*) AS n_docs,
+       cast(min(length(text)) AS BIGINT) AS min_chars,
+       cast(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, len_band
+"""
+
+
+@register(
+    "length_histogram",
+    _Q_HIST_ORACLE,
+    "per-language doc-length histogram (log2 bands, pure map-side combine)",
+)
+def length_histogram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    # floor(log2(n)) as an INTEGER identity — length of the binary string —
+    # so no libm last-ulp drift can flip a power-of-2 boundary cross-engine
+    band = (F.length(F.bin(F.greatest(F.length("text"), F.lit(1)))) - 1).cast("long")
+    return (
+        d.select("lang", band.alias("len_band"), F.length("text").alias("n"))
+        .groupBy("lang", "len_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("long").alias("min_chars"),
+            F.max("n").cast("long").alias("max_chars"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Training-set assembly operators: oracle parity at sf0.001 plus the
+semantic and plan-shape properties (two-phase prefix sum == naive global
+window; rank-limit pushdown on the 2-key classifier window)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from test_operators import SF_DIR, _norm
+
+ASSEMBLY_QUERIES = ["classifier_training_set", "sequence_packing", "length_histogram"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", ASSEMBLY_QUERIES)
+def test_assembly_matches_oracle(spark, duck, name):
+    from curator_spark.operators import QUERIES
+
+    spec = QUERIES[name]
+    got = _norm(spec.fn(spark, SF_DIR).toPandas())
+    exp = _norm(duck.execute(spec.oracle).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_packing_two_phase_equals_naive_window(spark):
+    """The distributed prefix-sum must be VALUE-identical to the naive
+    un-partitioned window (which we only ever run on a test-sized frame),
+    including across bucket boundaries."""
+    from curator_spark.operators.assembly import PACK_BUCKET, sequence_packing
+
+    assert PACK_BUCKET > 1
+    got = sequence_packing(spark, SF_DIR).orderBy("doc_id").toPandas()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.floor(F.length("text") / 4).cast("long").alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    naive = (
+        d.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(got["cum_before"]) == list(naive["cum_before"])
+    # invariants: monotone prefix sum, offsets inside the budget
+    assert got["cum_before"].is_monotonic_increasing
+    assert (got["pack_offset"] < 2048).all() and (got["pack_offset"] >= 0).all()
+
+
+def test_packing_crosses_buckets(spark, tmp_path):
+    """Docs straddling a bucket boundary still get a contiguous prefix sum
+    (offset table join covers bucket > 0)."""
+    from curator_spark.operators.assembly import PACK_BUCKET, sequence_packing
+
+    rows = [(i, "x" * 40, "en", "s", 40) for i in range(PACK_BUCKET - 2, PACK_BUCKET + 3)]
+    p = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(p + "/documents.parquet")
+    out = sequence_packing(spark, p).orderBy("doc_id").toPandas()
+    # 5 docs x 10 tokens each -> cum_before = 0,10,20,30,40 regardless of
+    # the bucket split between rows 2 and 3
+    assert list(out["cum_before"]) == [0, 10, 20, 30, 40]
+
+
+def test_classifier_window_is_rank_limited(spark):
+    """The 2-key per-label window must carry Catalyst's WindowGroupLimit
+    pushdown (Partial before the exchange) — without it, one label key
+    swallows half the corpus into a single task."""
+    from curator_spark.operators import QUERIES
+
+    df = QUERIES["classifier_training_set"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange hashpartitioning(label")[1]
+    out = df.toPandas()
+    # sf0.001 is all-keepers; only the cap invariant holds universally
+    assert (out.groupby("label").size() <= 150).all()
+
+
+def test_classifier_balances_planted_classes(spark, tmp_path):
+    """With planted good + bad docs, both classes appear, hash-ranked."""
+    good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, f"{good} variant {i}", "en", "s", 1) for i in range(10)]
+    rows += [(100 + i, "x", "en", "s", 1) for i in range(10)]  # too_short
+    p = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(p + "/documents.parquet")
+    from curator_spark.operators.assembly import classifier_training_set
+
+    out = classifier_training_set(spark, p, n_per_class=5).toPandas()
+    counts = out.groupby("label").size()
+    assert counts.get(0, 0) == 5 and counts.get(1, 0) == 5
+
+
+def test_length_histogram_bands(spark, tmp_path):
+    from curator_spark.operators.assembly import length_histogram
+
+    rows = [
+        (1, "x", "en", "s", 1),        # len 1 -> band 0
+        (2, "x" * 2, "en", "s", 2),    # len 2 -> band 1
+        (3, "x" * 1023, "en", "s", 1023),  # band 9
+        (4, "x" * 1024, "en", "s", 1024),  # band 10
+    ]
+    p = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(p + "/documents.parquet")
+    out = length_histogram(spark, p).orderBy("len_band").toPandas()
+    assert list(out["len_band"]) == [0, 1, 9, 10]
+    assert list(out["n_docs"]) == [1, 1, 1, 1]
