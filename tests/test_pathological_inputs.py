@@ -39,6 +39,10 @@ SENSITIVE = [
     "scrub_documents", "quality_filter_documents", "normalize_text",
     "stratified_sample", "finetune_format", "gopher_repetition",
     "decontaminate",
+    # round-3 additions (all documents-table readers)
+    "bm25_topk", "inverted_index", "pii_stats", "dup_ngram_spans",
+    "mixture_weights", "classifier_training_set", "sequence_packing",
+    "length_histogram",
     # event-time operators over the tie/null/out-of-order events table
     "sessionize", "tumbling_window", "datetime_extract", "distinct_types",
     "asof_join", "set_ops", "json_extract", "validate_json_map",
