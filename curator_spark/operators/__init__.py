@@ -30,3 +30,4 @@ from . import decontaminate  # noqa: F401,E402
 from . import semdedup  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
 from . import assembly  # noqa: F401,E402
+from . import repo_ops  # noqa: F401,E402

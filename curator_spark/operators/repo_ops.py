@@ -1,0 +1,351 @@
+"""Repository-level analytics over the source-code corpus table
+``(repo, path, commit, lang, content)`` — the input shape fixed by
+BASELINE.json.input_hint. These are the corpus-understanding queries a
+curation team runs BEFORE tuning the quality filter: what does the corpus
+import, how comment-dense is it, which files are vendored copies, where do
+the bytes live, and which files are cross-repo clones.
+
+Reference anchor: curator's map/filter analytics loop (reference:
+src/bespokelabs/curator/llm/llm.py:187 drives per-row maps; the reference
+has no repo-level analytics — these are the Spark-native extensions a
+100 TB code corpus needs, in the spirit of the BigCode/StarCoder
+preprocessing pipeline).
+
+Oracle strategy: the Spark side regenerates the deterministic 2,000-file
+seed=42 corpus in-session (``sources/corpus.py`` — every row a pure
+function of (seed, i)); the DuckDB oracle reads the same table
+pre-materialized at ``tests/golden/corpus_raw_2000.parquet``. All hashes
+are md5-of-string and all ratios integer-quantized (``div`` / ``//``
+floor-division), so every query verifies by full value hash.
+
+Scale shapes (10^12 files):
+
+* ``import_stats`` — pure codegen regexp_extract_all -> explode ->
+  hash-aggregate with map-side combine; one shuffle on the module key.
+* ``comment_stats`` — zero-shuffle per-row line fold, then a 7-key agg.
+* ``vendored_files`` — single hash-aggregate on content digest (same
+  shape as exact dedup); HAVING prunes before any join.
+* ``repo_dir_rollup`` — groupBy (repo, top_dir); the monorepo hot key is
+  exercised by the generator's 30% skew row share.
+* ``cross_repo_clones`` — the production clone-detection shape: MinHash
+  band LSH candidates (bucket-capped, one band-key self-join shuffle)
+  -> exact shingle-Jaccard CONFIRM on candidates only -> threshold.
+  Candidates are bounded by ``BUCKET_CAP`` per band key, so one viral
+  boilerplate signature cannot go quadratic; the confirm join touches
+  only candidate ids, never the corpus cross-product.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .dedup import BUCKET_CAP, _let, _SHINGLES_SPARK, cap_bucket_width
+from .registry import register
+from ..sources.corpus import generate_spark
+
+_N_ROWS = 2000
+
+_RAW = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden",
+    "corpus_raw_2000.parquet",
+)
+_CORPUS_DUCK = f"read_parquet('{_RAW}')"
+
+
+def _corpus(spark):
+    return generate_spark(spark, _N_ROWS, seed=42, partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# import_stats: which modules does the corpus import, and how widely?
+# Three anchored multiline patterns (python `import x`, go `import "x"`,
+# C `#include <x.h>`); (?m)^...$ behaves identically in Java regex and RE2.
+# ---------------------------------------------------------------------------
+_IMPORT_PATTERNS = [
+    ('(?m)^import ([a-z]+)$', 1),
+    ('(?m)^import "([a-z]+)"$', 1),
+    ('(?m)^#include <([a-z]+\\.h)>$', 1),
+]
+
+_Q_IMPORTS_ORACLE = f"""
+WITH hits AS (
+  SELECT repo,
+         unnest(list_concat(list_concat(
+           regexp_extract_all(content, '(?m)^import ([a-z]+)$', 1),
+           regexp_extract_all(content, '(?m)^import "([a-z]+)"$', 1)),
+           regexp_extract_all(content, '(?m)^#include <([a-z]+\\.h)>$', 1)
+         )) AS module
+  FROM {_CORPUS_DUCK}
+)
+SELECT module, count(*) AS n_files, count(DISTINCT repo) AS n_repos
+FROM hits GROUP BY module
+"""
+
+
+@register(
+    "import_stats",
+    _Q_IMPORTS_ORACLE,
+    "module-popularity rollup: regexp import extraction -> explode -> agg",
+)
+def import_stats(spark, sf_dir):
+    c = _corpus(spark)
+    hit_arrays = [
+        F.regexp_extract_all(F.col("content"), F.lit(pat), idx)
+        for pat, idx in _IMPORT_PATTERNS
+    ]
+    return (
+        c.select("repo", F.explode(F.concat(*hit_arrays)).alias("module"))
+        .groupBy("module")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# comment_stats: per claimed language, comment-line density (StarCoder-style
+# signal: near-zero comment ratio flags minified/generated code; the
+# comment-vs-#include carve-out keeps C includes out of the count).
+# Ratios are basis points via FLOOR division (Spark `div` == DuckDB `//`),
+# so no float rounding can diverge cross-engine. ltrim strips spaces only
+# in BOTH engines (the generator indents with spaces).
+# ---------------------------------------------------------------------------
+_IS_COMMENT = (
+    "(startswith(ltrim(l), '#') AND NOT startswith(ltrim(l), '#include'))"
+    " OR startswith(ltrim(l), '//') OR startswith(ltrim(l), '/*')"
+)
+
+_Q_COMMENTS_ORACLE = f"""
+WITH per_file AS (
+  SELECT lang,
+         len(string_split(content, chr(10))) AS n_lines,
+         len(list_filter(string_split(content, chr(10)),
+             l -> {_IS_COMMENT.replace("startswith", "starts_with")})) AS n_comment
+  FROM {_CORPUS_DUCK}
+)
+SELECT lang,
+       count(*) AS n_files,
+       cast(sum(n_lines) AS BIGINT) AS total_lines,
+       cast(sum(n_comment) AS BIGINT) AS comment_lines,
+       cast(sum(n_comment) * 10000 // greatest(sum(n_lines), 1) AS BIGINT) AS comment_bp,
+       cast(sum(CASE WHEN n_comment = 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_no_comments
+FROM per_file GROUP BY lang
+"""
+
+
+@register(
+    "comment_stats",
+    _Q_COMMENTS_ORACLE,
+    "per-language comment-line density (zero-shuffle line fold + 7-key agg)",
+)
+def comment_stats(spark, sf_dir):
+    c = _corpus(spark)
+    lines = "split(content, '\\n')"
+    per_file = c.select(
+        "lang",
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(f"size(filter({lines}, l -> {_IS_COMMENT}))")
+        .cast("long")
+        .alias("n_comment"),
+    )
+    return per_file.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_lines").alias("total_lines"),
+        F.sum("n_comment").alias("comment_lines"),
+        F.expr("sum(n_comment) * 10000 div greatest(sum(n_lines), 1)").alias(
+            "comment_bp"
+        ),
+        F.sum(F.when(F.col("n_comment") == 0, 1).otherwise(0)).alias(
+            "files_no_comments"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vendored_files: byte-identical content appearing in >= 2 distinct repos
+# (vendored/copied code — candidates for dedup before training). Exact-dedup
+# shape: one hash-aggregate on the digest, no joins.
+# ---------------------------------------------------------------------------
+_Q_VENDORED_ORACLE = f"""
+SELECT md5(content) AS digest,
+       count(*) AS n_files,
+       count(DISTINCT repo) AS n_repos,
+       min(length(content)) AS n_chars,
+       min(repo) AS first_repo
+FROM {_CORPUS_DUCK}
+GROUP BY md5(content)
+HAVING count(DISTINCT repo) >= 2
+"""
+
+
+@register(
+    "vendored_files",
+    _Q_VENDORED_ORACLE,
+    "cross-repo byte-identical files (vendoring detector; one hash-agg)",
+)
+def vendored_files(spark, sf_dir):
+    c = _corpus(spark)
+    return (
+        c.groupBy(F.md5("content").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.min(F.length("content")).cast("long").alias("n_chars"),
+            F.min("repo").alias("first_repo"),
+        )
+        .filter(F.col("n_repos") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# repo_dir_rollup: where the bytes live — per (repo, top-level dir) file
+# count / bytes / language spread. The generator's monorepo holds ~30% of
+# rows, so this agg carries the same hot key salted_repo_stats defuses;
+# here the composite (repo, top_dir) key already splits the monorepo across
+# its directories, which is the cheapest skew fix of all: aggregate on the
+# finer natural key first.
+# ---------------------------------------------------------------------------
+_Q_DIRS_ORACLE = f"""
+SELECT repo, split_part(path, '/', 1) AS top_dir,
+       count(*) AS n_files,
+       cast(sum(length(content)) AS BIGINT) AS total_bytes,
+       count(DISTINCT lang) AS n_langs
+FROM {_CORPUS_DUCK}
+GROUP BY repo, top_dir
+"""
+
+
+@register(
+    "repo_dir_rollup",
+    _Q_DIRS_ORACLE,
+    "per-(repo, top dir) size rollup; composite key splits the monorepo hot key",
+)
+def repo_dir_rollup(spark, sf_dir):
+    c = _corpus(spark)
+    return c.groupBy(
+        "repo", F.split_part(F.col("path"), F.lit("/"), F.lit(1)).alias("top_dir")
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross_repo_clones: near-duplicate files across DIFFERENT repos — the
+# "slightly modified vendored copy" detector. Production shape:
+#   1. MinHash signatures (8 hashes, band size 1 -> recalls J >~ 0.1),
+#      one pure-codegen expression per row (no Python, no shuffle);
+#   2. band-key self-join on BUCKET_CAP-capped buckets (the only wide
+#      shuffle; capped so a viral signature stays linear);
+#   3. exact shingle-Jaccard CONFIRM on the candidate ids only, keep
+#      J >= 0.25 (2500 bp, floor-div quantized).
+# File id = commit sha (unique per row, string-ordered identically in
+# Spark and DuckDB).
+# ---------------------------------------------------------------------------
+_N_HASHES = 8
+_J_MIN_BP = 2500
+
+_Q_CLONES_ORACLE = f"""
+WITH corpus AS (
+  SELECT commit AS fid, repo, content AS text FROM {_CORPUS_DUCK}
+),
+shingled AS (
+  SELECT fid, repo,
+         list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),
+           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+  FROM (SELECT fid, repo,
+               list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '') AS w
+        FROM corpus)
+),
+sh AS (SELECT fid, unnest(sh) AS shingle FROM shingled WHERE len(sh) > 0),
+mh AS (
+  SELECT fid, s.seed AS seed, min(md5(s.seed || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, {_N_HASHES})) AS seed) s
+  GROUP BY fid, s.seed
+),
+bands AS (
+  SELECT fid, md5(cast(seed AS VARCHAR) || '|' || minhash) AS band_key FROM mh
+),
+capped AS (
+  SELECT fid, band_key FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY fid) <= {BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.fid AS fid_a, b.fid AS fid_b
+  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.fid < b.fid
+),
+pairs AS (
+  SELECT c.fid_a, c.fid_b, sa.repo AS repo_a, sb.repo AS repo_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+  FROM cand c
+  JOIN shingled sa ON c.fid_a = sa.fid
+  JOIN shingled sb ON c.fid_b = sb.fid
+  WHERE sa.repo != sb.repo
+)
+SELECT fid_a, fid_b, repo_a, repo_b,
+       inter * 10000 // uni AS jaccard_bp
+FROM pairs WHERE inter * 10000 // uni >= {_J_MIN_BP}
+"""
+
+
+@register(
+    "cross_repo_clones",
+    _Q_CLONES_ORACLE,
+    "cross-repo near-dup files: capped MinHash LSH candidates + exact Jaccard confirm",
+)
+def cross_repo_clones(spark, sf_dir):
+    c = _corpus(spark).select(
+        F.col("commit").alias("fid"), "repo", F.col("content").alias("text")
+    )
+    # shingles reused 3x (bands + both confirm sides): cut the lineage once
+    shingled = (
+        c.select("fid", "repo", F.expr(_SHINGLES_SPARK).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sig_expr = _let(
+        "sh",
+        "shz",
+        f"transform(sequence(0, {_N_HASHES - 1}),"
+        " s -> md5(concat(cast(s as string), '|',"
+        " array_min(transform(shz, x -> md5(concat(cast(s as string), ':', x)))))))",
+    )
+    bands = shingled.filter(F.size("sh") > 0).select(
+        "fid", F.explode(F.expr(sig_expr)).alias("band_key")
+    )
+    bands = cap_bucket_width(bands, "band_key", "fid")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.fid") < F.col("b.fid")),
+        )
+        .select(F.col("a.fid").alias("fid_a"), F.col("b.fid").alias("fid_b"))
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("fid").alias("fid_a"), F.col("repo").alias("repo_a"), F.col("sh").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("fid").alias("fid_b"), F.col("repo").alias("repo_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "fid_a")
+        .join(sb, "fid_b")
+        .filter(F.col("repo_a") != F.col("repo_b"))
+        .withColumn("jaccard_bp", F.expr(
+            f"size(array_intersect(sh_a, sh_b)) * 10000 div"
+            f" (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+        ))
+        .filter(F.col("jaccard_bp") >= _J_MIN_BP)
+        .select("fid_a", "fid_b", "repo_a", "repo_b", "jaccard_bp")
+    )

@@ -85,3 +85,22 @@ def test_paragraph_dedup_prunes_columns(spark):
     plan = _plan(spark, "dedup_paragraphs")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_repo_ops_stay_jvm_side(spark):
+    """Import/comment extraction and the vendoring digest are pure codegen
+    expressions — the only Python crossing allowed is the corpus
+    generator's MapInPandas source itself."""
+    for name in ("import_stats", "comment_stats", "vendored_files", "repo_dir_rollup"):
+        plan = _plan(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_cross_repo_clones_no_cartesian(spark):
+    """Clone detection must pair only within capped LSH buckets: an
+    equi-join on band_key, never a corpus cross-product; the Jaccard
+    confirm joins on candidate ids only."""
+    plan = _plan(spark, "cross_repo_clones")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
