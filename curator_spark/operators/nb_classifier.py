@@ -1,0 +1,183 @@
+"""In-engine language-ID model training + inference — the north star's
+"fastText language-ID stage broadcast to executors", but with the model
+TRAINED inside the engine too: a multiclass bag-of-words Naive Bayes
+classifier fit on the corpus' noisy claimed-lang labels (~10% of them are
+wrong by construction — sources/corpus.py), then broadcast as a literal
+map expression and used to re-predict every file's language zero-shuffle.
+
+This is the CCNet/fastText loop end-to-end in Spark: label -> count ->
+cap vocabulary -> broadcast model -> map-only inference. (Reference
+anchor: curator's per-row model map, src/bespokelabs/curator/llm/
+llm.py:187; the offline-model executor pattern,
+vllm_offline_request_processor.py:41-53, is what the broadcast-literal
+model replaces.)
+
+Scale shape (10^12 files):
+
+* training: one explode -> per-term hash-aggregate with map-side combine
+  (the only wide shuffle; 7 conditional sums per term), deterministic
+  top-``VOCAB_CAP`` vocabulary (df DESC, term ASC — TakeOrdered, no full
+  sort), collected BOUNDED at VOCAB_CAP rows + a 7-row prior table. The
+  collect is the model-broadcast pattern, same as kmeans_ivf's centroids.
+* inference: model = literal ``map<term, array<7 x bigint>>``; scoring is
+  a zero-shuffle per-row fold ``zip_with`` accumulate + argmax — no join,
+  no Python, map-only (plan-test enforced).
+
+Cross-engine exactness: every count is an integer; per-class weights are
+``round(1e6 * ln((docs_with_term_in_class + 1) / (N_class + 2)))`` — the
+division of exact-integer doubles is correctly rounded and ln agrees to
+1 ulp between JVM and libm, 12 orders inside the 1e-6 grid. Scores are
+BIGINT sums; argmax tie-break = alphabetically-first language (Spark:
+array_position of array_max over the alphabetical class order; DuckDB:
+ORDER BY score DESC, lang ASC). The oracle replays training AND inference
+bit-exactly on the pre-materialized seed=42 corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+VOCAB_CAP = 400
+LANGS = ["c", "go", "java", "javascript", "json", "markdown", "python"]
+
+_WORDS_DUCK_C = "list_distinct(list_filter(str_split_regex(content, '[ \\t\\n]+'), w -> w != ''))"
+
+_Q_NB_LANGID_ORACLE = f"""
+WITH labeled AS (
+  SELECT commit AS fid, lang, {_WORDS_DUCK_C} AS words FROM {_CORPUS_DUCK}
+),
+cls AS (
+  SELECT lang, count(*) AS nc FROM labeled GROUP BY lang
+),
+total AS (SELECT count(*) AS n FROM labeled),
+toks AS (SELECT fid, lang, unnest(words) AS term FROM labeled),
+tc AS (
+  SELECT term, lang, count(*) AS ctc FROM toks GROUP BY term, lang
+),
+vocab AS (
+  SELECT term FROM (SELECT term, cast(sum(ctc) AS BIGINT) AS df FROM tc GROUP BY term)
+  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= {VOCAB_CAP}
+),
+-- dense (vocab term x class) weight grid: missing counts smooth to +1
+wts AS (
+  SELECT v.term, c.lang,
+         cast(round(1000000 * ln(cast(coalesce(t.ctc, 0) + 1 AS DOUBLE)
+              / cast(c.nc + 2 AS DOUBLE)), 0) AS BIGINT) AS wq
+  FROM vocab v
+  CROSS JOIN cls c
+  LEFT JOIN tc t ON t.term = v.term AND t.lang = c.lang
+),
+priors AS (
+  SELECT lang, cast(round(1000000 * ln(cast(nc + 1 AS DOUBLE)
+              / cast(n + {len(LANGS)} AS DOUBLE)), 0) AS BIGINT) AS pq
+  FROM cls, total
+),
+doc_class AS (
+  SELECT l.fid, l.lang AS claimed_lang, p.lang AS cand_lang,
+         p.pq + cast(coalesce(sum(w.wq), 0) AS BIGINT) AS score_q
+  FROM labeled l
+  CROSS JOIN priors p
+  LEFT JOIN toks t ON t.fid = l.fid
+  LEFT JOIN wts w ON w.term = t.term AND w.lang = p.lang
+  GROUP BY l.fid, l.lang, p.lang, p.pq
+)
+SELECT fid, claimed_lang, cand_lang AS pred_lang, score_q AS pred_score_q,
+       CASE WHEN cand_lang = claimed_lang THEN 1 ELSE 0 END AS agrees
+FROM doc_class
+QUALIFY row_number() OVER (PARTITION BY fid ORDER BY score_q DESC, cand_lang ASC) = 1
+"""
+
+
+@register(
+    "nb_langid_score",
+    _Q_NB_LANGID_ORACLE,
+    "train multiclass NB language-ID in-engine on noisy labels, broadcast model, re-predict all files",
+)
+def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
+    labeled = _corpus(spark).select(
+        F.col("commit").alias("fid"),
+        "lang",
+        F.expr(
+            "array_distinct(filter(split(content, '[ \\t\\n]+'), w -> w != ''))"
+        ).alias("words"),
+    )
+
+    # ---- training: one term-key shuffle, then a bounded TakeOrdered ----
+    class_counts = {
+        r["lang"]: int(r["nc"])
+        for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("nc")).collect()
+    }
+    n_total = sum(class_counts.values())
+    nc = {c: class_counts.get(c, 0) for c in LANGS}
+
+    toks = labeled.select("lang", F.explode("words").alias("term"))
+    per_class_sums = [
+        F.sum(F.when(F.col("lang") == c, 1).otherwise(0)).alias(f"c_{i}")
+        for i, c in enumerate(LANGS)
+    ]
+    tc = toks.groupBy("term").agg(*per_class_sums, F.count(F.lit(1)).alias("df"))
+    # per-class weight, nc inlined as integer literals (never string-replace
+    # into a template — see the decontaminate templating fix this mirrors)
+    w_cols = [
+        F.expr(
+            f"cast(round(1000000 * ln(cast(c_{i} + 1 as double)"
+            f" / cast({nc[c]} + 2 as double)), 0) as bigint)"
+        ).alias(f"w_{i}")
+        for i, c in enumerate(LANGS)
+    ]
+    vocab = (
+        tc.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(vocab_cap)
+        .select("term", *w_cols)
+        .collect()
+    )
+    priors = [
+        int(
+            spark.sql(
+                f"SELECT cast(round(1000000 * ln(cast({nc[c]} + 1 AS DOUBLE)"
+                f" / cast({n_total} + {len(LANGS)} AS DOUBLE)), 0) AS BIGINT) AS p"
+            ).collect()[0]["p"]
+        )
+        for c in LANGS
+    ]
+
+    # ---- inference: literal map<term, array<long>>; zero-shuffle fold ----
+    map_items = []
+    for r in vocab:
+        map_items.append(F.lit(r["term"]))
+        map_items.append(
+            F.array(*[F.lit(int(r[f"w_{i}"])).cast("long") for i in range(len(LANGS))])
+        )
+    wmap = F.create_map(*map_items)
+    zeros = F.array(*[F.lit(0).cast("long") for _ in LANGS])
+    prior_arr = F.array(*[F.lit(p).cast("long") for p in priors])
+    # try_element_at: ANSI mode (Spark 4 default) raises on missing map keys
+    scores = F.aggregate(
+        "words",
+        prior_arr,
+        lambda acc, w: F.zip_with(
+            acc,
+            F.coalesce(F.try_element_at(wmap, w), zeros),
+            lambda a, b: a + b,
+        ),
+    )
+    langs_arr = F.array(*[F.lit(c) for c in LANGS])
+    scored = labeled.select(
+        "fid",
+        F.col("lang").alias("claimed_lang"),
+        scores.alias("scores"),
+    )
+    best = F.array_max("scores")
+    idx = F.array_position("scores", best)  # 1-based, FIRST max -> alphabetical tie-break
+    return scored.select(
+        "fid",
+        "claimed_lang",
+        F.element_at(langs_arr, idx.cast("int")).alias("pred_lang"),
+        best.cast("long").alias("pred_score_q"),
+        F.when(F.element_at(langs_arr, idx.cast("int")) == F.col("claimed_lang"), 1)
+        .otherwise(0)
+        .alias("agrees"),
+    )

@@ -1,0 +1,47 @@
+"""In-engine NB language-ID: the model must actually learn (beat the
+majority-class baseline by a wide margin on noisy labels), and inference
+must stay a zero-shuffle map-only plan (the broadcast-model contract)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from curator_spark.operators import QUERIES
+
+SF = "/root/testdata/sf0.001"  # corpus queries ignore sf_dir (fixed seed=42)
+
+
+def test_langid_learns_beyond_majority_class(spark):
+    df = QUERIES["nb_langid_score"].fn(spark, SF).cache()
+    try:
+        n = df.count()
+        agree = df.agg(F.avg("agrees")).collect()[0][0]
+        majority = (
+            df.groupBy("claimed_lang").count().agg(F.max("count")).collect()[0][0] / n
+        )
+        # claimed labels are ~90% true and ~15% of files are languageless
+        # noise kinds; presence-NB lands ~0.80 agreement. Majority-class
+        # baseline is ~0.22 — require clear separation from both.
+        assert agree >= 0.75, f"agreement {agree:.3f} too low"
+        assert agree > majority + 0.4, f"not better than majority {majority:.3f}"
+    finally:
+        df.unpersist()
+
+
+def test_langid_prediction_covers_all_classes(spark):
+    df = QUERIES["nb_langid_score"].fn(spark, SF)
+    preds = {r["pred_lang"] for r in df.select("pred_lang").distinct().collect()}
+    # a degenerate model predicts one class everywhere; this one must use
+    # (nearly) the full label space
+    assert len(preds) >= 6, preds
+
+
+def test_nb_inference_is_map_only(spark):
+    """After training (bounded collects), the returned scoring DataFrame
+    must be a pure per-row expression over the generator source: no
+    Exchange, no join, no Python eval nodes."""
+    df = QUERIES["nb_langid_score"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
