@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "bm25_topk",
     "dup_ngram_spans",
+    "cross_repo_clones",
+    "nb_langid_score",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -140,3 +140,54 @@ def mixture_weights(spark, sf_dir, target: dict[str, float] | None = None):
         F.round(rate * 1_000_000).cast("long").alias("rate_ppm"),
         F.floor(F.col("tokens") * rate).cast("long").alias("expected_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset_split: deterministic hash-threshold train/val/test assignment
+# (80/10/10) + per-(lang, split) realized-fraction audit. The assignment is
+# a pure per-row expression (zero shuffle at 10^12 docs — no rand(), no
+# sort, reproducible across runs/partitionings); the audit is one
+# hash-aggregate plus a broadcast join against the tiny per-language
+# totals. Portability: bucket = first-8-hex-chars of md5(doc_id) mod 100,
+# identical in Spark (conv) and DuckDB ('0x'||...)::BIGINT.
+# ---------------------------------------------------------------------------
+_SPLIT_DUCK = """CASE
+  WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+  WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+  ELSE 'test' END"""
+
+_Q_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, {_SPLIT_DUCK} AS split FROM documents
+),
+per AS (
+  SELECT lang, split, count(*) AS n_docs FROM assigned GROUP BY lang, split
+),
+tot AS (SELECT lang, count(*) AS n_lang FROM assigned GROUP BY lang)
+SELECT p.lang, p.split, p.n_docs,
+       cast(p.n_docs * 10000 // t.n_lang AS BIGINT) AS frac_bp
+FROM per p JOIN tot t ON p.lang = t.lang
+"""
+
+
+@register(
+    "dataset_split",
+    _Q_SPLIT_ORACLE,
+    "deterministic hash-threshold train/val/test split + per-language fraction audit",
+)
+def dataset_split(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    assigned = d.select(
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    per = assigned.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .withColumn("frac_bp", F.expr("n_docs * 10000 div n_lang"))
+        .select("lang", "split", "n_docs", "frac_bp")
+    )
