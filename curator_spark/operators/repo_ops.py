@@ -349,3 +349,87 @@ def cross_repo_clones(spark, sf_dir):
         .filter(F.col("jaccard_bp") >= _J_MIN_BP)
         .select("fid_a", "fid_b", "repo_a", "repo_b", "jaccard_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift: snapshot-over-snapshot diff report — previous crawl
+# (rows [0, 2000)) vs current crawl (rows [400, 2400)): 1,600 stable files,
+# 400 vanished, 400 new. The diff key is the commit sha (unique per file
+# version), so this is a content-level snapshot diff: one full-outer
+# sort-merge join on the commit key + a per-language rollup. On a real
+# Iceberg deployment the added/removed sets come free from snapshot
+# metadata (incremental reads); this operator is the engine-level
+# equivalent when the store can't answer it.
+# ---------------------------------------------------------------------------
+_DRIFT_START = 400
+
+_RAW_W400 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden",
+    "corpus_raw_2000_w400.parquet",
+)
+
+_Q_DRIFT_ORACLE = f"""
+WITH prev AS (SELECT commit, lang, length(content) AS n FROM {_CORPUS_DUCK}),
+curr AS (SELECT commit, lang, length(content) AS n
+         FROM read_parquet('{_RAW_W400}')),
+diff AS (
+  SELECT coalesce(p.lang, c.lang) AS lang,
+         CASE WHEN p.commit IS NOT NULL THEN 1 ELSE 0 END AS in_prev,
+         CASE WHEN c.commit IS NOT NULL THEN 1 ELSE 0 END AS in_curr,
+         coalesce(p.n, 0) AS n_prev_bytes, coalesce(c.n, 0) AS n_curr_bytes
+  FROM prev p FULL OUTER JOIN curr c ON p.commit = c.commit
+)
+SELECT lang,
+       cast(sum(in_prev) AS BIGINT) AS n_prev,
+       cast(sum(in_curr) AS BIGINT) AS n_curr,
+       cast(sum(CASE WHEN in_curr = 1 AND in_prev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       cast(sum(CASE WHEN in_prev = 1 AND in_curr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       cast(sum(CASE WHEN in_prev = 1 AND in_curr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+       cast(sum(n_prev_bytes) AS BIGINT) AS bytes_prev,
+       cast(sum(n_curr_bytes) AS BIGINT) AS bytes_curr
+FROM diff GROUP BY lang
+"""
+
+
+@register(
+    "corpus_drift",
+    _Q_DRIFT_ORACLE,
+    "snapshot-over-snapshot churn report: full-outer commit diff -> per-language rollup",
+)
+def corpus_drift(spark, sf_dir):
+    prev = _corpus(spark).select("commit", "lang", F.length("content").alias("n"))
+    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START).select(
+        "commit", "lang", F.length("content").alias("n")
+    )
+    diff = prev.alias("p").join(
+        curr.alias("c"), F.col("p.commit") == F.col("c.commit"), "full_outer"
+    )
+    in_prev = F.when(F.col("p.commit").isNotNull(), 1).otherwise(0)
+    in_curr = F.when(F.col("c.commit").isNotNull(), 1).otherwise(0)
+    return (
+        diff.select(
+            F.coalesce(F.col("p.lang"), F.col("c.lang")).alias("lang"),
+            in_prev.alias("in_prev"),
+            in_curr.alias("in_curr"),
+            F.coalesce(F.col("p.n"), F.lit(0)).alias("n_prev_bytes"),
+            F.coalesce(F.col("c.n"), F.lit(0)).alias("n_curr_bytes"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("in_prev").cast("long").alias("n_prev"),
+            F.sum("in_curr").cast("long").alias("n_curr"),
+            F.sum(F.when((F.col("in_curr") == 1) & (F.col("in_prev") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when((F.col("in_prev") == 1) & (F.col("in_curr") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when((F.col("in_prev") == 1) & (F.col("in_curr") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stable"),
+            F.sum("n_prev_bytes").cast("long").alias("bytes_prev"),
+            F.sum("n_curr_bytes").cast("long").alias("bytes_curr"),
+        )
+    )
