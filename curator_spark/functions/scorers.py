@@ -153,3 +153,57 @@ def get_scorer(loader: Loader | None) -> Scorer:
         inst = loader()
         _SCORER_CACHE[key] = inst
     return inst
+
+
+class NBLangidScorer(Scorer):
+    """Language-ID scorer backed by a model TRAINED IN-ENGINE
+    (operators.nb_classifier.train_nb_langid) — closes the loop the north
+    star describes: fit the classifier as a distributed job, then deploy
+    it to executors as a plain-dict model (ships by value with the loader
+    closure; no files, no SparkFiles). Perplexity stays delegated to the
+    trigram stand-in exactly as fastText+KenLM are separate models in the
+    production pairing.
+
+    Tokenization mirrors the training side bit-for-bit
+    (``split('[ \\t\\n]+')``, drop empties, distinct), so predictions
+    match the ``nb_langid_score`` literal-map inference expression
+    exactly (tested by tests/test_nb_langid.py)."""
+
+    def __init__(self, model: dict):
+        self._langs = list(model["langs"])
+        self._priors = np.asarray(model["priors"], dtype=np.int64)
+        self._w = {
+            t: np.asarray(ws, dtype=np.int64) for t, ws in model["weights"].items()
+        }
+
+    def _predict_one(self, text: str) -> str:
+        import re
+
+        scores = self._priors
+        lookup = self._w.get
+        for tok in set(re.split("[ \t\n]+", text)):
+            if tok:
+                a = lookup(tok)
+                if a is not None:
+                    scores = scores + a
+        # np.argmax takes the FIRST max -> alphabetical tie-break, same as
+        # the Spark-side array_position(scores, array_max(scores))
+        return self._langs[int(np.argmax(scores))]
+
+    def score(self, texts: pd.Series) -> Tuple[pd.Series, np.ndarray]:
+        from .perplexity import batch_encoding, ppl_from_encoding
+
+        lang = texts.fillna("").map(self._predict_one)
+        return lang, ppl_from_encoding(batch_encoding(texts))
+
+
+def nb_scorer_loader(model: dict) -> Loader:
+    """Loader factory: ``curate(corpus, scorer_loader=nb_scorer_loader(m))``.
+    The dict closes into the loader, so cloudpickle ships the MODEL by
+    value while the executor-side singleton cache (get_scorer) still
+    builds the numpy tables once per worker."""
+
+    def _load() -> Scorer:
+        return NBLangidScorer(model)
+
+    return _load

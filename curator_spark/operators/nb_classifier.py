@@ -91,21 +91,22 @@ QUALIFY row_number() OVER (PARTITION BY fid ORDER BY score_q DESC, cand_lang ASC
 """
 
 
-@register(
-    "nb_langid_score",
-    _Q_NB_LANGID_ORACLE,
-    "train multiclass NB language-ID in-engine on noisy labels, broadcast model, re-predict all files",
-)
-def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
-    labeled = _corpus(spark).select(
-        F.col("commit").alias("fid"),
-        "lang",
-        F.expr(
-            "array_distinct(filter(split(content, '[ \\t\\n]+'), w -> w != ''))"
-        ).alias("words"),
-    )
+def _words_col():
+    return F.expr(
+        "array_distinct(filter(split(content, '[ \\t\\n]+'), w -> w != ''))"
+    ).alias("words")
 
-    # ---- training: one term-key shuffle, then a bounded TakeOrdered ----
+
+def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
+    """Fit the multiclass NB language-ID model on ``corpus_df``
+    (columns: lang, content) and return it as a plain serializable dict
+    ``{"langs": [...], "priors": [int x7], "weights": {term: [int x7]}}``
+    — usable both as a literal-map inference expression (below) and as an
+    executor-side :class:`functions.scorers.NBLangidScorer`.
+
+    One term-key shuffle + a bounded TakeOrdered; the driver only ever
+    holds vocab_cap + 7 rows (the model-broadcast pattern)."""
+    labeled = corpus_df.select("lang", _words_col())
     class_counts = {
         r["lang"]: int(r["nc"])
         for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("nc")).collect()
@@ -143,14 +144,31 @@ def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
         )
         for c in LANGS
     ]
+    return {
+        "langs": list(LANGS),
+        "priors": priors,
+        "weights": {
+            r["term"]: [int(r[f"w_{i}"]) for i in range(len(LANGS))] for r in vocab
+        },
+    }
+
+
+@register(
+    "nb_langid_score",
+    _Q_NB_LANGID_ORACLE,
+    "train multiclass NB language-ID in-engine on noisy labels, broadcast model, re-predict all files",
+)
+def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
+    corpus = _corpus(spark)
+    labeled = corpus.select(F.col("commit").alias("fid"), "lang", _words_col())
+    model = train_nb_langid(spark, corpus, vocab_cap)
+    priors = model["priors"]
 
     # ---- inference: literal map<term, array<long>>; zero-shuffle fold ----
     map_items = []
-    for r in vocab:
-        map_items.append(F.lit(r["term"]))
-        map_items.append(
-            F.array(*[F.lit(int(r[f"w_{i}"])).cast("long") for i in range(len(LANGS))])
-        )
+    for term, ws in model["weights"].items():
+        map_items.append(F.lit(term))
+        map_items.append(F.array(*[F.lit(w).cast("long") for w in ws]))
     wmap = F.create_map(*map_items)
     zeros = F.array(*[F.lit(0).cast("long") for _ in LANGS])
     prior_arr = F.array(*[F.lit(p).cast("long") for p in priors])

@@ -45,3 +45,47 @@ def test_nb_inference_is_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nb_scorer_matches_engine_inference(spark):
+    """The executor-side NBLangidScorer (plain-dict model shipped by value)
+    must predict the SAME language per file as the literal-map inference
+    expression — same tokenization, same argmax tie-break."""
+    from curator_spark.functions.scorers import NBLangidScorer
+    from curator_spark.operators.nb_classifier import train_nb_langid
+    from curator_spark.sources.corpus import generate_pandas, generate_spark
+
+    corpus = generate_spark(spark, 2000, seed=42, partitions=8)
+    model = train_nb_langid(spark, corpus)
+    engine = {
+        r["fid"]: r["pred_lang"]
+        for r in QUERIES["nb_langid_score"].fn(spark, SF).select("fid", "pred_lang").collect()
+    }
+    pdf = generate_pandas(2000, seed=42)
+    lang, _ppl = NBLangidScorer(model).score(pdf["content"])
+    mismatches = [
+        (c, engine[c], p) for c, p in zip(pdf["commit"], lang) if engine[c] != p
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_nb_scorer_plugs_into_pipeline(spark):
+    """End of the train->deploy loop: the in-engine-trained model runs as
+    the quality pipeline's langid stage via the scorer_loader hook."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.functions.scorers import nb_scorer_loader
+    from curator_spark.operators.nb_classifier import train_nb_langid
+    from curator_spark.plans.quality_pipeline import annotate
+    from curator_spark.sources.corpus import generate_spark
+
+    corpus = generate_spark(spark, 400, seed=42, partitions=4)
+    model = train_nb_langid(spark, corpus)
+    out = annotate(corpus, scorer_loader=nb_scorer_loader(model)).select(
+        "commit", "lang_pred", "keep", "scrubbed_sha256"
+    )
+    rows = out.collect()
+    assert len(rows) == 400
+    preds = {r["lang_pred"] for r in rows}
+    assert preds <= {"c", "go", "java", "javascript", "json", "markdown", "python"}
+    assert len(preds) >= 4  # the model actually differentiates languages
