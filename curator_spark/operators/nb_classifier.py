@@ -106,7 +106,9 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
 
     One term-key shuffle + a bounded TakeOrdered; the driver only ever
     holds vocab_cap + 7 rows (the model-broadcast pattern)."""
-    labeled = corpus_df.select("lang", _words_col())
+    # training issues several actions (class counts, vocabulary) — cut the
+    # generator/scan lineage once so each action reuses materialized rows
+    labeled = corpus_df.select("lang", _words_col()).localCheckpoint(eager=False)
     class_counts = {
         r["lang"]: int(r["nc"])
         for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("nc")).collect()
@@ -135,15 +137,13 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
         .select("term", *w_cols)
         .collect()
     )
-    priors = [
-        int(
-            spark.sql(
-                f"SELECT cast(round(1000000 * ln(cast({nc[c]} + 1 AS DOUBLE)"
-                f" / cast({n_total} + {len(LANGS)} AS DOUBLE)), 0) AS BIGINT) AS p"
-            ).collect()[0]["p"]
-        )
-        for c in LANGS
-    ]
+    prior_cols = ", ".join(
+        f"cast(round(1000000 * ln(cast({nc[c]} + 1 AS DOUBLE)"
+        f" / cast({n_total} + {len(LANGS)} AS DOUBLE)), 0) AS BIGINT) AS p{i}"
+        for i, c in enumerate(LANGS)
+    )
+    prow = spark.sql(f"SELECT {prior_cols}").collect()[0]
+    priors = [int(prow[f"p{i}"]) for i in range(len(LANGS))]
     return {
         "langs": list(LANGS),
         "priors": priors,
@@ -159,7 +159,7 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     "train multiclass NB language-ID in-engine on noisy labels, broadcast model, re-predict all files",
 )
 def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
-    corpus = _corpus(spark)
+    corpus = _corpus(spark).localCheckpoint(eager=False)
     labeled = corpus.select(F.col("commit").alias("fid"), "lang", _words_col())
     model = train_nb_langid(spark, corpus, vocab_cap)
     priors = model["priors"]
@@ -172,9 +172,15 @@ def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
     wmap = F.create_map(*map_items)
     zeros = F.array(*[F.lit(0).cast("long") for _ in LANGS])
     prior_arr = F.array(*[F.lit(p).cast("long") for p in priors])
-    # try_element_at: ANSI mode (Spark 4 default) raises on missing map keys
+    vocab_terms = F.array(*[F.lit(t) for t in model["weights"]])
+    # GetMapValue on a literal CreateMap is a LINEAR scan of all vocab_cap
+    # entries per lookup — folding over every word would cost
+    # O(words * vocab). array_intersect hash-probes first, so the linear
+    # map scan only runs for the handful of words actually in the
+    # vocabulary. try_element_at: ANSI mode (Spark 4 default) raises on
+    # missing map keys.
     scores = F.aggregate(
-        "words",
+        F.array_intersect("words", vocab_terms),
         prior_arr,
         lambda acc, w: F.zip_with(
             acc,
