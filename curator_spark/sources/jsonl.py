@@ -1,0 +1,121 @@
+"""JSONL request/response interchange — curator's on-disk wire format,
+Spark-native.
+
+The reference engine materializes every map stage as sharded
+``requests_{i}.jsonl`` files (one ``GenericRequest`` JSON object per
+line; reference: types/generic_request.py:18-27 — fields ``model``,
+``messages``, ``original_row``, ``original_row_idx``,
+``generation_params``) and reads back ``responses_{i}.jsonl``
+(``GenericResponse``: ``response_message``, ``response_errors``,
+``generic_request``, token usage; types/generic_response.py:28-41). That
+format is the interop boundary: any external inference fleet that speaks
+it can serve the expensive stage.
+
+This module writes/reads the same shape with Spark's native JSON
+source — every line is one request object, sharding falls out of
+partitioning, and the schema is explicit on read (NEVER inferred: schema
+inference is an extra full scan of 10^12 lines, and a malformed line
+would silently widen a column to string).
+
+Scale notes: export is a map-only write (one shard per partition —
+repartition to pick the shard count); import is a schema-locked scan with
+``columnNameOfCorruptRecord`` capturing bad lines instead of failing the
+job (the reference's per-line append-and-recover semantics,
+base_request_processor.py:145-198). The response rejoin is an equi-join
+on ``original_row_idx`` — broadcast when the response side is small,
+sort-merge otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("model", T.StringType()),
+        T.StructField(
+            "messages",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("role", T.StringType()),
+                        T.StructField("content", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("original_row", T.StringType()),  # JSON blob (schema-free)
+        T.StructField("original_row_idx", T.LongType()),
+        T.StructField("generation_params", T.StringType()),  # JSON blob
+    ]
+)
+
+RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("response_message", T.StringType()),
+        T.StructField("response_errors", T.ArrayType(T.StringType())),
+        T.StructField("original_row_idx", T.LongType()),
+        T.StructField("prompt_tokens", T.LongType()),
+        T.StructField("completion_tokens", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def export_requests(
+    df: DataFrame,
+    path: str,
+    prompt_col: str = "prompt",
+    idx_col: str = "doc_id",
+    model: str = "external",
+    system_prompt: str | None = None,
+    shards: int | None = None,
+) -> None:
+    """Write curator-wire-format request JSONL shards for an external
+    inference fleet. ``original_row`` carries the full input row as a JSON
+    blob so the fleet can echo it back (the reference's carry-through)."""
+    msgs = [
+        F.struct(F.lit("user").alias("role"), F.col(prompt_col).alias("content"))
+    ]
+    if system_prompt is not None:
+        msgs.insert(
+            0, F.struct(F.lit("system").alias("role"), F.lit(system_prompt).alias("content"))
+        )
+    out = df.select(
+        F.lit(model).alias("model"),
+        F.array(*msgs).alias("messages"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("original_row"),
+        F.col(idx_col).cast("long").alias("original_row_idx"),
+        F.to_json(F.struct(F.lit(0.0).alias("temperature"))).alias("generation_params"),
+    )
+    if shards:
+        out = out.repartition(shards)
+    out.write.mode("overwrite").json(path)
+
+
+def read_requests(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(REQUEST_SCHEMA).json(path)
+
+
+def read_responses(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-locked response scan; malformed lines land in
+    ``_corrupt_record`` instead of failing 10^12-line jobs."""
+    return (
+        spark.read.schema(RESPONSE_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def rejoin_responses(
+    inputs: DataFrame, responses: DataFrame, idx_col: str = "doc_id"
+) -> DataFrame:
+    """responses <- equi-join on original_row_idx (the reference's
+    response->request rejoin, SURVEY §2.4 J1)."""
+    ok = responses.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return inputs.join(
+        ok, F.col(idx_col).cast("long") == F.col("original_row_idx"), "left"
+    ).drop("original_row_idx")

@@ -1,0 +1,80 @@
+"""JSONL request/response interop: export -> external fleet (simulated)
+-> response rejoin, including corrupt-line recovery and unicode survival."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from curator_spark.sources.jsonl import (
+    export_requests,
+    read_requests,
+    read_responses,
+    rejoin_responses,
+)
+
+
+def test_request_roundtrip_and_rejoin(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "summarize: naïve café — ünïcode"),
+            (2, 'quote " and \\ backslash'),
+            (3, "plain"),
+        ],
+        "doc_id long, prompt string",
+    )
+    req_dir = os.path.join(tmp_path, "requests")
+    export_requests(docs, req_dir, system_prompt="be brief", shards=2)
+
+    back = read_requests(spark, req_dir)
+    rows = {r["original_row_idx"]: r for r in back.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["messages"][0]["role"] == "system"
+    assert rows[1]["messages"][1]["content"] == "summarize: naïve café — ünïcode"
+    # original_row JSON blob carries the full input row
+    assert json.loads(rows[2]["original_row"]) == {
+        "doc_id": 2,
+        "prompt": 'quote " and \\ backslash',
+    }
+
+    # simulate the external fleet: one good response per request + one
+    # corrupt line that must NOT fail the read
+    resp_dir = os.path.join(tmp_path, "responses")
+    os.makedirs(resp_dir)
+    with open(os.path.join(resp_dir, "responses_0.jsonl"), "w") as f:
+        for i in (1, 2, 3):
+            f.write(
+                json.dumps(
+                    {
+                        "response_message": f"resp-{i}",
+                        "response_errors": None,
+                        "original_row_idx": i,
+                        "prompt_tokens": 10,
+                        "completion_tokens": 5,
+                    }
+                )
+                + "\n"
+            )
+        f.write("{this is not json\n")
+
+    # Spark disallows queries that reference ONLY the internal corrupt
+    # record column of a raw JSON scan; cache() materializes first (the
+    # documented workaround)
+    resp = read_responses(spark, resp_dir).cache()
+    assert resp.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+
+    joined = rejoin_responses(docs, resp)
+    got = {r["doc_id"]: r["response_message"] for r in joined.collect()}
+    assert got == {1: "resp-1", 2: "resp-2", 3: "resp-3"}
+
+
+def test_export_shard_count(spark, tmp_path):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("p"), F.col("id")).alias("prompt")
+    )
+    out = os.path.join(tmp_path, "reqs")
+    export_requests(docs, out, shards=4)
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == 4
