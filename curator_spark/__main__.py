@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
         help="real KenLM .arpa/.klm perplexity model (see --fasttext-bin); "
         "default is the deterministic trigram stand-in",
     )
+    p.add_argument(
+        "--train-langid", action="store_true",
+        help="fit the in-engine NB language-ID model on the input corpus "
+        "(one distributed pass, bounded model collect) and run it as the "
+        "langid stage; mutually exclusive with --fasttext-bin",
+    )
     args = p.parse_args(argv)
 
     from .engine.lineage import cost_projection, read_lineage
@@ -87,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.scorers import fasttext_kenlm_loader
 
         scorer_loader = fasttext_kenlm_loader(args.fasttext_bin, args.kenlm_model)
+    if args.train_langid:
+        if scorer_loader is not None:
+            p.error("--train-langid is mutually exclusive with --fasttext-bin")
+        from .functions.scorers import nb_scorer_loader
+        from .operators.nb_classifier import train_nb_langid
+
+        scorer_loader = nb_scorer_loader(train_nb_langid(spark, corpus))
     run = QualityFilterRun(
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
         scorer_loader=scorer_loader,

@@ -206,4 +206,15 @@ def nb_scorer_loader(model: dict) -> Loader:
     def _load() -> Scorer:
         return NBLangidScorer(model)
 
+    # distinct models MUST have distinct loader identities: _loader_key
+    # (worker singleton cache + the run fingerprint) is derived from
+    # __qualname__, and every closure from this factory would otherwise
+    # share "nb_scorer_loader.<locals>._load" — a stale-model hazard
+    import hashlib
+    import json
+
+    digest = hashlib.sha256(
+        json.dumps(model, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    _load.__qualname__ = f"nb_scorer_loader({digest})"
     return _load

@@ -72,3 +72,30 @@ def test_cli_decontaminate(spark, corpus_df, tmp_path, capsys):
         [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     )
     assert decon["kept_rows"] < base["kept_rows"]
+
+
+def test_cli_train_langid(spark, corpus_df, tmp_path, capsys):
+    """--train-langid fits the NB model on the input and uses it as the
+    langid stage; distinct trained models get distinct loader identities
+    (worker-cache / fingerprint safety)."""
+    from curator_spark.__main__ import main
+    from curator_spark.functions.scorers import _loader_key, nb_scorer_loader
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    rc = main(
+        [
+            "--input", inp,
+            "--work-dir", str(tmp_path / "run"),
+            "--n-batches", "2",
+            "--train-langid",
+        ]
+    )
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["kept_rows"] > 0
+
+    m1 = {"langs": ["a"], "priors": [1], "weights": {"x": [2]}}
+    m2 = {"langs": ["a"], "priors": [1], "weights": {"x": [3]}}
+    assert _loader_key(nb_scorer_loader(m1)) != _loader_key(nb_scorer_loader(m2))
+    assert _loader_key(nb_scorer_loader(m1)) == _loader_key(nb_scorer_loader(m1))
