@@ -1,0 +1,114 @@
+"""Data card generator — the "Datasheets for Datasets" artifact every
+released training corpus ships with, computed in one pass-structure over
+the annotated pipeline output.
+
+``build_datacard`` takes the output of ``annotate`` (every row, with
+lang_pred / ppl / keep / drop_reasons / scrubbed_sha256) and returns a
+plain JSON-able dict:
+
+* corpus totals: files, bytes, kept fraction;
+* language mix (claimed vs predicted, post-filter);
+* drop-reason attribution (why rows were removed);
+* PII scrub impact (rows whose content changed = sha(content) != sha(scrubbed));
+* length distribution (log2 bands);
+* exact-duplicate rate (content-digest census).
+
+Scale shape: every section is a map-side-combined aggregation over the
+SAME annotated DataFrame — no windows, no joins except a final tiny
+collect per section (each section's result is <= a few hundred rows by
+construction: 7 langs x bands, bounded reason vocabulary). The input is
+localCheckpointed once so the six aggregations don't re-run the model
+stage. Reference anchor: curator's status-tracker summary block
+(telemetry/status output) — re-expressed as a reproducible artifact
+instead of a progress display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_datacard(annotated: DataFrame, max_reason_rows: int = 50) -> dict:
+    """Compute the data card from an ``annotate()`` output. Every collect
+    is bounded (per-language/band/reason cardinality), never per-row."""
+    a = annotated.localCheckpoint(eager=False)
+
+    totals = a.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).cast("long").alias("n_bytes"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("keep")
+                & (F.sha2(F.col("content"), 256) != F.col("scrubbed_sha256")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_scrub_changed"),
+    ).collect()[0]
+
+    lang_mix = (
+        a.filter("keep")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("content")).cast("long").alias("bytes"),
+        )
+        .orderBy("lang_pred")
+        .collect()
+    )
+
+    reasons = (
+        a.select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .count()
+        .orderBy(F.col("count").desc(), "reason")
+        .limit(max_reason_rows)
+        .collect()
+    )
+
+    bands = (
+        a.filter("keep")
+        .select(
+            (F.length(F.bin(F.greatest(F.length("content"), F.lit(1)))) - 1)
+            .cast("int")
+            .alias("len_band")
+        )
+        .groupBy("len_band")
+        .count()
+        .orderBy("len_band")
+        .collect()
+    )
+
+    dup = a.groupBy(F.md5("content").alias("d")).count()
+    dup_row = dup.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_dup_groups"),
+    ).collect()[0]
+
+    n = int(totals["n_files"]) or 1
+    return {
+        "n_files": int(totals["n_files"]),
+        "n_bytes": int(totals["n_bytes"] or 0),
+        "n_kept": int(totals["n_kept"]),
+        "kept_frac_bp": int(totals["n_kept"]) * 10000 // n,
+        "pii_scrub_changed_rows": int(totals["n_scrub_changed"]),
+        "language_mix": [
+            {"lang": r["lang_pred"], "n": int(r["n"]), "bytes": int(r["bytes"])}
+            for r in lang_mix
+        ],
+        "drop_reasons": [
+            {"reason": r["reason"], "n": int(r["count"])} for r in reasons
+        ],
+        "kept_length_log2_bands": [
+            {"band": int(r["len_band"]), "n": int(r["count"])} for r in bands
+        ],
+        "exact_dup": {
+            "distinct_contents": int(dup_row["n_distinct"]),
+            "rows_in_dup_groups": int(dup_row["rows_in_dup_groups"]),
+        },
+    }

@@ -1,0 +1,31 @@
+"""Data card: internally consistent, JSON-serializable, reproducible."""
+
+from __future__ import annotations
+
+import json
+
+from curator_spark.plans.datacard import build_datacard
+from curator_spark.plans.quality_pipeline import annotate
+from curator_spark.sources.corpus import generate_spark
+
+
+def test_datacard_consistency(spark):
+    corpus = generate_spark(spark, 500, seed=42, partitions=4)
+    card = build_datacard(annotate(corpus))
+
+    json.dumps(card)  # plain JSON-able
+    assert card["n_files"] == 500
+    assert 0 < card["n_kept"] <= 500
+    assert card["kept_frac_bp"] == card["n_kept"] * 10000 // 500
+    # language mix covers exactly the kept rows
+    assert sum(e["n"] for e in card["language_mix"]) == card["n_kept"]
+    assert sum(e["n"] for e in card["kept_length_log2_bands"]) == card["n_kept"]
+    # the generator plants PII in ~18% of rows; the scrub must touch some
+    assert card["pii_scrub_changed_rows"] > 0
+    # drop reasons exist (repetition/blob/empty kinds in the mix)
+    assert card["drop_reasons"]
+    assert card["exact_dup"]["distinct_contents"] <= 500
+
+    # reproducible: same corpus -> identical card
+    card2 = build_datacard(annotate(generate_spark(spark, 500, seed=42, partitions=8)))
+    assert card == card2
