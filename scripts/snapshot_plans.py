@@ -1,0 +1,79 @@
+"""Snapshot the physical-plan shape of EVERY registered query into
+tests/golden/plan_shapes.json — the plan-drift guard's golden.
+
+For each query we count the scale-relevant physical node types in the
+initial executed plan at sf0.001 (plan SHAPE is scale-independent; AQE
+re-plans at runtime but the initial plan is deterministic at a fixed
+input). tests/test_plan_drift.py recomputes and compares: a future edit
+that introduces a CartesianProduct, a per-row Python node, or an extra
+shuffle into ANY query fails loudly instead of silently regressing the
+100 TB story. Re-run this script deliberately after an intentional plan
+change: python scripts/snapshot_plans.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# scale-relevant node types; counted as whole words in the plan string
+MARKERS = [
+    "Exchange",  # any shuffle or broadcast exchange line
+    "BroadcastExchange",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastHashJoin",
+    "Window",
+    "WindowGroupLimit",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+]
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+    "plan_shapes.json",
+)
+
+
+def shape_of(plan: str) -> dict:
+    counts = {}
+    for m in MARKERS:
+        n = len(re.findall(rf"\b{m}\b", plan))
+        if n:
+            counts[m] = n
+    # "Window" word-count includes WindowGroupLimit lines' "WindowGroupLimit"
+    # token only when it appears bare; keep raw counts — comparisons are
+    # like-for-like against the same counting rule.
+    return counts
+
+
+def main() -> None:
+    from curator_spark.operators import QUERIES
+    from curator_spark.session import get_spark
+
+    spark = get_spark("plan_snapshot", cores=8, shuffle_partitions=8)
+    shapes = {}
+    for name, spec in sorted(QUERIES.items()):
+        df = spec.fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shapes[name] = shape_of(plan)
+        print(name, shapes[name])
+    with open(OUT, "w") as f:
+        json.dump(shapes, f, indent=2, sort_keys=True)
+    print(f"\nwrote {len(shapes)} plan shapes -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

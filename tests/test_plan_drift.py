@@ -1,0 +1,50 @@
+"""Plan-drift guard over the WHOLE query registry: no edit may silently
+introduce a scale-killer node (CartesianProduct, per-row Python eval) or
+extra shuffles/windows into any registered query. The golden is
+tests/golden/plan_shapes.json (regenerate deliberately with
+scripts/snapshot_plans.py after an intentional plan change)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from curator_spark.operators import QUERIES
+
+from scripts.snapshot_plans import SF, shape_of
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "plan_shapes.json")
+
+# these must never appear anywhere unless the golden already records them
+FORBIDDEN_NEW = ["CartesianProduct", "ArrowEvalPython", "BatchEvalPython"]
+# these may not INCREASE vs the golden (a new shuffle/window is a regression)
+BOUNDED = ["Exchange", "Window", "MapInPandas", "FlatMapGroupsInPandas"]
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+def test_no_plan_drift(spark, golden):
+    missing = sorted(set(QUERIES) - set(golden))
+    assert not missing, (
+        f"queries without a plan golden: {missing} — run scripts/snapshot_plans.py"
+    )
+    problems = []
+    for name, spec in sorted(QUERIES.items()):
+        want = golden[name]
+        plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        got = shape_of(plan)
+        for m in FORBIDDEN_NEW:
+            if got.get(m, 0) > want.get(m, 0):
+                problems.append(f"{name}: new {m} (got {got.get(m)}, golden {want.get(m, 0)})")
+        for m in BOUNDED:
+            if got.get(m, 0) > want.get(m, 0):
+                problems.append(
+                    f"{name}: {m} count grew {want.get(m, 0)} -> {got.get(m)}"
+                )
+    assert not problems, "\n".join(problems)
