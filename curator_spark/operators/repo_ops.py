@@ -115,17 +115,26 @@ def import_stats(spark, sf_dir):
 # so no float rounding can diverge cross-engine. ltrim strips spaces only
 # in BOTH engines (the generator indents with spaces).
 # ---------------------------------------------------------------------------
-_IS_COMMENT = (
-    "(startswith(ltrim(l), '#') AND NOT startswith(ltrim(l), '#include'))"
-    " OR startswith(ltrim(l), '//') OR startswith(ltrim(l), '/*')"
-)
+def _is_comment(startswith_fn: str) -> str:
+    """Comment-line predicate, parameterized on the engine's starts-with
+    function name (Spark: startswith, DuckDB: starts_with) — built by
+    f-string, never by .replace into a template (a replaced token could
+    collide with identifiers; see the decontaminate templating fix)."""
+    sw = startswith_fn
+    return (
+        f"({sw}(ltrim(l), '#') AND NOT {sw}(ltrim(l), '#include'))"
+        f" OR {sw}(ltrim(l), '//') OR {sw}(ltrim(l), '/*')"
+    )
+
+
+_IS_COMMENT = _is_comment("startswith")
 
 _Q_COMMENTS_ORACLE = f"""
 WITH per_file AS (
   SELECT lang,
          len(string_split(content, chr(10))) AS n_lines,
          len(list_filter(string_split(content, chr(10)),
-             l -> {_IS_COMMENT.replace("startswith", "starts_with")})) AS n_comment
+             l -> {_is_comment("starts_with")})) AS n_comment
   FROM {_CORPUS_DUCK}
 )
 SELECT lang,
