@@ -180,12 +180,21 @@ class NBLangidScorer(Scorer):
         import re
 
         scores = self._priors
+        hits = 0
         lookup = self._w.get
         for tok in set(re.split("[ \t\n]+", text)):
             if tok:
                 a = lookup(tok)
                 if a is not None:
                     scores = scores + a
+                    hits += 1
+        # No vocabulary evidence (empty text, binary blob) -> 'unknown':
+        # argmax over bare priors would confidently return the majority
+        # class and silently disable the pipeline's langid drop rule
+        # (rules.py fires on lang_pred == 'unknown'), which the trigram
+        # stand-in would have triggered for such rows.
+        if hits == 0:
+            return "unknown"
         # np.argmax takes the FIRST max -> alphabetical tie-break, same as
         # the Spark-side array_position(scores, array_max(scores))
         return self._langs[int(np.argmax(scores))]

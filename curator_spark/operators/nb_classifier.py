@@ -97,15 +97,25 @@ def _words_col():
     ).alias("words")
 
 
+MAX_CLASSES = 64
+
+
 def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     """Fit the multiclass NB language-ID model on ``corpus_df``
     (columns: lang, content) and return it as a plain serializable dict
-    ``{"langs": [...], "priors": [int x7], "weights": {term: [int x7]}}``
+    ``{"langs": [...], "priors": [int xK], "weights": {term: [int xK]}}``
     — usable both as a literal-map inference expression (below) and as an
     executor-side :class:`functions.scorers.NBLangidScorer`.
 
+    The class set is the OBSERVED label set, sorted (alphabetical =
+    the argmax tie-break order) — hardcoding a label list would silently
+    degenerate to a constant predictor on any corpus whose labels differ
+    ('py' vs 'python'), and would diverge from the oracle (which also
+    derives classes from data) when a class is absent. Bounded at
+    MAX_CLASSES because the model is collected/broadcast per class.
+
     One term-key shuffle + a bounded TakeOrdered; the driver only ever
-    holds vocab_cap + 7 rows (the model-broadcast pattern)."""
+    holds vocab_cap + K rows (the model-broadcast pattern)."""
     # training issues several actions (class counts, vocabulary) — cut the
     # generator/scan lineage once so each action reuses materialized rows
     labeled = corpus_df.select("lang", _words_col()).localCheckpoint(eager=False)
@@ -113,13 +123,21 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
         r["lang"]: int(r["nc"])
         for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("nc")).collect()
     }
+    if not class_counts:
+        raise ValueError("train_nb_langid: empty corpus — nothing to fit")
+    if len(class_counts) > MAX_CLASSES:
+        raise ValueError(
+            f"train_nb_langid: {len(class_counts)} distinct lang labels "
+            f"(> {MAX_CLASSES}); the label column looks unbounded"
+        )
+    langs = sorted(class_counts)
     n_total = sum(class_counts.values())
-    nc = {c: class_counts.get(c, 0) for c in LANGS}
+    nc = {c: class_counts[c] for c in langs}
 
     toks = labeled.select("lang", F.explode("words").alias("term"))
     per_class_sums = [
         F.sum(F.when(F.col("lang") == c, 1).otherwise(0)).alias(f"c_{i}")
-        for i, c in enumerate(LANGS)
+        for i, c in enumerate(langs)
     ]
     tc = toks.groupBy("term").agg(*per_class_sums, F.count(F.lit(1)).alias("df"))
     # per-class weight, nc inlined as integer literals (never string-replace
@@ -129,7 +147,7 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
             f"cast(round(1000000 * ln(cast(c_{i} + 1 as double)"
             f" / cast({nc[c]} + 2 as double)), 0) as bigint)"
         ).alias(f"w_{i}")
-        for i, c in enumerate(LANGS)
+        for i, c in enumerate(langs)
     ]
     vocab = (
         tc.orderBy(F.col("df").desc(), F.col("term").asc())
@@ -139,16 +157,16 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     )
     prior_cols = ", ".join(
         f"cast(round(1000000 * ln(cast({nc[c]} + 1 AS DOUBLE)"
-        f" / cast({n_total} + {len(LANGS)} AS DOUBLE)), 0) AS BIGINT) AS p{i}"
-        for i, c in enumerate(LANGS)
+        f" / cast({n_total} + {len(langs)} AS DOUBLE)), 0) AS BIGINT) AS p{i}"
+        for i, c in enumerate(langs)
     )
     prow = spark.sql(f"SELECT {prior_cols}").collect()[0]
-    priors = [int(prow[f"p{i}"]) for i in range(len(LANGS))]
+    priors = [int(prow[f"p{i}"]) for i in range(len(langs))]
     return {
-        "langs": list(LANGS),
+        "langs": langs,
         "priors": priors,
         "weights": {
-            r["term"]: [int(r[f"w_{i}"]) for i in range(len(LANGS))] for r in vocab
+            r["term"]: [int(r[f"w_{i}"]) for i in range(len(langs))] for r in vocab
         },
     }
 
@@ -170,7 +188,7 @@ def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
         map_items.append(F.lit(term))
         map_items.append(F.array(*[F.lit(w).cast("long") for w in ws]))
     wmap = F.create_map(*map_items)
-    zeros = F.array(*[F.lit(0).cast("long") for _ in LANGS])
+    zeros = F.array(*[F.lit(0).cast("long") for _ in model["langs"]])
     prior_arr = F.array(*[F.lit(p).cast("long") for p in priors])
     vocab_terms = F.array(*[F.lit(t) for t in model["weights"]])
     # GetMapValue on a literal CreateMap is a LINEAR scan of all vocab_cap
@@ -188,7 +206,7 @@ def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
             lambda a, b: a + b,
         ),
     )
-    langs_arr = F.array(*[F.lit(c) for c in LANGS])
+    langs_arr = F.array(*[F.lit(c) for c in model["langs"]])
     scored = labeled.select(
         "fid",
         F.col("lang").alias("claimed_lang"),

@@ -345,16 +345,17 @@ def cross_repo_clones(spark, sf_dir):
     sb = shingled.select(
         F.col("fid").alias("fid_b"), F.col("repo").alias("repo_b"), F.col("sh").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(sa, "fid_a")
         .join(sb, "fid_b")
         .filter(F.col("repo_a") != F.col("repo_b"))
-        .withColumn("jaccard_bp", F.expr(
-            f"size(array_intersect(sh_a, sh_b)) * 10000 div"
-            f" (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
-        ))
+        # materialize the intersection size ONCE per pair; deriving
+        # jaccard from it avoids evaluating array_intersect twice
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_bp",
+            F.expr("__inter * 10000 div (size(sh_a) + size(sh_b) - __inter)"),
+        )
         .filter(F.col("jaccard_bp") >= _J_MIN_BP)
         .select("fid_a", "fid_b", "repo_a", "repo_b", "jaccard_bp")
     )

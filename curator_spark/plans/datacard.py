@@ -90,13 +90,16 @@ def build_datacard(annotated: DataFrame, max_reason_rows: int = 50) -> dict:
         .alias("rows_in_dup_groups"),
     ).collect()[0]
 
+    # sum() over zero rows is NULL, not 0 — guard every aggregate so an
+    # empty annotated input (e.g. everything filtered upstream) yields an
+    # all-zero card instead of int(None) crashes
     n = int(totals["n_files"]) or 1
     return {
         "n_files": int(totals["n_files"]),
         "n_bytes": int(totals["n_bytes"] or 0),
-        "n_kept": int(totals["n_kept"]),
-        "kept_frac_bp": int(totals["n_kept"]) * 10000 // n,
-        "pii_scrub_changed_rows": int(totals["n_scrub_changed"]),
+        "n_kept": int(totals["n_kept"] or 0),
+        "kept_frac_bp": int(totals["n_kept"] or 0) * 10000 // n,
+        "pii_scrub_changed_rows": int(totals["n_scrub_changed"] or 0),
         "language_mix": [
             {"lang": r["lang_pred"], "n": int(r["n"]), "bytes": int(r["bytes"])}
             for r in lang_mix
@@ -109,6 +112,6 @@ def build_datacard(annotated: DataFrame, max_reason_rows: int = 50) -> dict:
         ],
         "exact_dup": {
             "distinct_contents": int(dup_row["n_distinct"]),
-            "rows_in_dup_groups": int(dup_row["rows_in_dup_groups"]),
+            "rows_in_dup_groups": int(dup_row["rows_in_dup_groups"] or 0),
         },
     }

@@ -114,8 +114,21 @@ def rejoin_responses(
     inputs: DataFrame, responses: DataFrame, idx_col: str = "doc_id"
 ) -> DataFrame:
     """responses <- equi-join on original_row_idx (the reference's
-    response->request rejoin, SURVEY §2.4 J1)."""
+    response->request rejoin, SURVEY §2.4 J1).
+
+    The wire format is append-and-recover: a retried request appends a
+    SECOND response line with the same original_row_idx, and a bare left
+    join would fan the input row out. Keep exactly one response per idx,
+    deterministically: successful (no errors) beats errored, then the
+    lexicographically-first response_message breaks ties."""
+    from pyspark.sql import Window as W
+
     ok = responses.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    w = W.partitionBy("original_row_idx").orderBy(
+        F.when(F.col("response_errors").isNull(), 0).otherwise(1),
+        F.col("response_message").asc_nulls_last(),
+    )
+    ok = ok.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     return inputs.join(
         ok, F.col(idx_col).cast("long") == F.col("original_row_idx"), "left"
     ).drop("original_row_idx")

@@ -29,3 +29,15 @@ def test_datacard_consistency(spark):
     # reproducible: same corpus -> identical card
     card2 = build_datacard(annotate(generate_spark(spark, 500, seed=42, partitions=8)))
     assert card == card2
+
+
+def test_datacard_empty_input(spark):
+    """An all-filtered (empty) annotated input yields an all-zero card,
+    not int(None) crashes."""
+    corpus = generate_spark(spark, 50, seed=42, partitions=2)
+    empty = annotate(corpus).filter("1 = 0")
+    card = build_datacard(empty)
+    assert card["n_files"] == 0 and card["n_kept"] == 0
+    assert card["pii_scrub_changed_rows"] == 0
+    assert card["exact_dup"]["rows_in_dup_groups"] == 0
+    json.dumps(card)

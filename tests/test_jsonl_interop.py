@@ -78,3 +78,28 @@ def test_export_shard_count(spark, tmp_path):
     export_requests(docs, out, shards=4)
     parts = [p for p in os.listdir(out) if p.startswith("part-")]
     assert len(parts) == 4
+
+
+def test_rejoin_dedups_retried_responses(spark, tmp_path):
+    """Append-and-recover: a retried request appends a second response
+    line for the same idx; the rejoin must keep exactly one per input row,
+    preferring the successful response."""
+    import os
+
+    docs = spark.createDataFrame([(1, "p1"), (2, "p2")], "doc_id long, prompt string")
+    resp_dir = os.path.join(tmp_path, "responses")
+    os.makedirs(resp_dir)
+    lines = [
+        {"response_message": "err-attempt", "response_errors": ["timeout"], "original_row_idx": 1},
+        {"response_message": "good", "response_errors": None, "original_row_idx": 1},
+        {"response_message": "b", "response_errors": None, "original_row_idx": 2},
+        {"response_message": "a", "response_errors": None, "original_row_idx": 2},
+    ]
+    with open(os.path.join(resp_dir, "r.jsonl"), "w") as f:
+        for l in lines:
+            f.write(json.dumps(l) + "\n")
+    joined = rejoin_responses(docs, read_responses(spark, resp_dir))
+    got = {r["doc_id"]: r["response_message"] for r in joined.collect()}
+    assert joined.count() == 2  # no fan-out
+    assert got[1] == "good"     # success beats error
+    assert got[2] == "a"        # deterministic tie-break

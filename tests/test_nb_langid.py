@@ -63,10 +63,26 @@ def test_nb_scorer_matches_engine_inference(spark):
     }
     pdf = generate_pandas(2000, seed=42)
     lang, _ppl = NBLangidScorer(model).score(pdf["content"])
-    mismatches = [
-        (c, engine[c], p) for c, p in zip(pdf["commit"], lang) if engine[c] != p
-    ]
+
+    import re
+
+    vocab = set(model["weights"])
+
+    def has_evidence(text):
+        return any(t in vocab for t in set(re.split("[ \t\n]+", text)) if t)
+
+    mismatches, bad_unknown = [], []
+    for c, p, text in zip(pdf["commit"], lang, pdf["content"]):
+        if p == "unknown":
+            # the scorer (pipeline path) emits 'unknown' for evidence-free
+            # rows so the langid drop rule still fires; the engine query
+            # reports bare argmax. 'unknown' is only legal with zero hits.
+            if has_evidence(text):
+                bad_unknown.append(c)
+        elif engine[c] != p:
+            mismatches.append((c, engine[c], p))
     assert not mismatches, mismatches[:5]
+    assert not bad_unknown, bad_unknown[:5]
 
 
 def test_nb_scorer_plugs_into_pipeline(spark):
@@ -87,5 +103,44 @@ def test_nb_scorer_plugs_into_pipeline(spark):
     rows = out.collect()
     assert len(rows) == 400
     preds = {r["lang_pred"] for r in rows}
-    assert preds <= {"c", "go", "java", "javascript", "json", "markdown", "python"}
-    assert len(preds) >= 4  # the model actually differentiates languages
+    assert preds <= {
+        "c", "go", "java", "javascript", "json", "markdown", "python", "unknown",
+    }
+    # evidence-free rows surface as 'unknown' (keeps the langid drop rule
+    # live); the model must still differentiate real languages
+    assert len(preds - {"unknown"}) >= 4
+
+
+def test_train_langid_uses_observed_label_set(spark):
+    """Training on a corpus with label names outside the default set must
+    fit those classes (not silently degenerate to a constant predictor)."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.operators.nb_classifier import train_nb_langid
+    from curator_spark.sources.corpus import generate_spark
+
+    corpus = generate_spark(spark, 300, seed=42, partitions=4).withColumn(
+        "lang", F.concat(F.lit("x-"), F.col("lang"))
+    )
+    model = train_nb_langid(spark, corpus)
+    assert all(l.startswith("x-") for l in model["langs"])
+    assert len(model["langs"]) == 7
+    # weights are per observed class and not all-identical across classes
+    some = next(iter(model["weights"].values()))
+    assert len(some) == 7
+    assert any(len(set(ws)) > 1 for ws in model["weights"].values())
+
+
+def test_train_langid_rejects_degenerate_inputs(spark):
+    import pytest
+
+    from curator_spark.operators.nb_classifier import train_nb_langid
+    from curator_spark.sources.corpus import generate_spark
+
+    empty = generate_spark(spark, 10, seed=42).filter("lang = 'no-such'")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_nb_langid(spark, empty)
+
+    unbounded = generate_spark(spark, 200, seed=42).withColumn("lang", F.col("commit"))
+    with pytest.raises(ValueError, match="distinct lang labels"):
+        train_nb_langid(spark, unbounded)
