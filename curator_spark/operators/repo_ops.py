@@ -443,3 +443,53 @@ def corpus_drift(spark, sf_dir):
             F.sum("n_curr_bytes").cast("long").alias("bytes_curr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# clone_dedup_keep: make clone detection ACTIONABLE — apply the standard
+# greedy "keep first, drop later duplicate" policy to the confirmed
+# cross-repo clone pairs (drop every fid that appears as the larger member
+# of a pair) and report the per-repo impact. Pairwise-greedy rather than
+# transitive-canonical by design: it never drops both members of a pair,
+# is deterministic (commit-sha order), and avoids the iterative CC pass —
+# the transitive variant for the documents table is dedup_clusters /
+# dedup_fuzzy_keep (operators/dedup.py).
+# ---------------------------------------------------------------------------
+_Q_CLONE_KEEP_ORACLE = f"""
+WITH pairs AS ({_Q_CLONES_ORACLE}),
+dropped AS (SELECT DISTINCT fid_b AS fid FROM pairs)
+SELECT c.repo,
+       count(*) AS n_files,
+       cast(sum(CASE WHEN d.fid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       cast(sum(CASE WHEN d.fid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clone_dropped
+FROM {_CORPUS_DUCK} c LEFT JOIN dropped d ON c.commit = d.fid
+GROUP BY c.repo
+"""
+
+
+@register(
+    "clone_dedup_keep",
+    _Q_CLONE_KEEP_ORACLE,
+    "apply clone pairs as a dedup filter (greedy drop-later policy) + per-repo impact",
+)
+def clone_dedup_keep(spark, sf_dir):
+    dropped = (
+        cross_repo_clones(spark, sf_dir)
+        .select(F.col("fid_b").alias("fid"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    c = _corpus(spark)
+    return (
+        c.join(dropped, c["commit"] == dropped["fid"], "left")
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(F.col("__dropped").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("__dropped").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clone_dropped"),
+        )
+    )

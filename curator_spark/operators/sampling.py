@@ -191,3 +191,51 @@ def dataset_split(spark, sf_dir):
         .withColumn("frac_bp", F.expr("n_docs * 10000 div n_lang"))
         .select("lang", "split", "n_docs", "frac_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture_realize: APPLY the mixture_weights rates — deterministic per-doc
+# hash-threshold keep (md5 ppm bucket < rate_ppm), then a per-language
+# audit of what the realized mixture actually is. Zero extra shuffle on
+# the corpus side: the rates table is languages-sized and broadcast; the
+# keep decision is a pure per-row expression, so at 10^12 docs this is
+# one map-only pass + a map-side-combined rollup.
+# ---------------------------------------------------------------------------
+_DOC_PPM = "('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000"
+
+_Q_REALIZE_ORACLE = f"""
+WITH rates AS ({_Q_MIX_ORACLE}),
+kept AS (
+  SELECT d.lang, cast(floor(length(d.text) / 4) AS BIGINT) AS n_tokens
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {_DOC_PPM} < r.rate_ppm
+)
+SELECT lang,
+       count(*) AS n_kept_docs,
+       cast(sum(n_tokens) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY lang
+"""
+
+
+@register(
+    "mixture_realize",
+    _Q_REALIZE_ORACLE,
+    "apply mixture rates: per-doc hash-threshold keep + realized-mixture audit",
+)
+def mixture_realize(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    rates = mixture_weights(spark, sf_dir).select("lang", "rate_ppm")
+    ppm = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(ppm < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_docs"),
+            F.sum(F.floor(F.length("text") / 4).cast("long")).alias("kept_tokens"),
+        )
+    )
