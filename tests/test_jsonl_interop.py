@@ -103,3 +103,36 @@ def test_rejoin_dedups_retried_responses(spark, tmp_path):
     assert joined.count() == 2  # no fan-out
     assert got[1] == "good"     # success beats error
     assert got[2] == "a"        # deterministic tie-break
+
+
+def test_request_roundtrip_fuzz(spark, tmp_path):
+    """Property: ANY prompt string survives the JSONL round-trip intact —
+    embedded newlines/CRs/tabs/quotes/unicode must be escaped by to_json,
+    never break the one-object-per-line invariant."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    # one Spark round-trip over a batch of hypothesis-generated strings
+    # (per-example Spark jobs would be minutes; a single batched job keeps
+    # the property real and the test fast)
+    texts = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=0, max_size=200))
+    def collect(t):
+        texts.append(t)
+
+    collect()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, prompt string"
+    )
+    out = os.path.join(tmp_path, "fuzz_reqs")
+    export_requests(docs, out, shards=2)
+    back = read_requests(spark, out)
+    got = {
+        r["original_row_idx"]: r["messages"][0]["content"] for r in back.collect()
+    }
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == t, f"row {i}: {t!r} -> {got[i]!r}"
