@@ -1,0 +1,163 @@
+"""The corpus-release pipeline — every curation stage composed into ONE
+job, the way a training-data team actually ships a corpus:
+
+    exact dedup -> cross-repo clone dedup -> decontaminate vs benchmarks
+    -> quality filter (langid + ppl + rules) + PII scrub
+    -> mixture downsample -> train/val/test split -> data card
+
+Each stage is the SAME operator the driver verifies in isolation
+(operators/*, each with its own DuckDB oracle); this module only wires
+them, so correctness is inherited and what this file adds is the
+composition contract: strict row accounting (every input row is kept by
+the final table or attributed to exactly one removal stage) and a
+release-manifest dict.
+
+Scale notes: the stages keep their individual shapes (hash-agg dedup,
+capped-LSH clone pairs, broadcast/bloom gram probe, map-only
+filter+scrub, broadcast-rates downsample, per-row split expression).
+Between stages the frame is localCheckpointed — at cluster scale each
+boundary is instead a committed Iceberg table (ResumableStage /
+Catalog), which the resumable runner already provides for the
+filter+scrub core; this composed form is the single-session analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rules import DEFAULT_RULES, RuleConfig
+from .datacard import build_datacard
+from .quality_pipeline import annotate
+
+KEY_COLS = ["repo", "path", "commit"]
+
+
+def _exact_dedup(corpus: DataFrame) -> DataFrame:
+    w = W.partitionBy(F.sha2("content", 256)).orderBy(*KEY_COLS)
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _clone_dedup(corpus: DataFrame) -> DataFrame:
+    """Greedy cross-repo near-dup removal: drop the larger commit of every
+    confirmed clone pair (operators.repo_ops.cross_repo_clones shape,
+    applied to THIS frame rather than the fixed oracle corpus)."""
+    from ..operators.dedup import _SHINGLES_SPARK, _let, cap_bucket_width
+
+    c = corpus.select(
+        F.col("commit").alias("fid"), "repo", F.col("content").alias("text")
+    )
+    shingled = c.select("fid", "repo", F.expr(_SHINGLES_SPARK).alias("sh")).localCheckpoint(
+        eager=False
+    )
+    sig_expr = _let(
+        "sh",
+        "shz",
+        "transform(sequence(0, 7),"
+        " s -> md5(concat(cast(s as string), '|',"
+        " array_min(transform(shz, x -> md5(concat(cast(s as string), ':', x)))))))",
+    )
+    bands = shingled.filter(F.size("sh") > 0).select(
+        "fid", F.explode(F.expr(sig_expr)).alias("band_key")
+    )
+    bands = cap_bucket_width(bands, "band_key", "fid")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.fid") < F.col("b.fid")),
+        )
+        .select(F.col("a.fid").alias("fid_a"), F.col("b.fid").alias("fid_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("fid").alias("fid_a"), F.col("repo").alias("repo_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("fid").alias("fid_b"), F.col("repo").alias("repo_b"), F.col("sh").alias("sh_b"))
+    dropped = (
+        cand.join(sa, "fid_a")
+        .join(sb, "fid_b")
+        .filter(F.col("repo_a") != F.col("repo_b"))
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("j_bp", F.expr("__inter * 10000 div (size(sh_a) + size(sh_b) - __inter)"))
+        .filter(F.col("j_bp") >= 2500)
+        .select(F.col("fid_b").alias("commit"))
+        .distinct()
+    )
+    return corpus.join(dropped, "commit", "left_anti")
+
+
+def _mixture_downsample(kept: DataFrame, rates_ppm: dict[str, int]) -> DataFrame:
+    """Deterministic md5-ppm threshold keep per claimed lang. Languages
+    absent from ``rates_ppm`` pass through untouched (rate 1.0)."""
+    rate = F.lit(1_000_000)
+    for k, v in rates_ppm.items():
+        rate = F.when(F.col("lang") == k, F.lit(int(v))).otherwise(rate)
+    ppm = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *KEY_COLS)), 1, 8), 16, 10).cast("bigint")
+        % 1_000_000
+    )
+    return kept.filter(ppm < rate)
+
+
+def _split_col() -> F.Column:
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *KEY_COLS)), 9, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+
+def build_release(
+    corpus: DataFrame,
+    benchmarks: DataFrame | None = None,
+    cfg: RuleConfig = DEFAULT_RULES,
+    rates_ppm: dict[str, int] | None = None,
+    scorer_loader=None,
+) -> tuple[DataFrame, dict]:
+    """Run the full release chain; return (released DataFrame with a
+    ``split`` column, manifest dict with per-stage row accounting and the
+    data card of the post-filter corpus)."""
+    n0 = corpus.count()
+    s1 = _exact_dedup(corpus).localCheckpoint(eager=False)
+    n1 = s1.count()
+    s2 = _clone_dedup(s1).localCheckpoint(eager=False)
+    n2 = s2.count()
+    if benchmarks is not None:
+        from ..operators.decontaminate import decontaminate_against
+
+        s3 = decontaminate_against(s2, benchmarks, text_col="content").localCheckpoint(
+            eager=False
+        )
+    else:
+        s3 = s2
+    n3 = s3.count()
+    annotated = annotate(s3, cfg, scorer_loader=scorer_loader).localCheckpoint(
+        eager=False
+    )
+    card = build_datacard(annotated)
+    kept = annotated.filter("keep").select(
+        *KEY_COLS,
+        "lang",
+        F.col("lang_pred"),
+        F.col("scrubbed_content").alias("content"),
+        "scrubbed_sha256",
+    )
+    n4 = kept.count()
+    s5 = _mixture_downsample(kept, rates_ppm or {}).localCheckpoint(eager=False)
+    n5 = s5.count()
+    released = s5.withColumn("split", _split_col())
+    manifest = {
+        "input_files": n0,
+        "removed_exact_dup": n0 - n1,
+        "removed_clone_dup": n1 - n2,
+        "removed_decontaminated": n2 - n3,
+        "removed_quality_filter": n3 - n4,
+        "removed_mixture_downsample": n4 - n5,
+        "released_files": n5,
+        "datacard": card,
+    }
+    return released, manifest

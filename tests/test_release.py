@@ -1,0 +1,64 @@
+"""Release pipeline composition: strict row accounting, stage ordering,
+split completeness, reproducibility."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from curator_spark.plans.release import build_release
+from curator_spark.sources.corpus import generate_spark
+
+
+def test_release_row_accounting(spark):
+    corpus = generate_spark(spark, 600, seed=42, partitions=4)
+    bench = generate_spark(spark, 30, seed=7, partitions=2).select(
+        F.col("content")
+    )
+    released, manifest = build_release(corpus, benchmarks=bench)
+
+    # every input row is released or attributed to exactly one stage
+    removed = sum(
+        manifest[k]
+        for k in (
+            "removed_exact_dup",
+            "removed_clone_dup",
+            "removed_decontaminated",
+            "removed_quality_filter",
+            "removed_mixture_downsample",
+        )
+    )
+    assert manifest["input_files"] == 600
+    assert removed + manifest["released_files"] == 600
+    assert manifest["released_files"] == released.count()
+    # dedup stages must actually fire on this corpus (near-empty dups,
+    # cross-repo clones are planted by the generator)
+    assert manifest["removed_exact_dup"] > 0
+    assert manifest["removed_quality_filter"] > 0
+    json.dumps(manifest)  # manifest is a plain JSON artifact
+
+    # split column is total and 3-valued
+    splits = {r["split"] for r in released.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert released.filter("split IS NULL").count() == 0
+
+    # released content is the SCRUBBED text (sha column matches content)
+    bad = released.filter(
+        F.sha2("content", 256) != F.col("scrubbed_sha256")
+    ).count()
+    assert bad == 0
+
+
+def test_release_reproducible(spark):
+    a_released, a_manifest = build_release(
+        generate_spark(spark, 300, seed=42, partitions=4)
+    )
+    b_released, b_manifest = build_release(
+        generate_spark(spark, 300, seed=42, partitions=8)
+    )
+    assert a_manifest == b_manifest
+    key = lambda df: sorted(
+        (r["commit"], r["split"], r["scrubbed_sha256"]) for r in df.collect()
+    )
+    assert key(a_released) == key(b_released)
