@@ -33,3 +33,14 @@ def bucketed_join(
     return spark.table(left_table).join(
         spark.table(right_table), F.col(left_key) == F.col(right_key)
     )
+
+
+def write_partitioned(df: DataFrame, path: str, by: tuple[str, ...] = ("lang",)) -> None:
+    """Hive-layout partitioned write (``path/lang=python/...``) — the
+    directory-level analog of Iceberg partition specs. A predicate on the
+    partition column then PRUNES at planning time: files for other
+    partitions are never listed, let alone read — at 10^12 files this is
+    the difference between scanning one language's slice and scanning the
+    corpus. tests/test_bucketing.py asserts the PartitionFilters plan
+    property."""
+    df.write.partitionBy(*by).mode("overwrite").parquet(path)

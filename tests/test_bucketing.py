@@ -37,3 +37,21 @@ def test_bucketed_join_has_no_exchange(spark, no_broadcast, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS cust_bkt")
+
+
+def test_partition_pruning(spark, corpus_df, tmp_path):
+    """A filter on the partition column must land in PartitionFilters
+    (pruned at file listing), not just as a post-scan predicate."""
+    from curator_spark.sources.bucketing import write_partitioned
+
+    out = str(tmp_path / "part_corpus")
+    write_partitioned(corpus_df, out, by=("lang",))
+
+    df = spark.read.parquet(out).filter("lang = 'python'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "lang" in pf and "python" in pf
+    # and the result matches the unpartitioned filter
+    expected = corpus_df.filter("lang = 'python'").count()
+    assert df.count() == expected
