@@ -34,12 +34,16 @@ def stream_quality_filter(
     source_dir: str,
     cfg: RuleConfig = DEFAULT_RULES,
     max_files_per_trigger: int = 4,
+    scorer_loader=None,
 ) -> DataFrame:
     """readStream(parquet dir) -> filter+scrub -> streaming DataFrame.
 
     Sink/trigger choice is the caller's (tests use the memory sink with
     processAllAvailable; production uses a parquet/Iceberg sink with
-    checkpointLocation for exactly-once)."""
+    checkpointLocation for exactly-once). ``scorer_loader`` is the same
+    model swap point as the batch pipeline (functions.scorers) — an
+    in-engine-trained NB model or real fastText/KenLM runs identically on
+    the stream, loaded once per worker across ALL micro-batches."""
     src = (
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -49,7 +53,10 @@ def stream_quality_filter(
 
     survivors = cheap_survivors(src, cfg)
     run, schema = model_filter_map(
-        cfg, scrub=True, extra_cols=["repo", "path", "commit", "lang", "content"]
+        cfg,
+        scrub=True,
+        extra_cols=["repo", "path", "commit", "lang", "content"],
+        scorer_loader=scorer_loader,
     )
     return survivors.mapInPandas(run, schema=schema).select(
         "repo", "path", "commit", "lang", "lang_pred", "ppl", "content"

@@ -111,3 +111,45 @@ def test_stream_dedup_events(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM stream_dedup_out").toPandas()
     assert len(got) == 200
     assert got["event_id"].is_unique
+
+
+def test_stream_with_trained_scorer(spark, corpus_path, tmp_path):
+    """The in-engine-trained NB model runs on the STREAM through the same
+    scorer hook as batch, and per-file lang_pred matches the batch
+    pipeline with the same scorer (model loaded once per worker across
+    micro-batches)."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.functions.scorers import nb_scorer_loader
+    from curator_spark.operators.nb_classifier import train_nb_langid
+    from curator_spark.plans.quality_pipeline import annotate
+
+    corpus = spark.read.parquet(corpus_path)
+    loader = nb_scorer_loader(train_nb_langid(spark, corpus))
+
+    out = stream_quality_filter(
+        spark, corpus_path, max_files_per_trigger=2, scorer_loader=loader
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_nb_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nb"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["commit"]: r["lang_pred"]
+        for r in spark.sql("SELECT commit, lang_pred FROM stream_nb_out").collect()
+    }
+    batch = {
+        r["commit"]: r["lang_pred"]
+        for r in annotate(corpus, scorer_loader=loader)
+        .filter("keep")
+        .select("commit", "lang_pred")
+        .collect()
+    }
+    assert got == batch
