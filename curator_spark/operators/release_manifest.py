@@ -1,0 +1,90 @@
+"""The COMPOSED release pipeline as a driver-verified query: run
+plans/release.build_release over the deterministic 2,000-file corpus
+(exact dedup -> cross-repo clone dedup -> quality filter + scrub ->
+split; no benchmark set, no downsample) and emit the ONE-ROW release
+manifest — per-stage removal counts, split counts, and a bit-exact
+released-corpus fingerprint.
+
+The DuckDB oracle replays every stage:
+* exact dedup — QUALIFY row_number over content (same groups as the
+  pipeline's sha2 partitioning, same (repo, path, commit) keep order);
+* clone dedup — repo_ops.clone_pairs_sql over the DEDUPED table (the
+  staged input, not the raw corpus), greedy drop of fid_b;
+* quality filter + scrub — the per-row stages are pure functions, so the
+  surviving kept set is the staged rows whose commit appears in the
+  pre-materialized golden (scripts/make_golden.py), and the scrubbed
+  sha256 comes from the same golden;
+* split — the identical md5(repo|path|commit) bucket arithmetic.
+
+This is the strongest composition check in the repo: if ANY stage
+boundary leaks a row, reorders a stage, or drifts a hash, the manifest
+row (or its fingerprint sum) mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus, clone_pairs_sql
+from .corpus_pipeline import _GOLDEN
+
+_SPLIT_BUCKET_DUCK = (
+    "('0x' || substr(md5(repo || '|' || path || '|' || commit), 9, 8))::BIGINT % 100"
+)
+
+_Q_RELEASE_ORACLE = f"""
+WITH base AS (SELECT * FROM {_CORPUS_DUCK}),
+ded AS (
+  SELECT * FROM base
+  QUALIFY row_number() OVER (PARTITION BY content ORDER BY repo, path, commit) = 1
+),
+pairs AS ({clone_pairs_sql("ded")}),
+dropped AS (SELECT DISTINCT fid_b AS c FROM pairs),
+cloned AS (SELECT * FROM ded WHERE commit NOT IN (SELECT c FROM dropped)),
+kept AS (
+  SELECT d.repo, d.path, d.commit, g.scrubbed_sha256
+  FROM cloned d JOIN read_parquet('{_GOLDEN}') g ON d.commit = g.commit
+),
+split AS (
+  SELECT *,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT (SELECT count(*) FROM base) AS input_files,
+       (SELECT count(*) FROM base) - (SELECT count(*) FROM ded) AS removed_exact_dup,
+       (SELECT count(*) FROM ded) - (SELECT count(*) FROM cloned) AS removed_clone_dup,
+       (SELECT count(*) FROM cloned) - (SELECT count(*) FROM kept) AS removed_quality_filter,
+       (SELECT count(*) FROM kept) AS released_files,
+       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
+FROM split
+"""
+
+
+@register(
+    "release_manifest",
+    _Q_RELEASE_ORACLE,
+    "FULL composed release pipeline (dedup->clone dedup->filter+scrub->split) as a 1-row bit-exact manifest",
+)
+def release_manifest(spark, sf_dir):
+    from ..plans.release import build_release
+
+    released, manifest = build_release(
+        _corpus(spark), benchmarks=None, rates_ppm={}
+    )
+    return released.agg(
+        F.lit(manifest["input_files"]).cast("long").alias("input_files"),
+        F.lit(manifest["removed_exact_dup"]).cast("long").alias("removed_exact_dup"),
+        F.lit(manifest["removed_clone_dup"]).cast("long").alias("removed_clone_dup"),
+        F.lit(manifest["removed_quality_filter"]).cast("long").alias("removed_quality_filter"),
+        F.lit(manifest["released_files"]).cast("long").alias("released_files"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
+    )

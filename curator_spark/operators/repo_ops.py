@@ -260,9 +260,15 @@ def repo_dir_rollup(spark, sf_dir):
 _N_HASHES = 8
 _J_MIN_BP = 2500
 
-_Q_CLONES_ORACLE = f"""
+
+def clone_pairs_sql(corpus_expr: str) -> str:
+    """Confirmed cross-repo clone pairs as a standalone SQL query over any
+    table expression with (commit, repo, content) — parameterized so the
+    release-manifest oracle can run it on a STAGED (deduplicated) input,
+    not just the raw corpus."""
+    return f"""
 WITH corpus AS (
-  SELECT commit AS fid, repo, content AS text FROM {_CORPUS_DUCK}
+  SELECT commit AS fid, repo, content AS text FROM {corpus_expr}
 ),
 shingled AS (
   SELECT fid, repo,
@@ -302,6 +308,9 @@ SELECT fid_a, fid_b, repo_a, repo_b,
        inter * 10000 // uni AS jaccard_bp
 FROM pairs WHERE inter * 10000 // uni >= {_J_MIN_BP}
 """
+
+
+_Q_CLONES_ORACLE = clone_pairs_sql(_CORPUS_DUCK)
 
 
 @register(
