@@ -170,3 +170,114 @@ def dup_ngram_spans(spark, sf_dir, n: int = N_GRAM):
             .alias("dup_frac_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_remove — the ACTIONABLE form of dup_ngram_spans (Lee et
+# al.'s ExactSubstr policy: CUT the duplicated spans, keep the rest).
+# A word at index j is removed iff some globally-duplicated 8-gram starts
+# at p with p <= j <= p+7; the document is rebuilt from the surviving
+# words (word-canonical whitespace, like every word-level op here).
+#
+# Spark shape: same two shuffles as dup_ngram_spans (dup census + per-doc
+# positions rollup); the rebuild is a pure per-row expression. The
+# coverage test uses exists() over the doc's dup-start positions — O(P*L)
+# per row, fine while P is sparse; a production corpus with near-total
+# duplication would swap in the merged-interval difference-array form
+# (one sorted pass) inside the same per-row expression.
+# ---------------------------------------------------------------------------
+_Q_SUBSTR_REMOVE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM documents
+),
+b AS (SELECT doc_id, ws, {_GHS_DUCK} AS ghs FROM w),
+g AS (
+  SELECT doc_id, u.pos, u.gh
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, len(ghs)),
+                                     i -> {{'pos': i, 'gh': ghs[i+1]}})) AS u
+        FROM b)
+),
+dup AS (
+  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+  GROUP BY gh HAVING count(*) >= 2
+),
+dp AS (
+  SELECT doc_id, list_sort(list(pos)) AS P
+  FROM g JOIN dup USING (gh) GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT b.doc_id, b.ws,
+         coalesce(dp.P, CAST([] AS BIGINT[])) AS P
+  FROM b LEFT JOIN dp USING (doc_id)
+),
+cut AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_filter(range(0, len(ws)),
+                     j -> len(list_filter(P, p -> p <= j AND j <= p + {N_GRAM - 1})) = 0) AS kept
+  , ws
+  FROM rebuilt
+)
+SELECT doc_id,
+       cast(n_words AS BIGINT) AS n_words,
+       cast(n_words - len(kept) AS BIGINT) AS n_words_removed,
+       md5(coalesce(array_to_string(list_transform(kept, j -> ws[j+1]), ' '), '')) AS clean_md5
+FROM cut
+"""
+
+
+@register(
+    "dedup_substring_remove",
+    _Q_SUBSTR_REMOVE_ORACLE,
+    "ExactSubstr policy: cut globally-duplicated 8-gram spans, rebuild docs",
+)
+def dedup_substring_remove(spark, sf_dir, n: int = N_GRAM):
+    from .dedup import _WORDS_SPARK
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("ws")
+    ).withColumn(
+        "ghs",
+        F.expr(
+            f"CASE WHEN size(ws) < {n} THEN cast(array() as array<string>)"
+            f" ELSE transform(sequence(0, size(ws) - {n}),"
+            f" i -> md5(concat_ws(' ', slice(ws, i + 1, {n})))) END"
+        ),
+    ).localCheckpoint(eager=False)
+    g = base.select("doc_id", F.posexplode("ghs").alias("pos", "gh"))
+    dup = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dp = (
+        g.join(dup, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("P"))
+    )
+    rebuilt = base.join(dp, "doc_id", "left").withColumn(
+        "P", F.coalesce(F.col("P"), F.expr("cast(array() as array<int>)"))
+    )
+    # sequence(0, -1) is a DESCENDING ramp, not empty (the round-1 ANSI
+    # gotcha) — empty docs must short-circuit to an empty index list
+    kept_expr = (
+        f"CASE WHEN size(ws) = 0 THEN cast(array() as array<int>)"
+        f" ELSE filter(sequence(0, size(ws) - 1),"
+        f" j -> NOT exists(P, p -> p <= j AND j <= p + {n - 1})) END"
+    )
+    rebuilt = rebuilt.withColumn("kept", F.expr(kept_expr))
+    return rebuilt.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        (F.size("ws") - F.size("kept")).cast("long").alias("n_words_removed"),
+        F.md5(
+            F.expr("concat_ws(' ', transform(kept, j -> element_at(ws, j + 1)))")
+        ).alias("clean_md5"),
+    )
