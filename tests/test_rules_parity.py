@@ -59,3 +59,21 @@ def test_rules_plan_is_codegen_only(spark, corpus_df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_null_content_rows_drop_gracefully(spark):
+    """Real corpora contain NULL content (failed fetches); the pipeline
+    must drop them with reasons — never crash, never keep."""
+    from curator_spark.plans.quality_pipeline import annotate, curate
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1", "python", None),
+            ("r1", "b.py", "c2", "python", "def f(x):\n    return x + 1\n" * 4),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ann = {r["commit"]: r for r in annotate(df).collect()}
+    assert ann["c1"]["keep"] is False and ann["c1"]["drop_reasons"]
+    kept = curate(df).select("commit").collect()
+    assert all(r["commit"] != "c1" for r in kept)
