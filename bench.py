@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "dup_ngram_spans",
     "cross_repo_clones",
     "nb_langid_score",
+    "dedup_substring_remove",
+    "mixture_realize",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
