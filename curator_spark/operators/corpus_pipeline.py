@@ -76,3 +76,43 @@ def corpus_quality_pipeline(spark, sf_dir):
         )
         .orderBy("lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity calibration: per predicted language, the score distribution
+# of KEPT files — the artifact a curation team reads to TUNE the ppl
+# threshold (the reference exposes the knob; this is how you choose it).
+# ppl is integer-quantized per row before the quantile so the only floats
+# are the identical interpolation arithmetic on both engines (the
+# `percentiles` query's proven pattern: Spark percentile() == DuckDB
+# quantile_cont()). Oracle reads the pre-materialized golden; Spark
+# re-runs the full pipeline in-session.
+# ---------------------------------------------------------------------------
+_Q_PPL_CAL_ORACLE = f"""
+SELECT lang_pred,
+       count(*) AS n_kept,
+       round(quantile_cont(cast(round(ppl * 10000, 0) AS BIGINT), 0.5), 6) AS p50_ppl_q,
+       round(quantile_cont(cast(round(ppl * 10000, 0) AS BIGINT), 0.9), 6) AS p90_ppl_q,
+       round(quantile_cont(cast(round(ppl * 10000, 0) AS BIGINT), 0.99), 6) AS p99_ppl_q
+FROM read_parquet('{_GOLDEN}')
+GROUP BY lang_pred
+"""
+
+
+@register(
+    "ppl_calibration",
+    _Q_PPL_CAL_ORACLE,
+    "per-language perplexity percentiles of kept files (threshold-tuning report)",
+)
+def ppl_calibration(spark, sf_dir):
+    from ..plans.quality_pipeline import curate
+    from ..sources.corpus import generate_spark
+
+    kept = curate(generate_spark(spark, _N_ROWS, seed=42, partitions=8))
+    q = F.round(F.col("ppl") * 10000, 0).cast("bigint")
+    return kept.select("lang_pred", q.alias("pq")).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.expr("percentile(pq, 0.5)"), 6).alias("p50_ppl_q"),
+        F.round(F.expr("percentile(pq, 0.9)"), 6).alias("p90_ppl_q"),
+        F.round(F.expr("percentile(pq, 0.99)"), 6).alias("p99_ppl_q"),
+    )
