@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", type=int, default=None, help="local[] cores (local runs)")
     p.add_argument("--exact-dedup", action="store_true", help="dedup identical content first")
     p.add_argument(
+        "--clone-dedup", action="store_true",
+        help="drop cross-repo near-duplicate files (capped MinHash LSH + "
+        "exact Jaccard confirm) as a resumable global stage",
+    )
+    p.add_argument(
         "--decontaminate",
         default=None,
         help="parquet of benchmark docs (content column): drop corpus rows "
@@ -102,7 +107,7 @@ def main(argv: list[str] | None = None) -> int:
         scorer_loader = nb_scorer_loader(train_nb_langid(spark, corpus))
     run = QualityFilterRun(
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
-        scorer_loader=scorer_loader,
+        clone_dedup=args.clone_dedup, scorer_loader=scorer_loader,
     )
     r1, r2 = run.run(spark, corpus)
     out = run.output(spark)

@@ -36,6 +36,7 @@ class QualityFilterRun:
         cfg: RuleConfig = DEFAULT_RULES,
         n_batches: int | None = 8,
         exact_dedup: bool = False,
+        clone_dedup: bool = False,
         catalog=None,
         scorer_loader=None,
     ) -> None:
@@ -70,6 +71,26 @@ class QualityFilterRun:
                 catalog=self.catalog,
             )
             if exact_dedup
+            else None
+        )
+        # clone dedup is a GLOBAL stage (the LSH band join pairs files
+        # across the whole corpus — it cannot shard into independent
+        # batches), so it runs as a single-batch ResumableStage: the
+        # distributed work inside the stage is unchanged (capped band
+        # self-join + Jaccard confirm over all partitions), only the
+        # commit/resume granule is the stage itself. A killed job either
+        # has the committed clone-kept table (skip) or re-runs the stage.
+        self.clone_stage = (
+            ResumableStage(
+                "clonededup",
+                KEY_COLS,
+                work_dir,
+                config={"method": "minhash-band-lsh", "j_min_bp": 2500,
+                        "bucket_cap": 50, "policy": "drop-later-of-pair"},
+                n_batches=1,
+                catalog=self.catalog,
+            )
+            if clone_dedup
             else None
         )
         self.filter_stage = ResumableStage(
@@ -150,6 +171,14 @@ class QualityFilterRun:
                 spark, corpus, self._dedup_transform, fail_after_batches=fail_after_batches
             )
             corpus = self.dedup_stage.output(spark)
+        if self.clone_stage is not None:
+            from .release import _clone_dedup
+
+            self.clone_stage.run_hash = self.run_hash
+            self.clone_stage.run(
+                spark, corpus, _clone_dedup, fail_after_batches=fail_after_batches
+            )
+            corpus = self.clone_stage.output(spark)
         r1 = self.filter_stage.run(
             spark, corpus, self._filter_transform, fail_after_batches=fail_after_batches
         )

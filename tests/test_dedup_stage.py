@@ -149,3 +149,27 @@ def test_connected_components_long_chain(spark):
     assert (chain_nodes["cluster_id"] == 0).all()
     assert (chain_nodes["cluster_size"] == 61).all()
     assert (out[out.doc_id >= 100]["cluster_id"] == 100).all()
+
+
+def test_clone_dedup_stage_resumable(spark, corpus_df, tmp_path):
+    """Clone dedup as a single-batch global stage: near-dup cross-repo
+    files are dropped, the result equals the plans.release transform, and
+    a re-invocation skips the committed stage entirely."""
+    from curator_spark.plans.release import _clone_dedup
+
+    wd = str(tmp_path / "run")
+    run = QualityFilterRun(wd, n_batches=2, clone_dedup=True)
+    run.run(spark, corpus_df)
+
+    staged = run.clone_stage.output(spark)
+    expected = _clone_dedup(corpus_df)
+    assert staged.count() == expected.count()
+    assert staged.count() < corpus_df.count()  # the generator plants clones
+    got = {r["commit"] for r in staged.select("commit").collect()}
+    want = {r["commit"] for r in expected.select("commit").collect()}
+    assert got == want
+
+    # resume: the global stage commit is found, nothing re-runs
+    run2 = QualityFilterRun(wd, n_batches=2, clone_dedup=True)
+    r = run2.clone_stage.run(spark, corpus_df, _clone_dedup)
+    assert r.batches_run == []
