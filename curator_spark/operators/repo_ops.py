@@ -33,6 +33,12 @@ Scale shapes (10^12 files):
   Candidates are bounded by ``BUCKET_CAP`` per band key, so one viral
   boilerplate signature cannot go quadratic; the confirm join touches
   only candidate ids, never the corpus cross-product.
+* ``clone_dedup_keep`` — the pairs made actionable: greedy
+  drop-later-of-pair filter + per-repo impact rollup (the transitive
+  variant is dedup_clusters/dedup_fuzzy_keep on the documents table).
+* ``corpus_drift`` — snapshot-over-snapshot churn: full-outer commit-sha
+  diff of two overlapping crawl windows -> per-language
+  added/removed/stable/bytes (Iceberg snapshot metadata, engine-level).
 """
 
 from __future__ import annotations
