@@ -1,0 +1,97 @@
+"""Third-implementation fuzz for dedup_substring_remove: the DuckDB oracle
+could share a semantic misreading with the Spark expression (both are
+declarative translations of the same idea), so this test checks the Spark
+result against an INDEPENDENT imperative Python reference of the Lee et
+al. span-removal policy on hypothesis-generated corpora."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings, strategies as st
+
+N = 8
+
+
+def reference_remove(texts: list[str]) -> list[tuple[int, int, str]]:
+    """(n_words, n_removed, clean_md5) per doc — plain-Python semantics:
+    a word j of doc d is removed iff some gram start p (p<=j<=p+7) of d
+    has a gram string occurring in >= 2 distinct docs."""
+    docs = [[w for w in re.split(r"[ \t\n]+", t) if w] for t in texts]
+    grams_per_doc = [
+        [" ".join(ws[i : i + N]) for i in range(len(ws) - N + 1)] for ws in docs
+    ]
+    df = Counter()
+    for gs in grams_per_doc:
+        for g in set(gs):
+            df[g] += 1
+    out = []
+    for ws, gs in zip(docs, grams_per_doc):
+        covered = set()
+        for p, g in enumerate(gs):
+            if df[g] >= 2:
+                covered.update(range(p, p + N))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        out.append(
+            (
+                len(ws),
+                len(ws) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        )
+    return out
+
+
+# small word alphabet -> dense gram collisions across docs
+_word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+_doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def _gen_corpora(sink, data):  # hypothesis binds strategies right-to-left
+    sink.append([data.draw(_doc) for _ in range(data.draw(st.integers(3, 10)))])
+
+
+def test_spark_matches_python_reference(spark, tmp_path):
+    corpora = []
+    _gen_corpora(corpora)  # hypothesis fills `corpora` across examples
+    # hand-built adversarial corpus: full overlap, partial overlap, empties
+    corpora.append(
+        [
+            "a a a a a a a a a a",
+            "a a a a a a a a",
+            "",
+            "b",
+            " ".join(["c"] * 7),  # below gram width
+            "a a a a a a a a b c dd ee a a a a a a a a",
+        ]
+    )
+    from curator_spark.operators import QUERIES
+
+    for ci, texts in enumerate(corpora):
+        d = str(tmp_path / f"c{ci}")
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": "en",
+                "source": "t",
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_words_removed"], r["clean_md5"])
+            for r in QUERIES["dedup_substring_remove"].fn(spark, d).collect()
+        }
+        want = dict(enumerate(reference_remove(texts)))
+        assert got == want, f"corpus {ci}: {texts!r}\n{got}\nvs\n{want}"
