@@ -1,0 +1,65 @@
+"""ANN self-evaluation: recall of every approximate search method against
+the exact brute-force top-k, as a driver-verified query — the report a
+team reads before picking the production index (the recall/cost knob the
+multi-probe/multi-table variants exist to turn).
+
+Both sides are built FROM THE REGISTERED METHOD DEFINITIONS so the report
+can never drift from what the driver verifies per-method: the Spark side
+calls the registered callables; the oracle nests each method's own oracle
+SQL as a CTE (legal in DuckDB — a CTE body may itself open a WITH).
+
+Scale shape: each method's plan is unchanged; the report adds one
+(q_id, c_id) equi-join per method against the brute-force pairs plus a
+4-row aggregate. Recall is ppm-quantized (integer division)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import QUERIES, register
+
+_METHODS = [
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_multitable",
+]
+_BF = "ann_bruteforce_topk"
+
+
+def _build_oracle() -> str:
+    ctes = [f"bf AS ({QUERIES[_BF].oracle})"]
+    selects = []
+    for i, m in enumerate(_METHODS):
+        ctes.append(f"m{i} AS ({QUERIES[m].oracle})")
+        selects.append(
+            f"SELECT '{m}' AS method,"
+            f" (SELECT count(*) FROM bf) AS n_exact_pairs,"
+            f" count(*) AS n_hits,"
+            f" count(*) * 1000000 // (SELECT count(*) FROM bf) AS recall_ppm"
+            f" FROM m{i} JOIN bf ON m{i}.q_id = bf.q_id AND m{i}.c_id = bf.c_id"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "ann_recall_report",
+    _build_oracle(),
+    "recall of every ANN method vs exact brute-force top-k (ppm-quantized)",
+)
+def ann_recall_report(spark, sf_dir):
+    bf = (
+        QUERIES[_BF].fn(spark, sf_dir).select("q_id", "c_id").localCheckpoint(eager=False)
+    )
+    n_exact = bf.count()
+    rows = None
+    for m in _METHODS:
+        got = QUERIES[m].fn(spark, sf_dir).select("q_id", "c_id")
+        hits = got.join(bf, ["q_id", "c_id"]).agg(
+            F.lit(m).alias("method"),
+            F.lit(n_exact).cast("long").alias("n_exact_pairs"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.expr(f"count(1) * 1000000 div {n_exact}").alias("recall_ppm"),
+        )
+        rows = hits if rows is None else rows.unionByName(hits)
+    return rows
