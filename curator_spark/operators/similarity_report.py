@@ -63,3 +63,51 @@ def ann_recall_report(spark, sf_dir):
         )
         rows = hits if rows is None else rows.unionByName(hits)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Dedup recall: does the MinHash+LSH candidate generation find the pairs
+# the EXACT (intentionally-quadratic) Jaccard baseline declares duplicates
+# (J >= 0.6)? Candidate recall is the number every LSH parameter choice
+# (hashes, band size, bucket cap) is tuned against — band size 2 targets
+# J >~ 0.5, so this must sit near 100% at the 0.6 threshold.
+# Same lockstep construction: both sides composed from the registered
+# definitions of the two queries.
+# ---------------------------------------------------------------------------
+_Q_DEDUP_RECALL = f"""
+WITH exact AS ({{exact}}),
+lsh AS ({{lsh}})
+SELECT (SELECT count(*) FROM exact) AS n_exact_pairs,
+       count(*) AS n_hits,
+       CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1000000
+            ELSE count(*) * 1000000 // (SELECT count(*) FROM exact) END AS recall_ppm
+FROM lsh JOIN exact ON lsh.doc_a = exact.doc_a AND lsh.doc_b = exact.doc_b
+"""
+
+
+@register(
+    "dedup_recall_report",
+    _Q_DEDUP_RECALL.format(
+        exact=QUERIES["dedup_ngram_jaccard"].oracle,
+        lsh=QUERIES["dedup_minhash_lsh"].oracle,
+    ),
+    "MinHash+LSH candidate recall vs the exact Jaccard>=0.6 baseline (ppm)",
+)
+def dedup_recall_report(spark, sf_dir):
+    exact = (
+        QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = exact.count()
+    lsh = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    recall = (
+        F.lit(1_000_000).cast("long")
+        if n_exact == 0
+        else F.expr(f"count(1) * 1000000 div {n_exact}")
+    )
+    return lsh.join(exact, ["doc_a", "doc_b"]).agg(
+        F.lit(n_exact).cast("long").alias("n_exact_pairs"),
+        F.count(F.lit(1)).alias("n_hits"),
+        recall.alias("recall_ppm"),
+    )
