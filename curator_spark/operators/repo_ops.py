@@ -319,13 +319,14 @@ FROM pairs WHERE inter * 10000 // uni >= {_J_MIN_BP}
 _Q_CLONES_ORACLE = clone_pairs_sql(_CORPUS_DUCK)
 
 
-@register(
-    "cross_repo_clones",
-    _Q_CLONES_ORACLE,
-    "cross-repo near-dup files: capped MinHash LSH candidates + exact Jaccard confirm",
-)
-def cross_repo_clones(spark, sf_dir):
-    c = _corpus(spark).select(
+def clone_pairs(corpus_df):
+    """Confirmed cross-repo clone pairs for ANY (repo, path, commit, lang,
+    content) frame — the single Spark-side implementation behind the
+    cross_repo_clones query, clone_dedup_keep, the release pipeline's
+    clone stage (plans/release.py), and the runner's resumable
+    --clone-dedup stage. Returns (fid_a, fid_b, repo_a, repo_b,
+    jaccard_bp) with fid = commit sha."""
+    c = corpus_df.select(
         F.col("commit").alias("fid"), "repo", F.col("content").alias("text")
     )
     # shingles reused 3x (bands + both confirm sides): cut the lineage once
@@ -374,6 +375,21 @@ def cross_repo_clones(spark, sf_dir):
         .filter(F.col("jaccard_bp") >= _J_MIN_BP)
         .select("fid_a", "fid_b", "repo_a", "repo_b", "jaccard_bp")
     )
+
+
+def clone_dedup_filter(corpus_df):
+    """Greedy drop-later-of-pair clone removal over ANY corpus frame."""
+    dropped = clone_pairs(corpus_df).select(F.col("fid_b").alias("commit")).distinct()
+    return corpus_df.join(dropped, "commit", "left_anti")
+
+
+@register(
+    "cross_repo_clones",
+    _Q_CLONES_ORACLE,
+    "cross-repo near-dup files: capped MinHash LSH candidates + exact Jaccard confirm",
+)
+def cross_repo_clones(spark, sf_dir):
+    return clone_pairs(_corpus(spark))
 
 
 # ---------------------------------------------------------------------------

@@ -43,51 +43,13 @@ def _exact_dedup(corpus: DataFrame) -> DataFrame:
 
 
 def _clone_dedup(corpus: DataFrame) -> DataFrame:
-    """Greedy cross-repo near-dup removal: drop the larger commit of every
-    confirmed clone pair (operators.repo_ops.cross_repo_clones shape,
-    applied to THIS frame rather than the fixed oracle corpus)."""
-    from ..operators.dedup import _SHINGLES_SPARK, _let, cap_bucket_width
+    """Greedy cross-repo near-dup removal (drop the larger commit of every
+    confirmed clone pair) — delegates to the single shared implementation
+    in operators.repo_ops (capped MinHash band LSH + exact Jaccard
+    confirm), applied to THIS frame rather than the fixed oracle corpus."""
+    from ..operators.repo_ops import clone_dedup_filter
 
-    c = corpus.select(
-        F.col("commit").alias("fid"), "repo", F.col("content").alias("text")
-    )
-    shingled = c.select("fid", "repo", F.expr(_SHINGLES_SPARK).alias("sh")).localCheckpoint(
-        eager=False
-    )
-    sig_expr = _let(
-        "sh",
-        "shz",
-        "transform(sequence(0, 7),"
-        " s -> md5(concat(cast(s as string), '|',"
-        " array_min(transform(shz, x -> md5(concat(cast(s as string), ':', x)))))))",
-    )
-    bands = shingled.filter(F.size("sh") > 0).select(
-        "fid", F.explode(F.expr(sig_expr)).alias("band_key")
-    )
-    bands = cap_bucket_width(bands, "band_key", "fid")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.fid") < F.col("b.fid")),
-        )
-        .select(F.col("a.fid").alias("fid_a"), F.col("b.fid").alias("fid_b"))
-        .distinct()
-    )
-    sa = shingled.select(F.col("fid").alias("fid_a"), F.col("repo").alias("repo_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("fid").alias("fid_b"), F.col("repo").alias("repo_b"), F.col("sh").alias("sh_b"))
-    dropped = (
-        cand.join(sa, "fid_a")
-        .join(sb, "fid_b")
-        .filter(F.col("repo_a") != F.col("repo_b"))
-        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("j_bp", F.expr("__inter * 10000 div (size(sh_a) + size(sh_b) - __inter)"))
-        .filter(F.col("j_bp") >= 2500)
-        .select(F.col("fid_b").alias("commit"))
-        .distinct()
-    )
-    return corpus.join(dropped, "commit", "left_anti")
+    return clone_dedup_filter(corpus)
 
 
 def _mixture_downsample(kept: DataFrame, rates_ppm: dict[str, int]) -> DataFrame:
