@@ -281,3 +281,108 @@ def dedup_substring_remove(spark, sf_dir, n: int = N_GRAM):
             F.expr("concat_ws(' ', transform(kept, j -> element_at(ws, j + 1)))")
         ).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003, the MOSS local
+# fingerprinting scheme): slide a window of W consecutive word-5-gram
+# hashes and keep each window's MINIMUM — guaranteeing any shared run of
+# >= W+4 words is detected while storing only ~2/(W+1) of the grams.
+# This is the SAMPLING-based alternative to MinHash: position-local
+# (detects where the overlap is), deterministic, and the stored
+# fingerprint volume is a tunable fraction of the corpus.
+#
+# Spark shape: fingerprint selection is a pure per-row expression (zero
+# shuffle); the census is one hash-aggregate on the fingerprint key plus
+# a semi-join probe — identical scale shape to dup_ngram_spans but over
+# the winnowed ~18% sample instead of every gram.
+# ---------------------------------------------------------------------------
+WIN_GRAM = 5
+WIN_W = 10
+
+_WIN_GHS_DUCK = f"""CASE WHEN len(ws) < {WIN_GRAM} THEN CAST([] AS VARCHAR[])
+  ELSE list_transform(range(0, len(ws) - {WIN_GRAM - 1}),
+                      i -> md5(array_to_string(ws[i+1:i+{WIN_GRAM}], ' '))) END"""
+
+_Q_WINNOW_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM documents
+),
+b AS (SELECT doc_id, {_WIN_GHS_DUCK} AS ghs FROM w),
+fp AS (
+  SELECT doc_id,
+         len(ghs) AS n_grams,
+         list_distinct(CASE
+           WHEN len(ghs) = 0 THEN CAST([] AS VARCHAR[])
+           WHEN len(ghs) <= {WIN_W} THEN [list_min(ghs)]
+           ELSE list_transform(range(0, len(ghs) - {WIN_W - 1}),
+                               i -> list_min(ghs[i+1:i+{WIN_W}]))
+         END) AS fps
+  FROM b
+),
+x AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+shared AS (
+  SELECT f FROM x GROUP BY f HAVING count(DISTINCT doc_id) >= 2
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_shared FROM x JOIN shared USING (f) GROUP BY doc_id
+)
+SELECT fp.doc_id,
+       cast(fp.n_grams AS BIGINT) AS n_grams,
+       cast(len(fp.fps) AS BIGINT) AS n_fingerprints,
+       cast(coalesce(sc.n_shared, 0) AS BIGINT) AS n_shared_fps,
+       md5(coalesce(array_to_string(list_sort(fp.fps), ','), '')) AS fps_md5
+FROM fp LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    _Q_WINNOW_ORACLE,
+    "MOSS winnowing: windowed-min 5-gram fingerprints + cross-doc shared census",
+)
+def winnowing_fingerprints(spark, sf_dir, w: int = WIN_W):
+    from .dedup import _WORDS_SPARK
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
+        "ghs",
+        F.expr(
+            f"CASE WHEN size(ws) < {WIN_GRAM} THEN cast(array() as array<string>)"
+            f" ELSE transform(sequence(0, size(ws) - {WIN_GRAM}),"
+            f" i -> md5(concat_ws(' ', slice(ws, i + 1, {WIN_GRAM})))) END"
+        ),
+    ).withColumn(
+        "fps",
+        F.expr(
+            f"array_distinct(CASE"
+            f" WHEN size(ghs) = 0 THEN cast(array() as array<string>)"
+            f" WHEN size(ghs) <= {w} THEN array(array_min(ghs))"
+            f" ELSE transform(sequence(0, size(ghs) - {w}),"
+            f" i -> array_min(slice(ghs, i + 1, {w}))) END)"
+        ),
+    ).localCheckpoint(eager=False)
+    x = base.select("doc_id", F.explode("fps").alias("f"))
+    shared = (
+        x.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("f")
+    )
+    sc = (
+        x.join(shared, "f", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        base.join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ghs").cast("long").alias("n_grams"),
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared_fps"),
+            F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fps_md5"),
+        )
+    )
