@@ -43,7 +43,7 @@ SENSITIVE = [
     "bm25_topk", "inverted_index", "pii_stats", "dup_ngram_spans",
     "mixture_weights", "classifier_training_set", "sequence_packing",
     "length_histogram", "dataset_split", "dedup_substring_remove",
-    "winnowing_fingerprints",
+    "winnowing_fingerprints", "dedup_recall_report", "ann_recall_report",
     # event-time operators over the tie/null/out-of-order events table
     "sessionize", "tumbling_window", "datetime_extract", "distinct_types",
     "asof_join", "set_ops", "json_extract", "validate_json_map",
