@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "nb_langid_score",
     "dedup_substring_remove",
     "mixture_realize",
+    "winnowing_fingerprints",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
