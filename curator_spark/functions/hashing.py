@@ -1,0 +1,21 @@
+"""Shared deterministic-hash bucketing: bucket = integer value of an
+8-hex-char slice of md5(key) mod N. Used for train/val/test splits and
+mixture downsampling; the DuckDB mirror is
+``('0x' || substr(md5(key), start, 8))::BIGINT % N``. ONE implementation
+(offset/modulus as parameters) so every call site stays bit-aligned with
+its oracle string."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_bucket(key: Column, mod: int, start: int = 1) -> Column:
+    """Deterministic bucket in [0, mod) from an md5 hex slice — a pure
+    per-row expression (no rand(), reproducible across partitionings).
+    ``start`` selects the hex window (1-based), letting independent
+    decisions (split vs downsample) use disjoint slices of one digest."""
+    return (
+        F.conv(F.substring(F.md5(key), start, 8), 16, 10).cast("bigint") % mod
+    )

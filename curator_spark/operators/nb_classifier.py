@@ -72,7 +72,7 @@ wts AS (
 ),
 priors AS (
   SELECT lang, cast(round(1000000 * ln(cast(nc + 1 AS DOUBLE)
-              / cast(n + {len(LANGS)} AS DOUBLE)), 0) AS BIGINT) AS pq
+              / cast(n + (SELECT count(*) FROM cls) AS DOUBLE)), 0) AS BIGINT) AS pq
   FROM cls, total
 ),
 doc_class AS (
@@ -118,7 +118,14 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     holds vocab_cap + K rows (the model-broadcast pattern)."""
     # training issues several actions (class counts, vocabulary) — cut the
     # generator/scan lineage once so each action reuses materialized rows
-    labeled = corpus_df.select("lang", _words_col()).localCheckpoint(eager=False)
+    # NULL labels (failed metadata fetches) carry no training signal and
+    # would crash sorted() — exclude them from fitting; inference over
+    # such rows still works (the model never sees the label column)
+    labeled = (
+        corpus_df.filter(F.col("lang").isNotNull())
+        .select("lang", _words_col())
+        .localCheckpoint(eager=False)
+    )
     class_counts = {
         r["lang"]: int(r["nc"])
         for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("nc")).collect()

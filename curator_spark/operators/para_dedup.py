@@ -383,6 +383,8 @@ def winnowing_fingerprints(spark, sf_dir, w: int = WIN_W):
             F.size("ghs").cast("long").alias("n_grams"),
             F.size("fps").cast("long").alias("n_fingerprints"),
             F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared_fps"),
-            F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fps_md5"),
+            # NULL text -> NULL fps: coalesce to '' so the hash matches
+            # the oracle's md5(coalesce(array_to_string(...), ''))
+            F.md5(F.coalesce(F.array_join(F.array_sort("fps"), ","), F.lit(""))).alias("fps_md5"),
         )
     )

@@ -377,10 +377,17 @@ def clone_pairs(corpus_df):
     )
 
 
+def clone_dropped_fids(corpus_df):
+    """THE greedy drop policy, in one place: the distinct larger member
+    (fid_b) of every confirmed clone pair. clone_dedup_filter, the
+    clone_dedup_keep report, and the release/runner stages all consume
+    this — change the policy here and every surface moves together."""
+    return clone_pairs(corpus_df).select(F.col("fid_b").alias("commit")).distinct()
+
+
 def clone_dedup_filter(corpus_df):
     """Greedy drop-later-of-pair clone removal over ANY corpus frame."""
-    dropped = clone_pairs(corpus_df).select(F.col("fid_b").alias("commit")).distinct()
-    return corpus_df.join(dropped, "commit", "left_anti")
+    return corpus_df.join(clone_dropped_fids(corpus_df), "commit", "left_anti")
 
 
 @register(
@@ -504,13 +511,12 @@ GROUP BY c.repo
     "apply clone pairs as a dedup filter (greedy drop-later policy) + per-repo impact",
 )
 def clone_dedup_keep(spark, sf_dir):
+    c = _corpus(spark)
     dropped = (
-        cross_repo_clones(spark, sf_dir)
-        .select(F.col("fid_b").alias("fid"))
-        .distinct()
+        clone_dropped_fids(c)
+        .select(F.col("commit").alias("fid"))
         .withColumn("__dropped", F.lit(1))
     )
-    c = _corpus(spark)
     return (
         c.join(dropped, c["commit"] == dropped["fid"], "left")
         .groupBy("repo")

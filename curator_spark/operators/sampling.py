@@ -176,10 +176,10 @@ FROM per p JOIN tot t ON p.lang = t.lang
     "deterministic hash-threshold train/val/test split + per-language fraction audit",
 )
 def dataset_split(spark, sf_dir):
+    from ..functions.hashing import md5_bucket
+
     d = load(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 100)
     assigned = d.select(
         "lang",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
@@ -224,12 +224,10 @@ FROM kept GROUP BY lang
 )
 def mixture_realize(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
+    from ..functions.hashing import md5_bucket
+
     rates = mixture_weights(spark, sf_dir).select("lang", "rate_ppm")
-    ppm = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 1_000_000
-    )
+    ppm = md5_bucket(F.col("doc_id").cast("string"), 1_000_000)
     return (
         d.join(F.broadcast(rates), "lang")
         .filter(ppm < F.col("rate_ppm"))

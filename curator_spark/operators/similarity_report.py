@@ -55,11 +55,16 @@ def ann_recall_report(spark, sf_dir):
     rows = None
     for m in _METHODS:
         got = QUERIES[m].fn(spark, sf_dir).select("q_id", "c_id")
+        recall = (
+            F.lit(1_000_000).cast("long")  # vacuous truth on an empty exact set
+            if n_exact == 0
+            else F.expr(f"count(1) * 1000000 div {n_exact}")
+        )
         hits = got.join(bf, ["q_id", "c_id"]).agg(
             F.lit(m).alias("method"),
             F.lit(n_exact).cast("long").alias("n_exact_pairs"),
             F.count(F.lit(1)).alias("n_hits"),
-            F.expr(f"count(1) * 1000000 div {n_exact}").alias("recall_ppm"),
+            recall.alias("recall_ppm"),
         )
         rows = hits if rows is None else rows.unionByName(hits)
     return rows

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_bucket
 from ..functions.rules import DEFAULT_RULES, RuleConfig
 from .datacard import build_datacard
 from .quality_pipeline import annotate
@@ -58,18 +59,13 @@ def _mixture_downsample(kept: DataFrame, rates_ppm: dict[str, int]) -> DataFrame
     rate = F.lit(1_000_000)
     for k, v in rates_ppm.items():
         rate = F.when(F.col("lang") == k, F.lit(int(v))).otherwise(rate)
-    ppm = (
-        F.conv(F.substring(F.md5(F.concat_ws("|", *KEY_COLS)), 1, 8), 16, 10).cast("bigint")
-        % 1_000_000
-    )
-    return kept.filter(ppm < rate)
+    return kept.filter(md5_bucket(F.concat_ws("|", *KEY_COLS), 1_000_000) < rate)
 
 
 def _split_col() -> F.Column:
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat_ws("|", *KEY_COLS)), 9, 8), 16, 10).cast("bigint")
-        % 100
-    )
+    # start=9: a hex slice DISJOINT from the downsample slice, so the two
+    # decisions are independent coin flips from one digest
+    bucket = md5_bucket(F.concat_ws("|", *KEY_COLS), 100, start=9)
     return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
 

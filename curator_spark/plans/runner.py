@@ -26,6 +26,8 @@ from ..functions.scorers import _loader_key
 from ..engine.fingerprint import run_fingerprint
 from ..functions.rules import DEFAULT_RULES, RuleConfig
 from ..functions.scrub import SCRUB_PATTERNS
+from ..operators.dedup import BUCKET_CAP as _CLONE_BUCKET_CAP
+from ..operators.repo_ops import _J_MIN_BP as _CLONE_J_MIN_BP
 from .quality_pipeline import KEY_COLS, scrub_content
 
 
@@ -85,8 +87,9 @@ class QualityFilterRun:
                 "clonededup",
                 KEY_COLS,
                 work_dir,
-                config={"method": "minhash-band-lsh", "j_min_bp": 2500,
-                        "bucket_cap": 50, "policy": "drop-later-of-pair"},
+                config={"method": "minhash-band-lsh", "j_min_bp": _CLONE_J_MIN_BP,
+                        "bucket_cap": _CLONE_BUCKET_CAP,
+                        "policy": "drop-later-of-pair"},
                 n_batches=1,
                 catalog=self.catalog,
             )

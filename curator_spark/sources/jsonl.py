@@ -124,9 +124,12 @@ def rejoin_responses(
     from pyspark.sql import Window as W
 
     ok = responses.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    # success = no errors, whether the fleet encodes that as null OR []
+    ok_flag = F.when(
+        F.col("response_errors").isNull() | (F.size("response_errors") == 0), 0
+    ).otherwise(1)
     w = W.partitionBy("original_row_idx").orderBy(
-        F.when(F.col("response_errors").isNull(), 0).otherwise(1),
-        F.col("response_message").asc_nulls_last(),
+        ok_flag, F.col("response_message").asc_nulls_last()
     )
     ok = ok.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     return inputs.join(

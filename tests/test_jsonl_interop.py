@@ -91,7 +91,8 @@ def test_rejoin_dedups_retried_responses(spark, tmp_path):
     os.makedirs(resp_dir)
     lines = [
         {"response_message": "err-attempt", "response_errors": ["timeout"], "original_row_idx": 1},
-        {"response_message": "good", "response_errors": None, "original_row_idx": 1},
+        # success encoded as [] (not null) must still beat the error
+        {"response_message": "good", "response_errors": [], "original_row_idx": 1},
         {"response_message": "b", "response_errors": None, "original_row_idx": 2},
         {"response_message": "a", "response_errors": None, "original_row_idx": 2},
     ]
