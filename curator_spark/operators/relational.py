@@ -532,3 +532,75 @@ def unpivot_counts(spark, sf_dir):
         "user_id",
         "stack(3, 'click', click, 'view', view, 'error', error) AS (kind, n)",
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window chunking — the embedding-generation prep step (RAG /
+# retrieval pipelines): word windows of CHUNK_W with stride CHUNK_S, so
+# consecutive chunks share CHUNK_W - CHUNK_S words of context and no
+# boundary sentence is ever split away from both neighbors. Pure per-row
+# expression + posexplode (flatMap) — zero shuffle at any corpus size.
+# n_chunks = 1 + max(0, ceil((n_words - W) / S)); short docs yield one
+# (possibly partial) chunk; empty docs yield none.
+# ---------------------------------------------------------------------------
+CHUNK_W = 64
+CHUNK_S = 48
+
+_Q_CHUNK_OVERLAP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM documents
+),
+n AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+         CASE WHEN len(ws) = 0 THEN 0
+              WHEN len(ws) <= {CHUNK_W} THEN 1
+              ELSE 1 + cast(ceil((len(ws) - {CHUNK_W}) * 1.0 / {CHUNK_S}) AS BIGINT)
+         END AS n_chunks
+  FROM w
+),
+c AS (
+  SELECT doc_id, nw, chunk_idx,
+         ws[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}] AS cw
+  FROM (SELECT doc_id, ws, nw, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+)
+SELECT doc_id,
+       cast(chunk_idx AS BIGINT) AS chunk_idx,
+       cast(len(cw) AS BIGINT) AS n_words_chunk,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM c
+"""
+
+
+@register(
+    "chunk_overlap",
+    _Q_CHUNK_OVERLAP_ORACLE,
+    "overlapping word-window chunking for embedding generation (stride < width)",
+)
+def chunk_overlap(spark, sf_dir, width: int = CHUNK_W, stride: int = CHUNK_S):
+    from .dedup import _WORDS_SPARK
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
+        "n_chunks",
+        F.expr(
+            f"CASE WHEN size(ws) = 0 THEN 0"
+            f" WHEN size(ws) <= {width} THEN 1"
+            f" ELSE 1 + cast(ceil((size(ws) - {width}) * 1.0 / {stride}) as bigint) END"
+        ),
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, int(n_chunks) - 1),"
+        f" i -> slice(ws, i * {stride} + 1, {width}))"
+    )
+    return (
+        base.filter(F.col("n_chunks") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "cw"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("cw").cast("long").alias("n_words_chunk"),
+            F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
+        )
+    )

@@ -44,6 +44,7 @@ SENSITIVE = [
     "mixture_weights", "classifier_training_set", "sequence_packing",
     "length_histogram", "dataset_split", "dedup_substring_remove",
     "winnowing_fingerprints", "dedup_recall_report", "ann_recall_report",
+    "chunk_overlap",
     # event-time operators over the tie/null/out-of-order events table
     "sessionize", "tumbling_window", "datetime_extract", "distinct_types",
     "asof_join", "set_ops", "json_extract", "validate_json_map",
