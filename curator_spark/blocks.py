@@ -115,9 +115,23 @@ def raft_pipeline(
     return attach_distractors(questions, chunks, k=k)
 
 
-def collate_by_key(df: DataFrame, key: str, value_cols: list[str]) -> DataFrame:
-    """SimpleStrat collate: per-key sorted list aggregation."""
-    aggs = [
-        F.sort_array(F.collect_list(c)).alias(f"{c}_list") for c in value_cols
-    ] + [F.count(F.lit(1)).alias("n")]
+def collate_by_key(
+    df: DataFrame, key: str, value_cols: list[str], max_items: int | None = 100
+) -> DataFrame:
+    """SimpleStrat collate: per-key sorted list aggregation.
+
+    ``max_items`` caps each list at the N smallest values (deterministic
+    truncation; ``n`` still counts the full group, so a capped key is
+    visible as n > len(list)). Faithful-but-unbounded reference behavior
+    (simplestrat.py's pandas collate) is ``max_items=None`` — at corpus
+    scale a hot key would OOM the reducer, hence the default cap. For keys
+    hot enough that the agg buffer itself matters, pre-truncate with
+    operators.dedup.cap_bucket_width."""
+    def lst(c):
+        arr = F.sort_array(F.collect_list(c))
+        if max_items is not None:
+            arr = F.slice(arr, 1, max_items)
+        return arr.alias(f"{c}_list")
+
+    aggs = [lst(c) for c in value_cols] + [F.count(F.lit(1)).alias("n")]
     return df.groupBy(key).agg(*aggs)

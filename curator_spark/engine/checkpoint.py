@@ -13,10 +13,14 @@ Spark re-expression of curator's resumable map
 2. **Process batch-by-batch** — each shard is transformed and written to a
    temp dir, then atomically ``rename``d to ``batch=<b>/`` (curator's
    append-only responses checkpoint, base_online_request_processor.py:612-634;
-   atomic-rename is LocalCatalog's snapshot commit; EVERY storage
-   operation routes through ``sources.catalog.Catalog``, so a real Iceberg
-   deployment is a constructor swap, not a code change). Within a batch, all of Spark's
-   executors work in parallel; the batch is purely the commit granule.
+   atomic-rename is ParquetDirCatalog's snapshot commit; EVERY storage
+   operation — including batch addressing (batch_path /
+   list_committed_batches / read_batches) — routes through
+   ``sources.catalog.Catalog``, so an Iceberg deployment swaps the
+   Catalog construction plus that catalog's mapping of batch ordinals
+   onto table partitions; the stage logic itself doesn't change). Within
+   a batch, all of Spark's executors work in parallel; the batch is
+   purely the commit granule.
 3. **Resume** — a re-run lists committed ``batch=*`` dirs and processes only
    the missing ones (curator's completed-id skip,
    base_request_processor.py:609-651). The anti-join semantics hold by
@@ -57,9 +61,11 @@ class StageResult:
     out_dir: str
     batches_run: list[int]
     batches_skipped: list[int]
+    catalog: Catalog | None = None
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.out_dir, "batch=*"))
+        cat = self.catalog or ParquetDirCatalog(self.out_dir)
+        return cat.read_batches(spark, self.out_dir)
 
 
 class StageInterrupted(RuntimeError):
@@ -111,16 +117,10 @@ class ResumableStage:
         self.catalog.publish(tmp, final)
 
     def _batch_dir(self, b: int) -> str:
-        return os.path.join(self.stage_dir, f"batch={b}")
+        return self.catalog.batch_path(self.stage_dir, b)
 
     def committed_batches(self) -> list[int]:
-        out = []
-        for d in self.catalog.list_dir(self.stage_dir):
-            if d.startswith("batch=") and self.catalog.path_exists(
-                os.path.join(self.stage_dir, d, "_SUCCESS")
-            ):
-                out.append(int(d.split("=", 1)[1]))
-        return sorted(out)
+        return self.catalog.list_committed_batches(self.stage_dir)
 
     def _resolve_n_batches(self, df: DataFrame) -> None:
         """Auto batch sizing (n_batches=None): byte + row caps from input
@@ -264,6 +264,7 @@ class ResumableStage:
             out_dir=self.stage_dir,
             batches_run=ran,
             batches_skipped=sorted(done),
+            catalog=self.catalog,
         )
 
     # -- per-row retry budget ---------------------------------------------------
@@ -319,6 +320,7 @@ class ResumableStage:
             batches_run=res.batches_run
             + [self.n_batches + a for a in range(1, attempt + 1)],
             batches_skipped=res.batches_skipped,
+            catalog=self.catalog,
         )
 
     def committed_retry_attempts(self) -> int:
@@ -359,20 +361,14 @@ class ResumableStage:
 
     # -- derived views ---------------------------------------------------------
     def output(self, spark: SparkSession) -> DataFrame:
-        return self.catalog.read_path(
-            spark, os.path.join(self.stage_dir, "batch=*")
-        )
+        return self.catalog.read_batches(spark, self.stage_dir)
 
     def output_with_origin(self, spark: SparkSession) -> DataFrame:
         """output() plus ``__origin_batch``: which commit (base shard or
         retry attempt — retries are batch ids >= n_batches) produced each
         row. Lets callers order superseding attempts without a schema
         change in the committed files (the ordinal IS the partition dir)."""
-        df = self.catalog.read_path(
-            spark,
-            os.path.join(self.stage_dir, "batch=*"),
-            base_path=self.stage_dir,
-        )
+        df = self.catalog.read_batches(spark, self.stage_dir, with_origin=True)
         return df.withColumnRenamed("batch", "__origin_batch")
 
     def failed_rows(self, spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -130,8 +130,23 @@ def fasttext_kenlm_loader(fasttext_bin: str, kenlm_model: str) -> Loader:
     def load() -> Scorer:
         return FastTextKenLMScorer(fasttext_bin, kenlm_model)
 
-    # stable cache identity per (paths) pair, not per closure object
-    load.__qualname__ = f"fasttext_kenlm_loader({fasttext_bin!r},{kenlm_model!r})"
+    # Stable cache identity per (paths) pair, not per closure object — and
+    # per model-file VERSION: a .bin swapped in place at the same path must
+    # not hit a stale executor singleton or pass the run fingerprint as
+    # "already computed", so (size, mtime_ns) of any locally-visible file
+    # is folded into the key. Files only resolvable via SparkFiles on
+    # executors contribute their path alone (the driver can't stat them).
+    def _stamp(p: str) -> str:
+        try:
+            st = os.stat(p)
+            return f"{p}#{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            return p
+
+    load.cache_key = (
+        f"fasttext_kenlm_loader({_stamp(fasttext_bin)!r},{_stamp(kenlm_model)!r})"
+    )
+    load.__qualname__ = load.cache_key
     return load
 
 
@@ -140,7 +155,33 @@ _SCORER_CACHE: dict[str, Scorer] = {}
 
 
 def _loader_key(loader: Loader) -> str:
-    return f"{getattr(loader, '__module__', '?')}.{getattr(loader, '__qualname__', repr(loader))}"
+    """Identity used for BOTH the executor singleton cache and the filter
+    stage's resume fingerprint (plans/runner.py). An explicit
+    ``loader.cache_key`` attribute wins; otherwise the key derives from
+    ``__module__.__qualname__`` — which is ambiguous for closures and
+    lambdas (every closure from one factory shares
+    ``factory.<locals>._load``), so those are REJECTED without an explicit
+    key rather than risking a stale-model cache hit or a resume that
+    silently reuses output scored by a different model."""
+    explicit = getattr(loader, "cache_key", None)
+    if explicit:
+        return str(explicit)
+    qualname = getattr(loader, "__qualname__", None)
+    if qualname is None:
+        raise ValueError(
+            f"scorer loader {loader!r} has no __qualname__ and no cache_key; "
+            "set loader.cache_key to a string that uniquely identifies the "
+            "model it loads (e.g. a digest of its weights or file stamp)"
+        )
+    if "<locals>" in qualname or "<lambda>" in qualname:
+        raise ValueError(
+            f"scorer loader {qualname!r} is a closure/lambda: its qualname "
+            "does not distinguish models, so the per-worker singleton cache "
+            "and the resume fingerprint would collide across different "
+            "models. Set loader.cache_key to a model-unique string (see "
+            "nb_scorer_loader / fasttext_kenlm_loader for the pattern)."
+        )
+    return f"{getattr(loader, '__module__', '?')}.{qualname}"
 
 
 def get_scorer(loader: Loader | None) -> Scorer:
@@ -225,5 +266,6 @@ def nb_scorer_loader(model: dict) -> Loader:
     digest = hashlib.sha256(
         json.dumps(model, sort_keys=True).encode()
     ).hexdigest()[:16]
-    _load.__qualname__ = f"nb_scorer_loader({digest})"
+    _load.cache_key = f"nb_scorer_loader({digest})"
+    _load.__qualname__ = _load.cache_key
     return _load

@@ -35,6 +35,31 @@ from .registry import load, register
 BUCKET_CAP = 50
 
 
+# Row ceiling for the two DECLARED-QUADRATIC exact baselines below
+# (dedup_ngram_jaccard, dedup_embedding_cosine). They exist as correctness
+# anchors for the MinHash/LSH scale paths and must never be pointed at a
+# real corpus — at 10^12 docs the all-pairs join is 10^24 pairs. The guard
+# turns that category of misuse into an immediate, explicit error instead
+# of a cluster-melting job; callers who really want the exact form on a
+# larger (still small) input pass unsafe_exact=True.
+EXACT_BASELINE_MAX_ROWS = 100_000
+
+
+def guard_exact_baseline(df, what: str, max_rows: int, unsafe_exact: bool):
+    """Raise if a quadratic baseline is about to run on more than
+    ``max_rows`` rows (one cheap count job) unless explicitly overridden."""
+    if unsafe_exact:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} is an intentionally-quadratic EXACT baseline "
+            f"(all-pairs join): refusing {n:,} input rows > max_rows="
+            f"{max_rows:,}. Use the MinHash/LSH scale path instead, or pass "
+            "unsafe_exact=True if you accept O(n^2) pairs on this input."
+        )
+
+
 def cap_bucket_width(df, bucket_col: str, id_col: str, cap: int = BUCKET_CAP):
     """Keep the ``cap`` lowest-id rows per bucket (deterministic truncate).
     One partitioned window — shuffles on the bucket key the self-join
@@ -157,12 +182,16 @@ FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.6
 
 
 @register("dedup_ngram_jaccard", _Q_JACCARD_ORACLE, "exact 3-gram Jaccard similarity join")
-def dedup_ngram_jaccard(spark, sf_dir, threshold: float = 0.6):
-    d = _with_shingles(
-        load(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    )
+def dedup_ngram_jaccard(
+    spark,
+    sf_dir,
+    threshold: float = 0.6,
+    max_rows: int = EXACT_BASELINE_MAX_ROWS,
+    unsafe_exact: bool = False,
+):
+    docs = load(spark, sf_dir, "documents")
+    guard_exact_baseline(docs, "dedup_ngram_jaccard", max_rows, unsafe_exact)
+    d = _with_shingles(docs.repartition(spark.sparkContext.defaultParallelism))
     sh = (
         d.filter(F.size("sh") > 0)
         .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
@@ -496,10 +525,17 @@ SELECT vec_a, vec_b, round(cos, 3) AS cos_sim FROM pairs WHERE cos >= 0.5
 
 
 @register("dedup_embedding_cosine", _Q_EMB_ORACLE, "embedding cosine near-dup pairs")
-def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.5):
+def dedup_embedding_cosine(
+    spark,
+    sf_dir,
+    threshold: float = 0.5,
+    max_rows: int = EXACT_BASELINE_MAX_ROWS,
+    unsafe_exact: bool = False,
+):
     from .similarity import _NONZERO_SPARK
 
     e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
+    guard_exact_baseline(e, "dedup_embedding_cosine", max_rows, unsafe_exact)
     dot = (
         "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0.0 as double), (acc, v) -> acc + v)"

@@ -69,29 +69,38 @@ def kmeans_centroids(emb, k: int = _K, iters: int = _ITERS):
     and the k-row centroid table is localCheckpoint'd per iteration, so the
     plan each job executes is scan(cached emb) x broadcast(k rows) rather
     than a lineage that re-nests every previous iteration."""
-    if not emb.is_cached:
+    we_persisted = not emb.is_cached
+    if we_persisted:
         emb = emb.persist()
-    cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("xq").alias("cent")
-    )
-    for _ in range(iters):
-        a = _assign(emb, cents)
-        sums = (
-            a.select("cell", F.posexplode("xq").alias("j", "x"))
-            .groupBy("cell", "j")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    try:
+        cents = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").cast("int").alias("cell"), F.col("xq").alias("cent")
         )
-        cents = (
-            sums.withColumn("c", F.col("s") / F.col("n"))
-            .groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(j, c))), p -> p.c)"
-                ).alias("cent")
+        for _ in range(iters):
+            a = _assign(emb, cents)
+            sums = (
+                a.select("cell", F.posexplode("xq").alias("j", "x"))
+                .groupBy("cell", "j")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             )
-            .localCheckpoint()
-        )
-    return cents
+            cents = (
+                sums.withColumn("c", F.col("s") / F.col("n"))
+                .groupBy("cell")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(j, c))), p -> p.c)"
+                    ).alias("cent")
+                )
+                .localCheckpoint()  # eager: each iteration materializes here
+            )
+        return cents
+    finally:
+        # the final cents is an eager localCheckpoint (lineage truncated),
+        # so the training input's cache is dead weight after the loop —
+        # release it if this function introduced it. Callers that passed an
+        # already-persisted frame manage its lifetime themselves.
+        if we_persisted:
+            emb.unpersist(blocking=False)
 
 
 def _duck_iteration(i: int) -> str:
@@ -159,11 +168,15 @@ SELECT q_id, c_id, l2q, rank FROM ranked WHERE rank <= {_TOP_K}
     "IVF with k-means-trained coarse quantizer (bit-exact integer-quantized training)",
 )
 def ann_ivf_kmeans(spark, sf_dir):
+    from .registry import scratch
+
     e = load(spark, sf_dir, "embeddings")
     # persisted once: training reads it every Lloyd iteration and the final
     # assignment + query side read it again (at 10^9 vectors: persist the
-    # SAMPLE used for training; the full corpus is only scanned by assign)
-    emb_q = e.select("vec_id", F.expr(_QUANT).alias("xq")).persist()
+    # SAMPLE used for training; the full corpus is only scanned by assign).
+    # scratch(): the cache lives until the caller's action completes and is
+    # drained when the next registered query starts (registry.drain_scratch)
+    emb_q = scratch(e.select("vec_id", F.expr(_QUANT).alias("xq")).persist())
     # the centroid table is k rows — materialize once, broadcast everywhere
     cents = kmeans_centroids(emb_q)
     assigned = _assign(emb_q, cents)

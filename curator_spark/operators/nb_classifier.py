@@ -117,14 +117,18 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     One term-key shuffle + a bounded TakeOrdered; the driver only ever
     holds vocab_cap + K rows (the model-broadcast pattern)."""
     # training issues several actions (class counts, vocabulary) — cut the
-    # generator/scan lineage once so each action reuses materialized rows
+    # generator/scan lineage once so each action reuses materialized rows;
+    # EAGER: with a lazy checkpoint the class-count and vocabulary jobs
+    # were each re-running the upstream scan before blocks landed (measured
+    # as the gate's most expensive query) — materializing here makes every
+    # subsequent training action a cached-block read.
     # NULL labels (failed metadata fetches) carry no training signal and
     # would crash sorted() — exclude them from fitting; inference over
     # such rows still works (the model never sees the label column)
     labeled = (
         corpus_df.filter(F.col("lang").isNotNull())
         .select("lang", _words_col())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     class_counts = {
         r["lang"]: int(r["nc"])

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -15,11 +16,58 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# ---------------------------------------------------------------------------
+# Query-scoped scratch cache. Some queries persist() a heavyweight
+# intermediate (e.g. the quantized embedding corpus feeding k-means) that
+# the RETURNED plan still reads, so the query function cannot unpersist it
+# itself — the caller runs the action. Instead the function registers the
+# frame via scratch(), and the NEXT top-level registered query drains all
+# leftovers before building. A session running the full oracle gate (or a
+# bench loop) therefore holds at most one query's scratch at a time instead
+# of accumulating cached blocks for the whole run. Draining is always
+# correctness-safe: unpersist only drops cached blocks, the plan recomputes
+# from source if someone re-collects an old frame.
+# ---------------------------------------------------------------------------
+_SCRATCH: list[DataFrame] = []
+_DEPTH = 0  # registered queries compose (release, mixture_realize -> weights):
+# only the OUTERMOST call drains, so a nested call can't evict scratch its
+# caller just persisted.
+
+
+def scratch(df: DataFrame) -> DataFrame:
+    """Mark a persisted frame as scoped to the current query run."""
+    _SCRATCH.append(df)
+    return df
+
+
+def drain_scratch() -> int:
+    """Unpersist every leftover scratch frame from previous query runs."""
+    n = 0
+    while _SCRATCH:
+        df = _SCRATCH.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass  # session torn down, already unpersisted, ...
+    return n
+
 
 def register(name: str, oracle: Optional[str] = None, doc: str = ""):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
-        return fn
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir, *args, **kwargs):
+            global _DEPTH
+            if _DEPTH == 0:
+                drain_scratch()
+            _DEPTH += 1
+            try:
+                return fn(spark, sf_dir, *args, **kwargs)
+            finally:
+                _DEPTH -= 1
+
+        QUERIES[name] = QuerySpec(fn=wrapped, oracle=oracle, doc=doc)
+        return wrapped
 
     return deco
 

@@ -255,21 +255,31 @@ def window_moving_avg(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # A6: groupBy-collect collate (curator blocks/simplestrat.py:141-145).
-# Deterministic ordering: sort the collected list on both sides.
+# Deterministic ordering: sort the collected list on both sides. The list
+# is CAPPED at COLLATE_CAP items (the N smallest values — deterministic
+# truncation, mirrored in the oracle) so one hot key cannot hand the
+# reducer an unbounded array; ``n`` still reports the TRUE group size, so
+# truncation is observable (n > COLLATE_CAP), never silent. For keys hot
+# enough that even the agg buffer matters, pre-truncate with
+# dedup.cap_bucket_width before collating.
 # ---------------------------------------------------------------------------
-_Q_COLLATE_ORACLE = """
+COLLATE_CAP = 100
+
+_Q_COLLATE_ORACLE = f"""
 SELECT user_id,
-       string_agg(event_type, '|' ORDER BY event_type) AS types,
+       array_to_string(list_slice(list_sort(list(event_type)), 1, {COLLATE_CAP}), '|') AS types,
        count(*) AS n
 FROM events GROUP BY user_id
 """
 
 
-@register("groupby_collect", _Q_COLLATE_ORACLE, "SURVEY §2.9: collate UDAF as collect+sort")
+@register("groupby_collect", _Q_COLLATE_ORACLE, "SURVEY §2.9: collate UDAF as collect+sort (capped)")
 def groupby_collect(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.array_join(F.sort_array(F.collect_list("event_type")), "|").alias("types"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("event_type")), 1, COLLATE_CAP), "|"
+        ).alias("types"),
         F.count(F.lit(1)).alias("n"),
     )
 

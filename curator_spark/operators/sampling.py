@@ -148,12 +148,17 @@ def mixture_weights(spark, sf_dir, target: dict[str, float] | None = None):
 # a pure per-row expression (zero shuffle at 10^12 docs — no rand(), no
 # sort, reproducible across runs/partitionings); the audit is one
 # hash-aggregate plus a broadcast join against the tiny per-language
-# totals. Portability: bucket = first-8-hex-chars of md5(doc_id) mod 100,
-# identical in Spark (conv) and DuckDB ('0x'||...)::BIGINT.
+# totals. Portability: bucket = an 8-hex-char md5(doc_id) slice mod 100,
+# identical in Spark (conv) and DuckDB ('0x'||...)::BIGINT. The split
+# reads hex chars 9-16 while mixture_realize's downsample ppm reads 1-8:
+# DISJOINT windows of the digest, so composing split + downsample stays
+# independent (same reasoning as plans/release.py's _split_col — with a
+# shared window, rate_ppm below ~1e6 would correlate survival with the
+# low split buckets).
 # ---------------------------------------------------------------------------
 _SPLIT_DUCK = """CASE
-  WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-  WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+  WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100 < 80 THEN 'train'
+  WHEN ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100 < 90 THEN 'val'
   ELSE 'test' END"""
 
 _Q_SPLIT_ORACLE = f"""
@@ -179,7 +184,9 @@ def dataset_split(spark, sf_dir):
     from ..functions.hashing import md5_bucket
 
     d = load(spark, sf_dir, "documents")
-    bucket = md5_bucket(F.col("doc_id").cast("string"), 100)
+    # start=9: disjoint from mixture_realize's ppm slice (start=1) — see
+    # the module comment above _SPLIT_DUCK
+    bucket = md5_bucket(F.col("doc_id").cast("string"), 100, start=9)
     assigned = d.select(
         "lang",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),

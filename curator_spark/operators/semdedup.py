@@ -82,13 +82,17 @@ WHERE d.drop_id IS NULL
     "SemDeDup: k-means-clustered embedding dedup, within-cell cosine, keep min id",
 )
 def dedup_semantic(spark, sf_dir, threshold: float = _THRESHOLD):
+    from .registry import scratch
+
     e = load(spark, sf_dir, "embeddings")
-    emb_q = e.select("vec_id", F.expr(_QUANT).alias("xq")).persist()
+    # scratch(): both caches are scoped to this query run — drained when the
+    # next registered query starts (registry.drain_scratch)
+    emb_q = scratch(e.select("vec_id", F.expr(_QUANT).alias("xq")).persist())
     cents = kmeans_centroids(emb_q)
     # persisted: the assignment subtree feeds BOTH pair-join sides AND the
     # final keep — without the persist the broadcast-centroid assignment
     # would execute three times
-    assigned = _assign(emb_q, cents).persist()  # (vec_id, cell, xq)
+    assigned = scratch(_assign(emb_q, cents).persist())  # (vec_id, cell, xq)
     capped = cap_bucket_width(assigned, "cell", "vec_id")
     nz = capped.filter(
         F.expr("aggregate(transform(xq, x -> x * x), cast(0.0 as double), (a, b) -> a + b) > 0")

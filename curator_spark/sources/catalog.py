@@ -2,11 +2,14 @@
 
 ALL of the checkpoint engine's storage IO goes through this interface
 (engine/checkpoint.py takes a ``catalog=`` and never touches os/shutil/
-spark.read directly), so the local sandbox (plain parquet dirs with
-atomic-rename commits) and a real deployment (Iceberg/Delta catalog with
-snapshot commits) differ only in which Catalog is constructed — the same
-single-storage-abstraction role curator's cache dir plays
-(reference: base_request_processor.py:145-198).
+spark.read directly) — the same single-storage-abstraction role curator's
+cache dir plays (reference: base_request_processor.py:145-198). The local
+sandbox uses plain parquet dirs with atomic-rename commits. A real
+Iceberg/Delta deployment swaps the COMMIT SEMANTICS by constructing a
+different Catalog; honest scope note: stage/batch locations are still
+string-addressed (the batch-addressing method group below is the seam a
+table-backed catalog overrides to map ordinals onto table partitions —
+it is a constructor swap plus that location mapping, not magic).
 
 Two method groups:
 
@@ -91,6 +94,41 @@ class Catalog(ABC):
 
     @abstractmethod
     def dir_bytes(self, path: str) -> int: ...
+
+    # -- batch addressing (ResumableStage's commit-granule namespace) -----------
+    # Default implementations express batches as ``batch=<n>`` partition
+    # directories via the path primitives above — correct for any
+    # directory-shaped backend. A TABLE-shaped backend (Iceberg/Delta)
+    # should override this whole group: e.g. batch ordinal -> a partition
+    # value of a results table, list_committed_batches -> snapshot/partition
+    # metadata, read_batches -> a table scan. ResumableStage never
+    # constructs a ``batch=`` path itself, so overriding these three (plus
+    # publish) is sufficient to re-home the commit protocol.
+
+    def batch_path(self, stage_root: str, b: int) -> str:
+        """Addressable location of commit granule ``b`` under a stage."""
+        return os.path.join(stage_root, f"batch={b}")
+
+    def list_committed_batches(self, stage_root: str) -> list[int]:
+        """Ordinals of fully-committed batches (the resume set)."""
+        out = []
+        for d in self.list_dir(stage_root):
+            if d.startswith("batch=") and self.path_exists(
+                os.path.join(stage_root, d, "_SUCCESS")
+            ):
+                out.append(int(d.split("=", 1)[1]))
+        return sorted(out)
+
+    def read_batches(
+        self, spark: SparkSession, stage_root: str, with_origin: bool = False
+    ) -> DataFrame:
+        """All committed batch output under a stage; ``with_origin`` adds
+        the batch ordinal as a ``batch`` column."""
+        return self.read_path(
+            spark,
+            os.path.join(stage_root, "batch=*"),
+            base_path=stage_root if with_origin else None,
+        )
 
 
 class ParquetDirCatalog(Catalog):

@@ -1,0 +1,101 @@
+"""Round-4 hardening seams: quadratic-baseline guards, capped collate
+lists, and the registry's query-scoped scratch cache."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.blocks import collate_by_key
+from curator_spark.operators import registry
+from curator_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_ngram_jaccard,
+    guard_exact_baseline,
+)
+from curator_spark.operators.relational import COLLATE_CAP, groupby_collect
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quadratic_baselines_refuse_large_inputs(spark):
+    """The declared-exact all-pairs baselines must be impossible to point
+    at a real corpus by accident."""
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup_ngram_jaccard(spark, SF, max_rows=1)
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup_embedding_cosine(spark, SF, max_rows=1)
+    # explicit opt-out still runs
+    assert dedup_ngram_jaccard(spark, SF, max_rows=1, unsafe_exact=True).count() >= 0
+
+
+def test_guard_passes_small_inputs(spark):
+    df = spark.range(10)
+    guard_exact_baseline(df, "t", max_rows=100, unsafe_exact=False)  # no raise
+
+
+def test_collate_by_key_caps_hot_key(spark):
+    rows = [("hot", f"v{i:03d}") for i in range(250)] + [("cold", "x")]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r["k"]: r for r in collate_by_key(df, "k", ["v"], max_items=100).collect()}
+    # capped to the 100 smallest values, but n reports the true group size
+    assert len(out["hot"]["v_list"]) == 100
+    assert out["hot"]["v_list"] == sorted(f"v{i:03d}" for i in range(100))
+    assert out["hot"]["n"] == 250
+    assert out["cold"]["v_list"] == ["x"] and out["cold"]["n"] == 1
+    # uncapped (reference-faithful) form still available explicitly
+    full = {r["k"]: r for r in collate_by_key(df, "k", ["v"], max_items=None).collect()}
+    assert len(full["hot"]["v_list"]) == 250
+
+
+def test_groupby_collect_cap_matches_oracle_semantics(spark):
+    """The registered query's cap must equal slice(sort, 1, CAP) of the
+    full list — verified against an in-test uncapped recomputation."""
+    out = groupby_collect(spark, SF).collect()
+    assert out, "no groups"
+    from curator_spark.operators.registry import load
+
+    e = load(spark, SF, "events")
+    full = {
+        r["user_id"]: sorted(r["all"])
+        for r in e.groupBy("user_id").agg(F.collect_list("event_type").alias("all")).collect()
+    }
+    for r in out:
+        want = "|".join(full[r["user_id"]][:COLLATE_CAP])
+        assert r["types"] == want
+        assert r["n"] == len(full[r["user_id"]])
+
+
+def test_registry_scratch_drains_between_queries(spark):
+    """A query's persisted scratch must be released when the NEXT
+    top-level registered query begins — the full oracle gate must not
+    accumulate cached blocks across 83 queries."""
+    registry.drain_scratch()
+    df = spark.range(100).persist()
+    registry.scratch(df)
+    assert df.is_cached
+    # nested registered calls must NOT drain their caller's scratch
+    prev_depth = registry._DEPTH
+    registry._DEPTH = 1
+    try:
+        groupby_collect(spark, SF).count()
+        assert df.is_cached, "nested call drained outer scratch"
+    finally:
+        registry._DEPTH = prev_depth
+    # a fresh top-level query drains leftovers
+    groupby_collect(spark, SF).count()
+    assert not df.is_cached
+    assert registry._SCRATCH == []
+
+
+def test_semdedup_scratch_is_scoped(spark):
+    """dedup_semantic persists two heavyweight frames; they must be
+    registered as scratch and released by the next query."""
+    from curator_spark.operators.semdedup import dedup_semantic
+
+    registry.drain_scratch()
+    dedup_semantic(spark, SF).count()
+    held = list(registry._SCRATCH)
+    assert len(held) == 2 and all(df.is_cached for df in held)
+    groupby_collect(spark, SF).count()
+    assert all(not df.is_cached for df in held)

@@ -123,6 +123,55 @@ def test_fasttext_kenlm_scorer_is_an_honest_gate():
             FastTextKenLMScorer("nonexistent.bin", "nonexistent.klm")
 
 
+def test_ambiguous_loader_identity_is_rejected():
+    """Closures/lambdas without an explicit cache_key share a qualname per
+    factory, so the singleton cache + resume fingerprint would collide
+    across different models — get_scorer must refuse them up front."""
+    import pytest
+
+    from curator_spark.functions.scorers import _loader_key
+
+    with pytest.raises(ValueError, match="closure/lambda"):
+        get_scorer(lambda: TrigramScorer())
+
+    def factory(tag):
+        def _load():
+            return TrigramScorer()
+
+        return _load  # deliberately no qualname/cache_key stamp
+
+    with pytest.raises(ValueError, match="closure/lambda"):
+        _loader_key(factory("a"))
+
+    # an explicit cache_key fixes it, and distinct keys stay distinct
+    a, b = factory("a"), factory("b")
+    a.cache_key, b.cache_key = "model-a", "model-b"
+    assert _loader_key(a) == "model-a" and _loader_key(b) == "model-b"
+    assert get_scorer(a) is get_scorer(a)
+    assert get_scorer(a) is not get_scorer(b)
+
+
+def test_fasttext_loader_key_tracks_model_file_version(tmp_path):
+    """Same path, different file contents => different loader identity
+    (guards in-place model swaps from stale-cache / stale-resume)."""
+    import os as _os
+
+    from curator_spark.functions.scorers import _loader_key, fasttext_kenlm_loader
+
+    ft = tmp_path / "langid.bin"
+    lm = tmp_path / "lm.klm"
+    ft.write_bytes(b"v1")
+    lm.write_bytes(b"lm")
+    k1 = _loader_key(fasttext_kenlm_loader(str(ft), str(lm)))
+    ft.write_bytes(b"v2-longer")
+    _os.utime(ft, ns=(1, 2))  # force a distinct stamp even on coarse clocks
+    k2 = _loader_key(fasttext_kenlm_loader(str(ft), str(lm)))
+    assert k1 != k2
+    # non-existent (executor-only SparkFiles) paths still key by path
+    k3 = _loader_key(fasttext_kenlm_loader("shipped.bin", "shipped.klm"))
+    assert "shipped.bin" in k3
+
+
 def test_runner_scorer_is_fingerprinted(spark, corpus_df, tmp_path):
     """Changing the scorer must invalidate (re-fingerprint) the filter
     stage — same rules + different model is a different computation."""
