@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "dedup_substring_remove",
     "mixture_realize",
     "winnowing_fingerprints",
+    # round-4 operators
+    "embed_documents",
+    "ann_over_generated",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -1,0 +1,172 @@
+"""Pluggable embedding models for the embedding-generation stage.
+
+Same executor-lifecycle contract as functions.scorers: stages receive a
+zero-arg serializable ``loader``, resolve it per worker through a
+singleton cache, and batch-embed Arrow slices — curator's offline
+bulk-inference pattern (reference:
+vllm_offline_request_processor.py:41-53,167-226 — load model once per
+worker, infer a whole batch).
+
+* :class:`FeatureHashEmbedder` — the default: deterministic md5-bucket
+  token counts, L2-normalized and quantized to a 1e6 integer grid. This is
+  bit-identical to the pure-SQL expression path in operators.embedding
+  (parity-tested), so swapping between the SQL plan and this Arrow path
+  never changes results.
+* :class:`SentenceTransformerEmbedder` — the production swap: a real
+  sentence-transformers model resolved via SparkFiles/model-name. Raises a
+  clear ImportError where the library isn't installed (not in this
+  container — the plumbing is real, the import is the only gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from .scorers import _loader_key
+
+Loader = Callable[[], "Embedder"]
+
+
+class Embedder:
+    """embed(texts) -> np.ndarray[int64] of shape (len(texts), dim):
+    quantized unit vectors (1e6 grid), aligned to ``texts`` order."""
+
+    dim: int = 64
+
+    def embed(self, texts: pd.Series) -> np.ndarray:
+        raise NotImplementedError
+
+
+class FeatureHashEmbedder(Embedder):
+    """Deterministic feature-hash embedding of whitespace-token streams.
+
+    bucket(w) = int(md5(w)[:8], 16) % dim; counts L2-normalized then
+    floor(1e6 * c / ||c||). A zero-token text embeds to the zero vector
+    (callers filter on l2 > 0 exactly like the SQL path's l2q > 0)."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+        self._cache: dict[str, int] = {}
+
+    def _bucket(self, w: str) -> int:
+        b = self._cache.get(w)
+        if b is None:
+            b = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16) % self.dim
+            if len(self._cache) < 1_000_000:
+                self._cache[w] = b
+        return b
+
+    def embed(self, texts: pd.Series) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            counts = np.zeros(self.dim, dtype=np.int64)
+            # tokenization mirrors the SQL path bit-for-bit:
+            # split('[ \t\n]+'), drop empties — NOT str.split(), whose
+            # any-whitespace rule (\r, \x0b, ...) would diverge
+            for w in re.split("[ \t\n]+", t):
+                if w:
+                    counts[self._bucket(w)] += 1
+            l2 = float(np.sum(counts * counts))
+            if l2 > 0:
+                out[i] = np.floor(1_000_000 * counts / np.sqrt(l2)).astype(np.int64)
+        return out
+
+
+class SentenceTransformerEmbedder(Embedder):
+    """Real model: sentence-transformers encode() per Arrow batch.
+    Returns float vectors quantized to the same 1e6 integer grid so
+    downstream integer-exact ANN operators work unchanged."""
+
+    def __init__(self, model_name_or_path: str, dim: int = 384):
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+        except ImportError as e:  # pragma: no cover - lib absent in container
+            raise ImportError(
+                "SentenceTransformerEmbedder needs the 'sentence-transformers' "
+                "package on every executor (pip install sentence-transformers); "
+                "the default FeatureHashEmbedder runs without it"
+            ) from e
+        from .scorers import _resolve_model_file
+
+        try:
+            path = _resolve_model_file(model_name_or_path)
+        except FileNotFoundError:
+            path = model_name_or_path  # a hub model name, not a file
+        self._model = SentenceTransformer(path)
+        self.dim = dim
+
+    def embed(self, texts: pd.Series) -> np.ndarray:  # pragma: no cover
+        vecs = self._model.encode(
+            texts.fillna("").tolist(), normalize_embeddings=True
+        )
+        return np.floor(1_000_000 * np.asarray(vecs, dtype=np.float64)).astype(
+            np.int64
+        )
+
+
+def default_embedder_loader() -> Embedder:
+    return FeatureHashEmbedder()
+
+
+def sentence_transformer_loader(model_name_or_path: str, dim: int = 384) -> Loader:
+    def load() -> Embedder:
+        return SentenceTransformerEmbedder(model_name_or_path, dim)
+
+    load.cache_key = f"sentence_transformer_loader({model_name_or_path!r},{dim})"
+    load.__qualname__ = load.cache_key
+    return load
+
+
+# per-worker singleton cache (identity rules shared with scorers._loader_key:
+# closures/lambdas without an explicit cache_key are rejected)
+_EMBEDDER_CACHE: dict[str, Embedder] = {}
+
+
+def get_embedder(loader: Loader | None) -> Embedder:
+    loader = loader or default_embedder_loader
+    key = _loader_key(loader)
+    inst = _EMBEDDER_CACHE.get(key)
+    if inst is None:
+        inst = loader()
+        _EMBEDDER_CACHE[key] = inst
+    return inst
+
+
+def embed_chunks_arrow(chunks_df, loader: Loader | None = None):
+    """Arrow-batched embedding of a chunk table (doc_id, chunk_idx, vec_id,
+    chunk_text) -> + vq: array<bigint>. The model path for embedders the
+    SQL expression cannot express (sentence-transformers); with the default
+    FeatureHashEmbedder it is bit-identical to
+    operators.embedding.generated_vectors (parity-tested)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_idx", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("vq", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emb = get_embedder(loader)  # load-once-per-worker
+        for pdf in batches:
+            vecs = emb.embed(pdf["chunk_text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "chunk_idx": pdf["chunk_idx"].astype("int64"),
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "vq": list(vecs),
+                }
+            )
+
+    return chunks_df.select("doc_id", "chunk_idx", "vec_id", "chunk_text").mapInPandas(
+        gen, schema
+    )

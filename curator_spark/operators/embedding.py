@@ -1,0 +1,311 @@
+"""In-engine embedding GENERATION — closes the text -> chunks -> vectors ->
+ANN/SemDeDup loop that previously started from a pre-made embeddings table.
+
+``embed_documents`` maps every document through the overlapping-window
+chunker (relational.chunk_overlap's exact geometry) and embeds each chunk
+with a deterministic FEATURE-HASH embedder: every chunk word lands in one
+of ``DIM`` buckets via an md5 hex slice, bucket counts form the raw vector,
+and the vector is L2-normalized then quantized to integers
+(``floor(1e6 * c / ||c||)``) so the whole thing — chunking, hashing,
+normalization — replays bit-exactly in the DuckDB oracle (the same
+portability trick as nb_classifier's integer-quantized weights).
+``ann_over_generated`` then runs the random-hyperplane LSH top-k
+(similarity.bucket_expr planes) over the GENERATED vectors end-to-end.
+
+A real sentence-transformer model is the same swap point the langid scorer
+uses (functions.embedder.SentenceTransformerEmbedder behind a loader +
+per-worker singleton; the deterministic FeatureHashEmbedder is the default
+and is parity-tested against this SQL expression path). Reference anchor:
+curator's offline bulk-inference map — load model once per worker, embed a
+whole batch (vllm_offline_request_processor.py:41-53,167-226).
+
+Scale shape (10^12 docs): chunking + embedding is ONE zero-shuffle
+whole-stage-codegen'd flatMap (posexplode + per-row expressions — no
+Python, no join); vec_id = doc_id * 1e6 + chunk_idx is a pure expression
+(documented bound: < 1e6 chunks/doc, i.e. docs under ~48M words). The ANN
+stage adds exactly the shuffles its input requires: one window for the
+bucket cap, one bucket join against the tiny broadcast query side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .dedup import _WORDS_SPARK, cap_bucket_width, _let
+from .registry import load, register
+from .relational import CHUNK_S, CHUNK_W
+
+DIM = 64
+_CHUNKS_PER_DOC = 1_000_000  # vec_id radix; >1e6 chunks => doc of ~48M words
+
+# ---------------------------------------------------------------------------
+# Spark side: per-chunk quantized feature-hash vector as ONE expression.
+# _let-bound at each step — Catalyst inlines withColumn aliases into
+# higher-order-function lambdas (see dedup.py's PERF NOTE), which would
+# recompute the md5 bucket of every word once per output dimension.
+# ---------------------------------------------------------------------------
+_BW = f"transform(cw, w2 -> cast(conv(substring(md5(w2), 1, 8), 16, 10) as bigint) % {DIM})"
+_COUNTS = _let(
+    _BW,
+    "bw",
+    f"transform(sequence(0, {DIM - 1}),"
+    f" b -> cast(size(filter(bw, x -> x = cast(b as bigint))) as bigint))",
+)
+# struct(l2q, vq): l2q = sum of squared counts (exact int); vq = counts
+# scaled to unit L2 norm on a 1e6 grid. floor (not round) — floor of the
+# same IEEE double is engine-independent, round's half-way rule is not.
+_GEN_STRUCT = _let(
+    _COUNTS,
+    "cnts",
+    _let(
+        "aggregate(cnts, cast(0 as bigint), (a, c) -> a + c * c)",
+        "l2q",
+        "struct(l2q as l2q,"
+        " transform(cnts, c -> cast(floor(1000000 * c / sqrt(cast(l2q as double)))"
+        " as bigint)) as vq)",
+    ),
+)
+
+
+def generated_vectors(spark, sf_dir):
+    """documents -> (doc_id, chunk_idx, vec_id, n_words_chunk, l2q,
+    vq: array<bigint>) — the in-engine embedding generation pass.
+    Zero shuffle: chunker is a posexplode flatMap, embedder a per-row
+    expression; empty docs produce no chunks (n_chunks = 0)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
+        "n_chunks",
+        F.expr(
+            f"CASE WHEN size(ws) = 0 THEN 0"
+            f" WHEN size(ws) <= {CHUNK_W} THEN 1"
+            f" ELSE 1 + cast(ceil((size(ws) - {CHUNK_W}) * 1.0 / {CHUNK_S}) as bigint) END"
+        ),
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, int(n_chunks) - 1),"
+        f" i -> slice(ws, i * {CHUNK_S} + 1, {CHUNK_W}))"
+    )
+    return (
+        base.filter(F.col("n_chunks") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "cw"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("doc_id") * _CHUNKS_PER_DOC + F.col("chunk_idx"))
+            .cast("long")
+            .alias("vec_id"),
+            F.size("cw").cast("long").alias("n_words_chunk"),
+            F.expr(_GEN_STRUCT).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "vec_id",
+            "n_words_chunk",
+            F.col("g.l2q").alias("l2q"),
+            F.col("g.vq").alias("vq"),
+        )
+    )
+
+
+def chunk_texts(spark, sf_dir):
+    """documents -> (doc_id, chunk_idx, vec_id, chunk_text) with EXACTLY
+    generated_vectors' chunk geometry — the input for the Arrow-batched
+    model path (functions.embedder.embed_chunks_arrow). chunk_text joins
+    the window's words with single spaces, so re-splitting on whitespace
+    recovers the identical token stream."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
+        "n_chunks",
+        F.expr(
+            f"CASE WHEN size(ws) = 0 THEN 0"
+            f" WHEN size(ws) <= {CHUNK_W} THEN 1"
+            f" ELSE 1 + cast(ceil((size(ws) - {CHUNK_W}) * 1.0 / {CHUNK_S}) as bigint) END"
+        ),
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, int(n_chunks) - 1),"
+        f" i -> slice(ws, i * {CHUNK_S} + 1, {CHUNK_W}))"
+    )
+    return (
+        base.filter(F.col("n_chunks") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "cw"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("doc_id") * _CHUNKS_PER_DOC + F.col("chunk_idx"))
+            .cast("long")
+            .alias("vec_id"),
+            F.array_join("cw", " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirror of generated_vectors, as CTEs ending in `gen`.
+# ---------------------------------------------------------------------------
+_GEN_DUCK_CTES = f"""w AS (
+  SELECT doc_id, list_filter(str_split_regex(text, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM documents
+),
+nch AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) = 0 THEN 0
+              WHEN len(ws) <= {CHUNK_W} THEN 1
+              ELSE 1 + cast(ceil((len(ws) - {CHUNK_W}) * 1.0 / {CHUNK_S}) AS BIGINT)
+         END AS n_chunks
+  FROM w
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         ws[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}] AS cw
+  FROM (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM nch)
+),
+feat AS (
+  SELECT doc_id, cast(chunk_idx AS BIGINT) AS chunk_idx,
+         cast(doc_id * {_CHUNKS_PER_DOC} + chunk_idx AS BIGINT) AS vec_id,
+         cast(len(cw) AS BIGINT) AS n_words_chunk,
+         list_transform(range(0, {DIM}),
+           b -> cast(len(list_filter(cw,
+                w2 -> ('0x' || substr(md5(w2), 1, 8))::BIGINT % {DIM} = b)) AS BIGINT)
+         ) AS counts
+  FROM ch
+),
+gen AS (
+  SELECT doc_id, chunk_idx, vec_id, n_words_chunk,
+         cast(list_sum(list_transform(counts, c -> c * c)) AS BIGINT) AS l2q,
+         list_transform(counts, c -> cast(floor(1000000 * c /
+           sqrt(cast(list_sum(list_transform(counts, c2 -> c2 * c2)) AS DOUBLE)))
+           AS BIGINT)) AS vq
+  FROM feat
+)"""
+
+_Q_EMBED_ORACLE = f"""
+WITH {_GEN_DUCK_CTES}
+SELECT doc_id, chunk_idx, vec_id, n_words_chunk, l2q,
+       md5(array_to_string(list_transform(vq, x -> cast(x AS VARCHAR)), ',')) AS emb_md5
+FROM gen
+"""
+
+
+@register(
+    "embed_documents",
+    _Q_EMBED_ORACLE,
+    "in-engine embedding generation: overlap-chunk + feature-hash + L2-normalize (quantized)",
+)
+def embed_documents(spark, sf_dir):
+    g = generated_vectors(spark, sf_dir)
+    return g.select(
+        "doc_id",
+        "chunk_idx",
+        "vec_id",
+        "n_words_chunk",
+        "l2q",
+        F.md5(
+            F.array_join(F.expr("transform(vq, x -> cast(x as string))"), ",")
+        ).alias("emb_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN over the GENERATED vectors: random-hyperplane LSH buckets (the same
+# md5-portable planes as similarity.ann_lsh_topk) + exact cosine re-rank
+# inside buckets. Queries = chunk 0 of the first _N_Q_DOCS documents.
+# Every quantity the ranking depends on is either an exact integer (dot
+# products of quantized vectors, squared norms) or a correctly-rounded
+# IEEE double of exact integers, so the oracle replays the ranks exactly.
+# ---------------------------------------------------------------------------
+_N_PLANES = 6
+_N_Q_DOCS = 5
+_TOP_K = 10
+
+_SIGN_DUCK = (
+    "CASE WHEN (('0x' || substr(md5(cast({p} AS VARCHAR) || ':' || cast({j} AS VARCHAR)), 1, 15))::BIGINT & 1) = 1 "
+    "THEN 1.0 ELSE -1.0 END"
+)
+
+_DOT_Q_DUCK = "list_sum(list_transform(list_zip({a}, {b}), x -> cast(x[1] AS DOUBLE) * cast(x[2] AS DOUBLE)))"
+
+_Q_ANN_GEN_ORACLE = f"""
+WITH {_GEN_DUCK_CTES},
+gnz AS (SELECT vec_id, doc_id, chunk_idx, vq FROM gen WHERE l2q > 0),
+planes AS (
+  SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
+       (SELECT unnest(range(0, {DIM})) AS j) j
+),
+sigs AS (
+  SELECT g.vec_id, pl.p,
+         CASE WHEN sum(cast(g.vq[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM gnz g, planes pl GROUP BY g.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
+),
+withb AS (SELECT g.vec_id, g.doc_id, g.chunk_idx, b.bucket, g.vq
+          FROM buckets b JOIN gnz g USING (vec_id)),
+q AS (SELECT vec_id AS q_id, bucket, vq AS q_vq FROM withb
+      WHERE chunk_idx = 0 AND doc_id < {_N_Q_DOCS}),
+c AS (SELECT vec_id AS c_id, bucket, vq AS c_vq FROM withb
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 50),
+cand AS (
+  SELECT q.q_id, c.c_id,
+         round({_DOT_Q_DUCK.format(a='q.q_vq', b='c.c_vq')} /
+               (sqrt({_DOT_Q_DUCK.format(a='q.q_vq', b='q.q_vq')}) *
+                sqrt({_DOT_Q_DUCK.format(a='c.c_vq', b='c.c_vq')})), 6) AS cos_sim
+  FROM q JOIN c ON q.bucket = c.bucket AND q.q_id != c.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM cand
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_over_generated",
+    _Q_ANN_GEN_ORACLE,
+    "end-to-end: generate embeddings in-engine, then LSH-bucketed cosine top-k over them",
+)
+def ann_over_generated(spark, sf_dir):
+    from .similarity import bucket_expr
+
+    g = generated_vectors(spark, sf_dir).filter(F.col("l2q") > 0)
+    withb = g.withColumn("bucket", F.expr(bucket_expr("vq", _N_PLANES, DIM)))
+    q = withb.filter(
+        (F.col("chunk_idx") == 0) & (F.col("doc_id") < _N_Q_DOCS)
+    ).select(F.col("vec_id").alias("q_id"), "bucket", F.col("vq").alias("q_vq"))
+    c = cap_bucket_width(
+        withb.select("vec_id", "bucket", "vq"), "bucket", "vec_id"
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("vq").alias("c_vq"),
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")),
+    )
+    cos = F.round(
+        F.expr(dot.format(a="q_vq", b="c_vq"))
+        / (
+            F.sqrt(F.expr(dot.format(a="q_vq", b="q_vq")))
+            * F.sqrt(F.expr(dot.format(a="c_vq", b="c_vq")))
+        ),
+        6,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        cand.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

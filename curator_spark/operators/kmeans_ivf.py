@@ -30,7 +30,7 @@ from .registry import load, register
 
 _K = 8
 _ITERS = 4
-_N_PROBE = 3
+_N_PROBE = 4  # recall>=0.95 knob — see similarity.py's _N_PROBE note
 _N_QUERIES = 5
 _TOP_K = 10
 _DIM = 64

@@ -225,7 +225,12 @@ def ann_lsh_topk(spark, sf_dir):
 # centroid table is a broadcast, and a query touches n_probe partitions.
 # ---------------------------------------------------------------------------
 _N_CELLS = 8
-_N_PROBE = 3
+# n_probe=4 (was 3): measured in-engine via ann_recall_report — 3 probes
+# gave recall 0.94 (sf0.01) / 0.98 (sf0.1) vs brute force; 4 probes gives
+# 0.98 / 1.00, clearing the >=0.95 bar. Cost is linear in probes: a query
+# touches n_probe/k of the corpus (4/8 cells here; at scale k is large and
+# n_probe/k stays a small fraction).
+_N_PROBE = 4
 
 _Q_ANN_IVF_ORACLE = f"""
 WITH embnz AS (SELECT vec_id, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),

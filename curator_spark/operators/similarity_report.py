@@ -20,6 +20,7 @@ from .registry import QUERIES, register
 
 _METHODS = [
     "ann_ivf_topk",
+    "ann_ivf_kmeans",
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "ann_lsh_multitable",

@@ -119,3 +119,199 @@ def build_release(
         "datacard": card,
     }
     return released, manifest
+
+
+class ReleaseRun:
+    """The SAME release chain as :func:`build_release`, but with EVERY
+    stage a committed, independently-resumable ``ResumableStage`` — the
+    composed-pipeline analog of plans.runner.QualityFilterRun (reference:
+    curator's stage-level resume, base_request_processor.py:103-143, where
+    each block boundary is a cached dataset).
+
+    Stage layout (commit granule in parens):
+
+      dedup (n_batches, sharded by content digest)
+        -> clonededup (global: the LSH band join pairs files across the
+           whole corpus, so the stage IS the granule)
+        -> decontam (global, only when benchmarks given; its config
+           carries the benchmark set's identity token)
+        -> annotate (n_batches, 1:1 map — full rule/model/scrub
+           annotation of every surviving row, keep column included;
+           the datacard reads this committed table)
+        -> finalize (n_batches — keep-filter + mixture downsample +
+           split assignment, all per-row expressions)
+
+    A SIGKILL between (or inside) any two stages resumes without
+    recomputing committed work: each stage skips its committed batches,
+    and a fully-committed stage is one ``list_committed_batches``
+    metadata probe. Config changes re-run only the stages whose
+    fingerprint they enter (rates_ppm -> finalize only; scrub patterns /
+    scorer -> annotate onward)."""
+
+    def __init__(
+        self,
+        work_dir: str,
+        cfg: RuleConfig = DEFAULT_RULES,
+        rates_ppm: dict[str, int] | None = None,
+        n_batches: int | None = 4,
+        decontaminate: bool = False,
+        benchmarks_token: str = "default",
+        catalog=None,
+        scorer_loader=None,
+    ) -> None:
+        from ..engine.checkpoint import ResumableStage
+        from ..engine.fingerprint import run_fingerprint
+        from ..functions.scorers import _loader_key
+        from ..functions.scrub import SCRUB_PATTERNS
+        from ..operators.dedup import BUCKET_CAP as _CAP
+        from ..operators.repo_ops import _J_MIN_BP
+        from ..sources.catalog import ParquetDirCatalog
+
+        self.work_dir = work_dir
+        self.cfg = cfg
+        self.rates_ppm = dict(rates_ppm or {})
+        self.scorer_loader = scorer_loader
+        self.decontaminate = decontaminate
+        self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
+
+        self.dedup_stage = ResumableStage(
+            "rel-dedup", ["content"], work_dir,
+            config={"method": "exact-sha256-min-key"},
+            n_batches=n_batches, catalog=self.catalog,
+        )
+        self.clone_stage = ResumableStage(
+            "rel-clonededup", KEY_COLS, work_dir,
+            config={"method": "minhash-band-lsh", "j_min_bp": _J_MIN_BP,
+                    "bucket_cap": _CAP, "policy": "drop-later-of-pair"},
+            n_batches=1, catalog=self.catalog,
+        )
+        self.decontam_stage = (
+            ResumableStage(
+                "rel-decontam", KEY_COLS, work_dir,
+                config={"method": "ngram-probe", "bench": benchmarks_token},
+                n_batches=1, catalog=self.catalog,
+            )
+            if decontaminate
+            else None
+        )
+        self.annotate_stage = ResumableStage(
+            "rel-annotate", KEY_COLS, work_dir,
+            config={
+                "rules": cfg.to_dict(),
+                "patterns": SCRUB_PATTERNS,
+                "scorer": _loader_key(scorer_loader) if scorer_loader else "default",
+            },
+            n_batches=n_batches, catalog=self.catalog,
+        )
+        self.finalize_stage = ResumableStage(
+            "rel-finalize", KEY_COLS, work_dir,
+            config={"rates_ppm": self.rates_ppm, "split": "md5[9:16]%100/80/90"},
+            n_batches=n_batches, catalog=self.catalog,
+        )
+        self.stages = [
+            s
+            for s in (
+                self.dedup_stage, self.clone_stage, self.decontam_stage,
+                self.annotate_stage, self.finalize_stage,
+            )
+            if s is not None
+        ]
+        self.run_hash = run_fingerprint(work_dir, [s.fingerprint for s in self.stages])
+        for s in self.stages:
+            s.run_hash = self.run_hash
+
+    # -- stage transforms -----------------------------------------------------
+    def _annotate_transform(self, df: DataFrame) -> DataFrame:
+        return annotate(df, self.cfg, scorer_loader=self.scorer_loader)
+
+    def _finalize_transform(self, df: DataFrame) -> DataFrame:
+        kept = df.filter("keep").select(
+            *KEY_COLS, "lang", "lang_pred",
+            F.col("scrubbed_content").alias("content"), "scrubbed_sha256",
+        )
+        return _mixture_downsample(kept, self.rates_ppm).withColumn(
+            "split", _split_col()
+        )
+
+    # -- orchestration ---------------------------------------------------------
+    def run(
+        self,
+        spark,
+        corpus: DataFrame,
+        benchmarks: DataFrame | None = None,
+        fail_after_batches: int | None = None,
+    ) -> dict:
+        """Execute (or resume) the chain; returns per-stage batches_run.
+        Raises StageInterrupted mid-run under fail injection — call again
+        to resume. ``benchmarks`` is required when the run was constructed
+        with decontaminate=True."""
+        from .runner import QualityFilterRun
+
+        ran = {}
+        r = self.dedup_stage.run(
+            spark, corpus, QualityFilterRun._dedup_transform,
+            fail_after_batches=fail_after_batches,
+        )
+        ran["dedup"] = r.batches_run
+        cur = self.dedup_stage.output(spark)
+
+        r = self.clone_stage.run(
+            spark, cur, _clone_dedup, fail_after_batches=fail_after_batches
+        )
+        ran["clonededup"] = r.batches_run
+        cur = self.clone_stage.output(spark)
+
+        if self.decontam_stage is not None:
+            if benchmarks is None:
+                raise ValueError("decontaminate=True needs a benchmarks frame")
+            from ..operators.decontaminate import decontaminate_against
+
+            r = self.decontam_stage.run(
+                spark, cur,
+                lambda df: decontaminate_against(df, benchmarks, text_col="content"),
+                fail_after_batches=fail_after_batches,
+            )
+            ran["decontam"] = r.batches_run
+            cur = self.decontam_stage.output(spark)
+
+        r = self.annotate_stage.run(
+            spark, cur, self._annotate_transform,
+            fail_after_batches=fail_after_batches,
+        )
+        ran["annotate"] = r.batches_run
+
+        r = self.finalize_stage.run(
+            spark, self.annotate_stage.output(spark), self._finalize_transform,
+            fail_after_batches=fail_after_batches,
+        )
+        ran["finalize"] = r.batches_run
+        return ran
+
+    def output(self, spark) -> DataFrame:
+        """The released corpus (content scrubbed, split assigned)."""
+        return self.finalize_stage.output(spark)
+
+    def manifest(self, spark, corpus: DataFrame) -> dict:
+        """build_release's manifest, derived from the COMMITTED stage
+        tables (cheap scans of materialized parquet, no recomputation)."""
+        n0 = corpus.count()
+        n1 = self.dedup_stage.output(spark).count()
+        n2 = self.clone_stage.output(spark).count()
+        n3 = (
+            self.decontam_stage.output(spark).count()
+            if self.decontam_stage is not None
+            else n2
+        )
+        annotated = self.annotate_stage.output(spark)
+        n4 = annotated.filter("keep").count()
+        n5 = self.output(spark).count()
+        return {
+            "input_files": n0,
+            "removed_exact_dup": n0 - n1,
+            "removed_clone_dup": n1 - n2,
+            "removed_decontaminated": n2 - n3,
+            "removed_quality_filter": n3 - n4,
+            "removed_mixture_downsample": n4 - n5,
+            "released_files": n5,
+            "datacard": build_datacard(annotated),
+        }

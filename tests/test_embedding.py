@@ -1,0 +1,134 @@
+"""In-engine embedding generation: the SQL expression path, the pluggable
+Arrow model path, and the end-to-end ANN query over generated vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.functions.embedder import (
+    FeatureHashEmbedder,
+    SentenceTransformerEmbedder,
+    embed_chunks_arrow,
+    get_embedder,
+)
+from curator_spark.operators.embedding import (
+    DIM,
+    ann_over_generated,
+    chunk_texts,
+    embed_documents,
+    generated_vectors,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_generated_vectors_shape_and_norm(spark):
+    g = generated_vectors(spark, SF)
+    rows = g.collect()
+    assert rows
+    for r in rows[:50]:
+        assert len(r["vq"]) == DIM
+        assert r["l2q"] >= 1  # nonempty chunk => at least one token
+        # quantized unit norm: sum(vq^2) ~ 1e12 (floor costs at most
+        # dim * (2*1e6) of the square sum)
+        s = sum(v * v for v in r["vq"])
+        assert 1e12 * 0.99 <= s <= 1e12 + 1
+        assert r["vec_id"] == r["doc_id"] * 1_000_000 + r["chunk_idx"]
+    # vec_id is unique across the corpus
+    assert g.select("vec_id").distinct().count() == g.count()
+
+
+def test_chunk_geometry_matches_chunk_overlap(spark):
+    """generated_vectors must chunk exactly like the registered
+    chunk_overlap operator (same width/stride/count)."""
+    from curator_spark.operators.relational import chunk_overlap
+
+    a = {
+        (r["doc_id"], r["chunk_idx"]): r["n_words_chunk"]
+        for r in chunk_overlap(spark, SF).collect()
+    }
+    b = {
+        (r["doc_id"], r["chunk_idx"]): r["n_words_chunk"]
+        for r in generated_vectors(spark, SF).collect()
+    }
+    assert a == b
+
+
+def test_arrow_path_matches_sql_path(spark):
+    """FeatureHashEmbedder over mapInPandas == the pure-SQL expression,
+    vector for vector — the model swap can't change results when the
+    model is equivalent."""
+    sql_side = {
+        r["vec_id"]: list(r["vq"]) for r in generated_vectors(spark, SF).collect()
+    }
+    arrow_side = {
+        r["vec_id"]: list(r["vq"])
+        for r in embed_chunks_arrow(chunk_texts(spark, SF)).collect()
+    }
+    assert sql_side == arrow_side
+
+
+def test_embedder_batch_semantics():
+    e = FeatureHashEmbedder(dim=8)
+    import pandas as pd
+
+    vecs = e.embed(pd.Series(["a b a", "", None, "a b a"]))
+    assert vecs.shape == (4, 8)
+    assert (vecs[1] == 0).all() and (vecs[2] == 0).all()  # no tokens -> zero
+    assert (vecs[0] == vecs[3]).all()  # deterministic
+    # norm of a nonzero row is ~1e6
+    n = np.sqrt(float(np.sum(vecs[0].astype(np.float64) ** 2)))
+    assert 1e6 * 0.99 <= n <= 1e6 + 1
+
+
+def test_ann_over_generated_contract(spark):
+    out = ann_over_generated(spark, SF).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r["q_id"] != r["c_id"]
+        assert 1 <= r["rank"] <= 10
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_self_similarity_is_perfect(spark):
+    """A chunk's vector must be closest to itself: cosine(v, v) == 1.
+    Checked via exact integer dot products on two duplicate documents'
+    chunk-0 vectors if any exist, else on one vector with itself."""
+    g = generated_vectors(spark, SF).filter(F.col("chunk_idx") == 0).limit(1).collect()
+    v = np.array(g[0]["vq"], dtype=np.float64)
+    cos = float(v @ v / (np.sqrt(v @ v) * np.sqrt(v @ v)))
+    assert abs(cos - 1.0) < 1e-12
+
+
+def test_sentence_transformer_is_an_honest_gate():
+    try:
+        import sentence_transformers  # type: ignore # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with pytest.raises(ImportError, match="sentence-transformers"):
+            SentenceTransformerEmbedder("any-model")
+
+
+def test_embedder_singleton_cache():
+    a = get_embedder(None)
+    b = get_embedder(None)
+    assert a is b
+    with pytest.raises(ValueError, match="closure/lambda"):
+        get_embedder(lambda: FeatureHashEmbedder())
+
+
+def test_embed_documents_digest_is_stable(spark):
+    r1 = {r["vec_id"]: r["emb_md5"] for r in embed_documents(spark, SF).collect()}
+    r2 = {r["vec_id"]: r["emb_md5"] for r in embed_documents(spark, SF).collect()}
+    assert r1 == r2 and r1

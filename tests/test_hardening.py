@@ -88,6 +88,17 @@ def test_registry_scratch_drains_between_queries(spark):
     assert registry._SCRATCH == []
 
 
+def test_ivf_recall_meets_bar(spark):
+    """The IVF scale paths must hold >= 0.95 recall vs brute force at the
+    gate scale (n_probe=4 was tuned in-engine for exactly this bar)."""
+    from curator_spark.operators.similarity_report import ann_recall_report
+
+    rows = {r["method"]: r["recall_ppm"] for r in
+            ann_recall_report(spark, "/root/testdata/sf0.01").collect()}
+    assert rows["ann_ivf_topk"] >= 950_000, rows
+    assert rows["ann_ivf_kmeans"] >= 950_000, rows
+
+
 def test_semdedup_scratch_is_scoped(spark):
     """dedup_semantic persists two heavyweight frames; they must be
     registered as scratch and released by the next query."""

@@ -1,0 +1,173 @@
+"""Composed online-strategy e2e: SparkCurator.execute_batch against a
+simulated flaky, rate-limited external endpoint, under run_resumable's
+retry budget, killed mid-run and resumed — the reference's online request
+processor story (base_online_request_processor.py:334-453) wired through
+W1 (token-bucket rate limiter) + W2 (retry queue) + the batch state
+machine in one run."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from curator_spark.api import ERROR_COL, SparkCurator, failed_rows, filter_failed
+
+ROWS = 60
+N_BATCHES = 6
+OUTAGE_AFTER = 25  # endpoint dies after this many total requests (run 1)
+
+
+def _make_curator(marker_dir: str):
+    """Endpoint semantics (all deterministic):
+    - every request: throttled through a per-task TokenBucket (fake
+      clock — sleep() advances it, so throttling is exercised without
+      wall-clock flakiness) and recorded as a marker file;
+    - while the 'outage' flag file exists, the endpoint raises once more
+      than OUTAGE_AFTER requests have been issued (kill mid-run);
+    - rows with id % 5 == 0 fail on attempt 0, succeed on retries
+      (transient); rows with id % 29 == 3 always fail (terminal)."""
+
+    class FlakyEndpointCurator(SparkCurator):
+        response_schema = T.StructType([T.StructField("response", T.StringType())])
+
+        def prompt(self, row: dict) -> str:
+            return f"annotate:{row['id']}"
+
+        def parse(self, row: dict, response: str) -> dict:
+            if response.startswith("ERR"):
+                raise ValueError(response)
+            return {"response": response}
+
+        def execute_batch(self, prompts: pd.Series, params: pd.Series) -> pd.Series:
+            import os as _os
+            import uuid as _uuid
+
+            from curator_spark.engine.ratelimit import TokenBucket
+
+            _os.makedirs(marker_dir, exist_ok=True)
+            # deterministic virtual time: each poll-sleep advances the
+            # clock, so the bucket refills on a schedule the test controls
+            clock = {"t": 0.0}
+            throttles = {"n": 0}
+
+            def _sleep(dt):
+                clock["t"] += dt
+                throttles["n"] += 1
+
+            # 60 tokens/min, 20 per request: 3 requests ride the initial
+            # burst, every later one must wait for refill -> throttling is
+            # guaranteed to engage within a batch
+            bucket = TokenBucket(60, clock=lambda: clock["t"])
+            out = []
+            for p in prompts:
+                bucket.throttle(20, poll_sec=1.0, sleep=_sleep)
+                n_before = len(_os.listdir(marker_dir))
+                if (
+                    _os.path.exists(_os.path.join(marker_dir, "..", "outage"))
+                    and n_before >= OUTAGE_AFTER
+                ):
+                    raise RuntimeError("simulated endpoint outage")
+                rid = int(p.split(":", 1)[1])
+                with open(
+                    _os.path.join(
+                        marker_dir, f"req-{rid}-{self.retry_attempt}-{_uuid.uuid4().hex[:8]}"
+                    ),
+                    "w",
+                ) as f:
+                    f.write(p)
+                if rid % 29 == 3:
+                    out.append("ERR:terminal")
+                elif rid % 5 == 0 and self.retry_attempt == 0:
+                    out.append("ERR:transient")
+                else:
+                    out.append(f"ok:{rid}")
+            if throttles["n"] == 0 and len(prompts) > 3:
+                raise AssertionError("rate limiter never engaged")
+            return pd.Series(out, dtype=object)
+
+    return FlakyEndpointCurator()
+
+
+def test_online_flaky_ratelimited_kill_resume(spark, tmp_path):
+    marker_dir = str(tmp_path / "markers")
+    work_dir = str(tmp_path / "work")
+    df = spark.range(ROWS).select(F.col("id").cast("long"))
+    cur = _make_curator(marker_dir)
+
+    # ---- run 1: endpoint dies mid-run after ~OUTAGE_AFTER requests ------
+    open(str(tmp_path / "outage"), "w").write("down")
+    with pytest.raises(Exception, match="outage"):
+        cur.run_resumable(
+            spark, df, ["id"], work_dir, n_batches=N_BATCHES, max_retries=2,
+            input_token="fixed-60-rows",
+        )
+    from curator_spark.engine.checkpoint import ResumableStage
+
+    probe = ResumableStage(
+        f"curator-{cur.fingerprint()}", ["id"], work_dir,
+        config={"fingerprint": cur.fingerprint()}, n_batches=N_BATCHES,
+    )
+    committed_after_crash = probe.committed_batches()
+    assert 0 < len(committed_after_crash) < N_BATCHES, (
+        "the kill must land mid-run: some batches committed, not all"
+    )
+    reqs_run1 = len(os.listdir(marker_dir))
+    assert reqs_run1 >= OUTAGE_AFTER
+
+    # ---- run 2: endpoint restored; resume completes + retries drain -----
+    os.remove(str(tmp_path / "outage"))
+    out = cur.run_resumable(
+        spark, df, ["id"], work_dir, n_batches=N_BATCHES, max_retries=2,
+        input_token="fixed-60-rows",
+    ).localCheckpoint()
+
+    ok = filter_failed(out)
+    errs = failed_rows(out)
+    terminal = {i for i in range(ROWS) if i % 29 == 3}
+    transient = {i for i in range(ROWS) if i % 5 == 0 and i not in terminal}
+
+    # every non-terminal row succeeded exactly once in the final view
+    assert {r["id"] for r in ok.collect()} == set(range(ROWS)) - terminal
+    assert ok.count() == ROWS - len(terminal)
+    # transient failures were healed by the retry queue
+    healed = {r["id"] for r in ok.collect()} & transient
+    assert healed == transient
+    # terminal rows kept exactly one error row each — errors stay data
+    err_rows = errs.collect()
+    assert {r["id"] for r in err_rows} == terminal
+    assert len(err_rows) == len(terminal)
+    assert all("parse" in r[ERROR_COL] for r in err_rows)
+
+    # ---- resume actually skipped committed work -------------------------
+    # marker name: req-<id>-<attempt>-<hex>
+    attempt0 = [m for m in os.listdir(marker_dir) if m.split("-")[2] == "0"]
+    # each of the 60 rows was requested at attempt 0; only the batches the
+    # crash interrupted may repeat (run 2 re-requests just those shards)
+    ids0 = {int(m.split("-")[1]) for m in attempt0}
+    assert ids0 == set(range(ROWS))
+    assert len(attempt0) <= ROWS + (ROWS // N_BATCHES) * (
+        N_BATCHES - len(committed_after_crash)
+    )
+    # and did NOT re-request rows from committed batches beyond attempt 0
+    assert len(attempt0) < 2 * ROWS
+
+    # ---- retries requested only failed keys -----------------------------
+    attempt1 = {
+        int(m.split("-")[1])
+        for m in os.listdir(marker_dir)
+        if m.split("-")[2] == "1"
+    }
+    assert attempt1 == transient | terminal
+
+    # ---- a third call is a pure cache hit: zero new requests ------------
+    n_before = len(os.listdir(marker_dir))
+    again = cur.run_resumable(
+        spark, df, ["id"], work_dir, n_batches=N_BATCHES, max_retries=2,
+        input_token="fixed-60-rows",
+    )
+    assert again.count() == out.count()
+    assert len(os.listdir(marker_dir)) == n_before
