@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     # round-4 operators
     "embed_documents",
     "ann_over_generated",
+    "dedup_semantic_generated",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

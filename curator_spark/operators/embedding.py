@@ -266,6 +266,98 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 """
 
 
+_SEM_THRESHOLD = 0.9
+
+_Q_SEM_GEN_ORACLE = f"""
+WITH {_GEN_DUCK_CTES},
+gnz AS (SELECT vec_id, doc_id, chunk_idx, vq FROM gen WHERE l2q > 0),
+planes AS (
+  SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
+       (SELECT unnest(range(0, {DIM})) AS j) j
+),
+sigs AS (
+  SELECT g.vec_id, pl.p,
+         CASE WHEN sum(cast(g.vq[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM gnz g, planes pl GROUP BY g.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
+),
+withb AS (SELECT g.vec_id, g.doc_id, g.chunk_idx, b.bucket, g.vq
+          FROM buckets b JOIN gnz g USING (vec_id)
+          QUALIFY row_number() OVER (PARTITION BY b.bucket ORDER BY g.vec_id) <= 50),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS drop_id
+  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_DOT_Q_DUCK.format(a='a.vq', b='b.vq')} /
+        (sqrt({_DOT_Q_DUCK.format(a='a.vq', b='a.vq')}) *
+         sqrt({_DOT_Q_DUCK.format(a='b.vq', b='b.vq')})) >= {_SEM_THRESHOLD}
+)
+SELECT g.doc_id, g.chunk_idx, g.vec_id
+FROM gnz g LEFT JOIN dropped d ON g.vec_id = d.drop_id
+WHERE d.drop_id IS NULL
+"""
+
+
+@register(
+    "dedup_semantic_generated",
+    _Q_SEM_GEN_ORACLE,
+    "end-to-end SemDeDup over in-engine-generated vectors: LSH cells, within-cell cosine, keep min id",
+)
+def dedup_semantic_generated(spark, sf_dir, threshold: float = _SEM_THRESHOLD):
+    """text -> chunks -> vectors -> semantic near-dup drop, all in one
+    plan: the generated corpus is bucketed by the portable hyperplane
+    signature (per-row expression), each bucket capped at BUCKET_CAP, the
+    exact quantized cosine runs only inside buckets, and one survivor per
+    near-dup pair is kept (lowest vec_id) via a left-anti join against
+    the small dropped set — the SemDeDup recipe with LSH cells standing
+    in for k-means cells (cells are a locality device; either works, and
+    the hyperplane signature needs no training pass over generated ids)."""
+    from .dedup import cap_bucket_width
+    from .registry import scratch
+    from .similarity import bucket_expr
+
+    g = generated_vectors(spark, sf_dir).filter(F.col("l2q") > 0)
+    # persisted: feeds both pair-join sides; the final keep reads the
+    # UNCAPPED corpus (rows truncated out of a hot bucket are never
+    # dropped — the cap only bounds pair generation, as in dedup_semantic)
+    withb = scratch(
+        cap_bucket_width(
+            g.withColumn("bucket", F.expr(bucket_expr("vq", _N_PLANES, DIM))).select(
+                "vec_id", "doc_id", "chunk_idx", "bucket", "vq"
+            ),
+            "bucket",
+            "vec_id",
+        ).persist()
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    a = withb.select(
+        F.col("vec_id").alias("a_id"), F.col("bucket").alias("a_bucket"), F.col("vq").alias("a_vq")
+    )
+    b = withb.select(
+        F.col("vec_id").alias("drop_id"), F.col("bucket").alias("b_bucket"), F.col("vq").alias("b_vq")
+    )
+    cos = F.expr(dot.format(a="a_vq", b="b_vq")) / (
+        F.sqrt(F.expr(dot.format(a="a_vq", b="a_vq")))
+        * F.sqrt(F.expr(dot.format(a="b_vq", b="b_vq")))
+    )
+    dropped = (
+        a.join(b, (F.col("a_bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("drop_id")))
+        .filter(cos >= threshold)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        g.join(dropped, g.vec_id == dropped.drop_id, "left_anti")
+        .select("doc_id", "chunk_idx", "vec_id")
+    )
+
+
 @register(
     "ann_over_generated",
     _Q_ANN_GEN_ORACLE,

@@ -45,6 +45,10 @@ SENSITIVE = [
     "length_histogram", "dataset_split", "dedup_substring_remove",
     "winnowing_fingerprints", "dedup_recall_report", "ann_recall_report",
     "chunk_overlap",
+    # round-4 additions: in-engine embedding generation + its consumers
+    # (empty/whitespace docs must produce no chunks; zero-token chunks are
+    # impossible by construction; l2q>0 filters guard the cosine paths)
+    "embed_documents", "ann_over_generated", "dedup_semantic_generated",
     # event-time operators over the tie/null/out-of-order events table
     "sessionize", "tumbling_window", "datetime_extract", "distinct_types",
     "asof_join", "set_ops", "json_extract", "validate_json_map",
