@@ -46,8 +46,10 @@ class FeatureHashEmbedder(Embedder):
     """Deterministic feature-hash embedding of whitespace-token streams.
 
     bucket(w) = int(md5(w)[:8], 16) % dim; counts L2-normalized then
-    floor(1e6 * c / ||c||). A zero-token text embeds to the zero vector
-    (callers filter on l2 > 0 exactly like the SQL path's l2q > 0)."""
+    floor(1e6 * c / ||c||). A zero-token text embeds to the zero vector —
+    embed_chunks_arrow emits ``vq_l2`` (sum of squared quantized
+    components, 0 iff no tokens) so callers can filter zero vectors
+    before any cosine division, mirroring the SQL path's l2q > 0."""
 
     def __init__(self, dim: int = 64):
         self.dim = dim
@@ -139,9 +141,11 @@ def get_embedder(loader: Loader | None) -> Embedder:
 
 def embed_chunks_arrow(chunks_df, loader: Loader | None = None):
     """Arrow-batched embedding of a chunk table (doc_id, chunk_idx, vec_id,
-    chunk_text) -> + vq: array<bigint>. The model path for embedders the
+    chunk_text) -> + vq: array<bigint>, vq_l2: bigint (sum of squared
+    quantized components — filter vq_l2 > 0 before cosine math, the Arrow
+    analog of the SQL path's l2q > 0). The model path for embedders the
     SQL expression cannot express (sentence-transformers); with the default
-    FeatureHashEmbedder it is bit-identical to
+    FeatureHashEmbedder the vq column is bit-identical to
     operators.embedding.generated_vectors (parity-tested)."""
     from pyspark.sql import types as T
 
@@ -151,6 +155,7 @@ def embed_chunks_arrow(chunks_df, loader: Loader | None = None):
             T.StructField("chunk_idx", T.LongType()),
             T.StructField("vec_id", T.LongType()),
             T.StructField("vq", T.ArrayType(T.LongType())),
+            T.StructField("vq_l2", T.LongType()),
         ]
     )
 
@@ -164,6 +169,7 @@ def embed_chunks_arrow(chunks_df, loader: Loader | None = None):
                     "chunk_idx": pdf["chunk_idx"].astype("int64"),
                     "vec_id": pdf["vec_id"].astype("int64"),
                     "vq": list(vecs),
+                    "vq_l2": (vecs.astype(np.int64) ** 2).sum(axis=1),
                 }
             )
 

@@ -9,8 +9,10 @@ and the vector is L2-normalized then quantized to integers
 (``floor(1e6 * c / ||c||)``) so the whole thing — chunking, hashing,
 normalization — replays bit-exactly in the DuckDB oracle (the same
 portability trick as nb_classifier's integer-quantized weights).
-``ann_over_generated`` then runs the random-hyperplane LSH top-k
-(similarity.bucket_expr planes) over the GENERATED vectors end-to-end.
+``ann_over_generated`` runs the random-hyperplane LSH top-k
+(similarity.bucket_expr planes) over the GENERATED vectors end-to-end;
+``dedup_semantic_generated`` is the SemDeDup keep view over the same
+vectors.
 
 A real sentence-transformer model is the same swap point the langid scorer
 uses (functions.embedder.SentenceTransformerEmbedder behind a loader +
@@ -21,10 +23,17 @@ whole batch (vllm_offline_request_processor.py:41-53,167-226).
 
 Scale shape (10^12 docs): chunking + embedding is ONE zero-shuffle
 whole-stage-codegen'd flatMap (posexplode + per-row expressions — no
-Python, no join); vec_id = doc_id * 1e6 + chunk_idx is a pure expression
-(documented bound: < 1e6 chunks/doc, i.e. docs under ~48M words). The ANN
-stage adds exactly the shuffles its input requires: one window for the
-bucket cap, one bucket join against the tiny broadcast query side.
+Python, no join); vec_id = doc_id * 1e6 + chunk_idx is a pure expression,
+with the < 1e6 chunks/doc radix bound ENFORCED by a raise_error branch
+(a doc would need ~48M words to trip it — fail loudly, never silently
+collide with the next doc's id space). The ANN stage adds exactly the
+shuffles its input requires: one window for the bucket cap, one bucket
+join against the tiny broadcast query side.
+
+Parity-critical constants (LSH plane signs, dot-product folds, bucket
+cap) are IMPORTED from similarity.py / dedup.py — one definition keeps
+the Spark side, this module's oracles, and the per-method oracles
+bit-aligned.
 """
 
 from __future__ import annotations
@@ -32,9 +41,10 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .dedup import _WORDS_SPARK, cap_bucket_width, _let
-from .registry import load, register
+from .dedup import BUCKET_CAP, _WORDS_SPARK, _let, cap_bucket_width
+from .registry import load, register, scratch
 from .relational import CHUNK_S, CHUNK_W
+from .similarity import _DOT, _DOT_DUCK, _SIGN_DUCK, bucket_expr
 
 DIM = 64
 _CHUNKS_PER_DOC = 1_000_000  # vec_id radix; >1e6 chunks => doc of ~48M words
@@ -67,12 +77,20 @@ _GEN_STRUCT = _let(
     ),
 )
 
+# enforced radix bound: overflow is an ERROR, not a silent id collision
+_VEC_ID = (
+    f"CASE WHEN chunk_idx < {_CHUNKS_PER_DOC}"
+    f" THEN cast(doc_id * {_CHUNKS_PER_DOC} + chunk_idx as bigint)"
+    f" ELSE cast(raise_error('embed: document exceeds {_CHUNKS_PER_DOC}"
+    f" chunks - vec_id radix overflow (doc_id ' || doc_id || ')') as bigint) END"
+)
 
-def generated_vectors(spark, sf_dir):
-    """documents -> (doc_id, chunk_idx, vec_id, n_words_chunk, l2q,
-    vq: array<bigint>) — the in-engine embedding generation pass.
-    Zero shuffle: chunker is a posexplode flatMap, embedder a per-row
-    expression; empty docs produce no chunks (n_chunks = 0)."""
+
+def _chunk_frame(spark, sf_dir):
+    """documents -> (doc_id, chunk_idx, vec_id, cw: array<string>) — THE
+    chunk geometry (chunk_overlap's width/stride), shared by the SQL
+    embedding path and the Arrow model path so the two can never drift.
+    Zero shuffle: one posexplode flatMap over per-row expressions."""
     d = load(spark, sf_dir, "documents")
     base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
         "n_chunks",
@@ -92,9 +110,22 @@ def generated_vectors(spark, sf_dir):
         .select(
             "doc_id",
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            (F.col("doc_id") * _CHUNKS_PER_DOC + F.col("chunk_idx"))
-            .cast("long")
-            .alias("vec_id"),
+            F.expr(_VEC_ID).alias("vec_id"),
+            "cw",
+        )
+    )
+
+
+def generated_vectors(spark, sf_dir):
+    """documents -> (doc_id, chunk_idx, vec_id, n_words_chunk, l2q,
+    vq: array<bigint>) — the in-engine embedding generation pass.
+    Zero shuffle; empty docs produce no chunks (n_chunks = 0)."""
+    return (
+        _chunk_frame(spark, sf_dir)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "vec_id",
             F.size("cw").cast("long").alias("n_words_chunk"),
             F.expr(_GEN_STRUCT).alias("g"),
         )
@@ -111,34 +142,12 @@ def generated_vectors(spark, sf_dir):
 
 def chunk_texts(spark, sf_dir):
     """documents -> (doc_id, chunk_idx, vec_id, chunk_text) with EXACTLY
-    generated_vectors' chunk geometry — the input for the Arrow-batched
-    model path (functions.embedder.embed_chunks_arrow). chunk_text joins
-    the window's words with single spaces, so re-splitting on whitespace
-    recovers the identical token stream."""
-    d = load(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
-        "n_chunks",
-        F.expr(
-            f"CASE WHEN size(ws) = 0 THEN 0"
-            f" WHEN size(ws) <= {CHUNK_W} THEN 1"
-            f" ELSE 1 + cast(ceil((size(ws) - {CHUNK_W}) * 1.0 / {CHUNK_S}) as bigint) END"
-        ),
-    )
-    chunks = F.expr(
-        f"transform(sequence(0, int(n_chunks) - 1),"
-        f" i -> slice(ws, i * {CHUNK_S} + 1, {CHUNK_W}))"
-    )
-    return (
-        base.filter(F.col("n_chunks") > 0)
-        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "cw"))
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            (F.col("doc_id") * _CHUNKS_PER_DOC + F.col("chunk_idx"))
-            .cast("long")
-            .alias("vec_id"),
-            F.array_join("cw", " ").alias("chunk_text"),
-        )
+    generated_vectors' chunk geometry (same _chunk_frame) — the input for
+    the Arrow-batched model path (functions.embedder.embed_chunks_arrow).
+    chunk_text joins the window's words with single spaces, so
+    re-splitting on whitespace recovers the identical token stream."""
+    return _chunk_frame(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "vec_id", F.array_join("cw", " ").alias("chunk_text")
     )
 
 
@@ -209,26 +218,19 @@ def embed_documents(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# ANN over the GENERATED vectors: random-hyperplane LSH buckets (the same
-# md5-portable planes as similarity.ann_lsh_topk) + exact cosine re-rank
-# inside buckets. Queries = chunk 0 of the first _N_Q_DOCS documents.
+# ANN + SemDeDup over the GENERATED vectors: random-hyperplane LSH buckets
+# (plane signs IMPORTED from similarity.py — one definition for Spark,
+# this oracle, and the per-method oracles) + exact cosine inside buckets.
 # Every quantity the ranking depends on is either an exact integer (dot
 # products of quantized vectors, squared norms) or a correctly-rounded
-# IEEE double of exact integers, so the oracle replays the ranks exactly.
+# IEEE double of exact integers, so the oracles replay the results exactly.
 # ---------------------------------------------------------------------------
 _N_PLANES = 6
 _N_Q_DOCS = 5
 _TOP_K = 10
 
-_SIGN_DUCK = (
-    "CASE WHEN (('0x' || substr(md5(cast({p} AS VARCHAR) || ':' || cast({j} AS VARCHAR)), 1, 15))::BIGINT & 1) = 1 "
-    "THEN 1.0 ELSE -1.0 END"
-)
-
-_DOT_Q_DUCK = "list_sum(list_transform(list_zip({a}, {b}), x -> cast(x[1] AS DOUBLE) * cast(x[2] AS DOUBLE)))"
-
-_Q_ANN_GEN_ORACLE = f"""
-WITH {_GEN_DUCK_CTES},
+# shared CTE block: generated vectors -> nonzero subset -> LSH buckets
+_GEN_LSH_CTES = f"""{_GEN_DUCK_CTES},
 gnz AS (SELECT vec_id, doc_id, chunk_idx, vq FROM gen WHERE l2q > 0),
 planes AS (
   SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
@@ -245,16 +247,19 @@ buckets AS (
   SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
 ),
 withb AS (SELECT g.vec_id, g.doc_id, g.chunk_idx, b.bucket, g.vq
-          FROM buckets b JOIN gnz g USING (vec_id)),
+          FROM buckets b JOIN gnz g USING (vec_id))"""
+
+_Q_ANN_GEN_ORACLE = f"""
+WITH {_GEN_LSH_CTES},
 q AS (SELECT vec_id AS q_id, bucket, vq AS q_vq FROM withb
       WHERE chunk_idx = 0 AND doc_id < {_N_Q_DOCS}),
 c AS (SELECT vec_id AS c_id, bucket, vq AS c_vq FROM withb
-      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= 50),
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {BUCKET_CAP}),
 cand AS (
   SELECT q.q_id, c.c_id,
-         round({_DOT_Q_DUCK.format(a='q.q_vq', b='c.c_vq')} /
-               (sqrt({_DOT_Q_DUCK.format(a='q.q_vq', b='q.q_vq')}) *
-                sqrt({_DOT_Q_DUCK.format(a='c.c_vq', b='c.c_vq')})), 6) AS cos_sim
+         round({_DOT_DUCK.format(a='q.q_vq', b='c.c_vq')} /
+               (sqrt({_DOT_DUCK.format(a='q.q_vq', b='q.q_vq')}) *
+                sqrt({_DOT_DUCK.format(a='c.c_vq', b='c.c_vq')})), 6) AS cos_sim
   FROM q JOIN c ON q.bucket = c.bucket AND q.q_id != c.c_id
 ),
 ranked AS (
@@ -265,40 +270,36 @@ ranked AS (
 SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
 """
 
-
 _SEM_THRESHOLD = 0.9
 
 _Q_SEM_GEN_ORACLE = f"""
-WITH {_GEN_DUCK_CTES},
-gnz AS (SELECT vec_id, doc_id, chunk_idx, vq FROM gen WHERE l2q > 0),
-planes AS (
-  SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
-  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
-       (SELECT unnest(range(0, {DIM})) AS j) j
-),
-sigs AS (
-  SELECT g.vec_id, pl.p,
-         CASE WHEN sum(cast(g.vq[pl.j + 1] AS DOUBLE) * pl.sign) > 0
-              THEN '1' ELSE '0' END AS bit
-  FROM gnz g, planes pl GROUP BY g.vec_id, pl.p
-),
-buckets AS (
-  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY vec_id
-),
-withb AS (SELECT g.vec_id, g.doc_id, g.chunk_idx, b.bucket, g.vq
-          FROM buckets b JOIN gnz g USING (vec_id)
-          QUALIFY row_number() OVER (PARTITION BY b.bucket ORDER BY g.vec_id) <= 50),
+WITH {_GEN_LSH_CTES},
+capped AS (SELECT vec_id, bucket, vq FROM withb
+           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {BUCKET_CAP}),
 dropped AS (
   SELECT DISTINCT b.vec_id AS drop_id
-  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE {_DOT_Q_DUCK.format(a='a.vq', b='b.vq')} /
-        (sqrt({_DOT_Q_DUCK.format(a='a.vq', b='a.vq')}) *
-         sqrt({_DOT_Q_DUCK.format(a='b.vq', b='b.vq')})) >= {_SEM_THRESHOLD}
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_DOT_DUCK.format(a='a.vq', b='b.vq')} /
+        (sqrt({_DOT_DUCK.format(a='a.vq', b='a.vq')}) *
+         sqrt({_DOT_DUCK.format(a='b.vq', b='b.vq')})) >= {_SEM_THRESHOLD}
 )
 SELECT g.doc_id, g.chunk_idx, g.vec_id
 FROM gnz g LEFT JOIN dropped d ON g.vec_id = d.drop_id
 WHERE d.drop_id IS NULL
 """
+
+
+def _bucketed_generated(spark, sf_dir):
+    """Generated nonzero vectors + LSH bucket, persisted as query-scoped
+    scratch: ann/semdedup read this frame from 2-3 subtrees (query side,
+    candidate side, keep side) — one generation pass instead of one per
+    subtree (the chunk+embed expression is the expensive part)."""
+    g = generated_vectors(spark, sf_dir).filter(F.col("l2q") > 0)
+    return scratch(
+        g.withColumn("bucket", F.expr(bucket_expr("vq", _N_PLANES, DIM)))
+        .select("vec_id", "doc_id", "chunk_idx", "bucket", "vq")
+        .persist()
+    )
 
 
 @register(
@@ -314,37 +315,21 @@ def dedup_semantic_generated(spark, sf_dir, threshold: float = _SEM_THRESHOLD):
     near-dup pair is kept (lowest vec_id) via a left-anti join against
     the small dropped set — the SemDeDup recipe with LSH cells standing
     in for k-means cells (cells are a locality device; either works, and
-    the hyperplane signature needs no training pass over generated ids)."""
-    from .dedup import cap_bucket_width
-    from .registry import scratch
-    from .similarity import bucket_expr
-
-    g = generated_vectors(spark, sf_dir).filter(F.col("l2q") > 0)
-    # persisted: feeds both pair-join sides; the final keep reads the
-    # UNCAPPED corpus (rows truncated out of a hot bucket are never
-    # dropped — the cap only bounds pair generation, as in dedup_semantic)
-    withb = scratch(
-        cap_bucket_width(
-            g.withColumn("bucket", F.expr(bucket_expr("vq", _N_PLANES, DIM))).select(
-                "vec_id", "doc_id", "chunk_idx", "bucket", "vq"
-            ),
-            "bucket",
-            "vec_id",
-        ).persist()
-    )
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    a = withb.select(
+    the hyperplane signature needs no training pass over generated ids).
+    The final keep reads the UNCAPPED corpus: rows truncated out of a hot
+    bucket are never dropped — the cap only bounds pair generation, as in
+    dedup_semantic."""
+    gb = _bucketed_generated(spark, sf_dir)
+    capped = cap_bucket_width(gb, "bucket", "vec_id")
+    a = capped.select(
         F.col("vec_id").alias("a_id"), F.col("bucket").alias("a_bucket"), F.col("vq").alias("a_vq")
     )
-    b = withb.select(
+    b = capped.select(
         F.col("vec_id").alias("drop_id"), F.col("bucket").alias("b_bucket"), F.col("vq").alias("b_vq")
     )
-    cos = F.expr(dot.format(a="a_vq", b="b_vq")) / (
-        F.sqrt(F.expr(dot.format(a="a_vq", b="a_vq")))
-        * F.sqrt(F.expr(dot.format(a="b_vq", b="b_vq")))
+    cos = F.expr(_DOT.format(a="a_vq", b="b_vq")) / (
+        F.sqrt(F.expr(_DOT.format(a="a_vq", b="a_vq")))
+        * F.sqrt(F.expr(_DOT.format(a="b_vq", b="b_vq")))
     )
     dropped = (
         a.join(b, (F.col("a_bucket") == F.col("b_bucket")) & (F.col("a_id") < F.col("drop_id")))
@@ -353,7 +338,7 @@ def dedup_semantic_generated(spark, sf_dir, threshold: float = _SEM_THRESHOLD):
         .distinct()
     )
     return (
-        g.join(dropped, g.vec_id == dropped.drop_id, "left_anti")
+        gb.join(dropped, gb.vec_id == dropped.drop_id, "left_anti")
         .select("doc_id", "chunk_idx", "vec_id")
     )
 
@@ -364,33 +349,26 @@ def dedup_semantic_generated(spark, sf_dir, threshold: float = _SEM_THRESHOLD):
     "end-to-end: generate embeddings in-engine, then LSH-bucketed cosine top-k over them",
 )
 def ann_over_generated(spark, sf_dir):
-    from .similarity import bucket_expr
-
-    g = generated_vectors(spark, sf_dir).filter(F.col("l2q") > 0)
-    withb = g.withColumn("bucket", F.expr(bucket_expr("vq", _N_PLANES, DIM)))
-    q = withb.filter(
+    gb = _bucketed_generated(spark, sf_dir)
+    q = gb.filter(
         (F.col("chunk_idx") == 0) & (F.col("doc_id") < _N_Q_DOCS)
     ).select(F.col("vec_id").alias("q_id"), "bucket", F.col("vq").alias("q_vq"))
     c = cap_bucket_width(
-        withb.select("vec_id", "bucket", "vq"), "bucket", "vec_id"
+        gb.select("vec_id", "bucket", "vq"), "bucket", "vec_id"
     ).select(
         F.col("vec_id").alias("c_id"),
         F.col("bucket").alias("c_bucket"),
         F.col("vq").alias("c_vq"),
-    )
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
     )
     cand = c.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")),
     )
     cos = F.round(
-        F.expr(dot.format(a="q_vq", b="c_vq"))
+        F.expr(_DOT.format(a="q_vq", b="c_vq"))
         / (
-            F.sqrt(F.expr(dot.format(a="q_vq", b="q_vq")))
-            * F.sqrt(F.expr(dot.format(a="c_vq", b="c_vq")))
+            F.sqrt(F.expr(_DOT.format(a="q_vq", b="q_vq")))
+            * F.sqrt(F.expr(_DOT.format(a="c_vq", b="c_vq")))
         ),
         6,
     )

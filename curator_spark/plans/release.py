@@ -155,10 +155,16 @@ class ReleaseRun:
         rates_ppm: dict[str, int] | None = None,
         n_batches: int | None = 4,
         decontaminate: bool = False,
-        benchmarks_token: str = "default",
+        benchmarks_token: str | None = None,
         catalog=None,
         scorer_loader=None,
     ) -> None:
+        """``benchmarks_token``: optional explicit version label for the
+        benchmark set. When omitted, run() derives an identity from the
+        benchmarks frame's CONTENT (count + content-hash sum — a bounded
+        action on the small side) and mixes it into the decontam stage's
+        input token, so swapping benchmark sets invalidates the committed
+        decontam output instead of silently reusing it."""
         from ..engine.checkpoint import ResumableStage
         from ..engine.fingerprint import run_fingerprint
         from ..functions.scorers import _loader_key
@@ -185,10 +191,16 @@ class ReleaseRun:
                     "bucket_cap": _CAP, "policy": "drop-later-of-pair"},
             n_batches=1, catalog=self.catalog,
         )
+        self._bench_token = benchmarks_token
         self.decontam_stage = (
             ResumableStage(
                 "rel-decontam", KEY_COLS, work_dir,
-                config={"method": "ngram-probe", "bench": benchmarks_token},
+                # the benchmark-set identity rides the stage's INPUT token
+                # (resolved at run(), where the frame exists) rather than
+                # the config fingerprint, so a benchmark swap invalidates
+                # committed batches in-place instead of forking a new
+                # stage dir that leaks the old one
+                config={"method": "ngram-probe"},
                 n_batches=1, catalog=self.catalog,
             )
             if decontaminate
@@ -264,12 +276,27 @@ class ReleaseRun:
         if self.decontam_stage is not None:
             if benchmarks is None:
                 raise ValueError("decontaminate=True needs a benchmarks frame")
+            from ..engine.fingerprint import input_identity
             from ..operators.decontaminate import decontaminate_against
 
+            if self._bench_token is not None:
+                bench_id = self._bench_token
+            else:
+                # content-derived identity: one bounded aggregate on the
+                # (small) benchmark side — different benchmarks can never
+                # silently reuse a stale committed decontam table
+                # bit_xor: order-independent combine with no ANSI
+                # long-overflow hazard (sum of 64-bit hashes overflows)
+                row = benchmarks.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(content))").alias("h"),
+                ).collect()[0]
+                bench_id = f"n={row['n']},h={row['h']}"
             r = self.decontam_stage.run(
                 spark, cur,
                 lambda df: decontaminate_against(df, benchmarks, text_col="content"),
                 fail_after_batches=fail_after_batches,
+                input_token=f"{input_identity(cur)}|bench:{bench_id}",
             )
             ran["decontam"] = r.batches_run
             cur = self.decontam_stage.output(spark)

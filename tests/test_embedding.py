@@ -59,15 +59,16 @@ def test_chunk_geometry_matches_chunk_overlap(spark):
 def test_arrow_path_matches_sql_path(spark):
     """FeatureHashEmbedder over mapInPandas == the pure-SQL expression,
     vector for vector — the model swap can't change results when the
-    model is equivalent."""
+    model is equivalent. vq_l2 (the Arrow path's zero-vector filter
+    column) must equal sum(vq^2)."""
     sql_side = {
         r["vec_id"]: list(r["vq"]) for r in generated_vectors(spark, SF).collect()
     }
-    arrow_side = {
-        r["vec_id"]: list(r["vq"])
-        for r in embed_chunks_arrow(chunk_texts(spark, SF)).collect()
-    }
+    arrow_rows = embed_chunks_arrow(chunk_texts(spark, SF)).collect()
+    arrow_side = {r["vec_id"]: list(r["vq"]) for r in arrow_rows}
     assert sql_side == arrow_side
+    for r in arrow_rows[:100]:
+        assert r["vq_l2"] == sum(v * v for v in r["vq"])
 
 
 def test_embedder_batch_semantics():
@@ -142,6 +143,21 @@ def test_semantic_dedup_over_generated(spark):
     assert multi == 0, "identical in-cap vectors survived semantic dedup together"
     # and the dedup is not vacuous: something was dropped
     assert n_kept < n_gen
+
+
+def test_vec_id_radix_overflow_is_an_error(spark):
+    """A document with >= 1e6 chunks must fail LOUDLY (raise_error in the
+    vec_id expression), never silently collide with the next doc's id
+    space."""
+    from curator_spark.operators.embedding import _VEC_ID
+
+    df = spark.createDataFrame(
+        [(7, 999_999), (7, 1_000_000)], ["doc_id", "chunk_idx"]
+    )
+    ok = df.filter(F.col("chunk_idx") < 1_000_000).select(F.expr(_VEC_ID).alias("v"))
+    assert ok.collect()[0]["v"] == 7 * 1_000_000 + 999_999
+    with pytest.raises(Exception, match="radix overflow"):
+        df.select(F.expr(_VEC_ID).alias("v")).collect()
 
 
 def test_sentence_transformer_is_an_honest_gate():

@@ -105,6 +105,32 @@ def test_release_run_rates_change_reruns_only_finalize(spark, tmp_path):
     assert b.output(spark).count() < a.output(spark).count()
 
 
+def test_release_run_benchmark_swap_invalidates_decontam(spark, tmp_path):
+    """The decontam stage's identity must track the benchmark CONTENT:
+    same benchmarks => cache hit; swapped benchmarks => re-run (never a
+    silent reuse of output decontaminated against the old set)."""
+    corpus = _corpus(spark, tmp_path)
+    b1 = generate_spark(spark, 20, seed=7, partitions=2).select("content")
+    b2 = generate_spark(spark, 25, seed=9, partitions=2).select("content")
+    wd = str(tmp_path / "w")
+
+    ran1 = ReleaseRun(wd, n_batches=2, decontaminate=True).run(
+        spark, corpus, benchmarks=b1
+    )
+    assert ran1["decontam"] == [0]
+    # identical benchmarks: decontam (and everything downstream) skips
+    ran2 = ReleaseRun(wd, n_batches=2, decontaminate=True).run(
+        spark, corpus, benchmarks=b1
+    )
+    assert ran2["decontam"] == []
+    # swapped benchmarks: decontam re-runs and matches a fresh build
+    run3 = ReleaseRun(wd, n_batches=2, decontaminate=True)
+    ran3 = run3.run(spark, corpus, benchmarks=b2)
+    assert ran3["decontam"] == [0]
+    released, _ = build_release(corpus, benchmarks=b2)
+    assert _released_set(run3.output(spark)) == _released_set(released)
+
+
 def test_release_run_decontaminate_stage(spark, tmp_path):
     corpus = _corpus(spark, tmp_path)
     bench = generate_spark(spark, 20, seed=7, partitions=2).select("content")
