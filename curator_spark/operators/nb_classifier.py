@@ -19,9 +19,17 @@ Scale shape (10^12 files):
   top-``VOCAB_CAP`` vocabulary (df DESC, term ASC — TakeOrdered, no full
   sort), collected BOUNDED at VOCAB_CAP rows + a 7-row prior table. The
   collect is the model-broadcast pattern, same as kmeans_ivf's centroids.
-* inference: model = literal ``map<term, array<7 x bigint>>``; scoring is
-  a zero-shuffle per-row fold ``zip_with`` accumulate + argmax — no join,
-  no Python, map-only (plan-test enforced).
+* inference: the trained 400-row weight table is BROADCAST and probed by
+  a hash join on the exploded distinct word stream, then per-class sums
+  re-aggregate by document (map-side combine; K <= MAX_CLASSES sum
+  columns) and a left join restores zero-evidence docs (bare priors).
+  No Python anywhere (plan-test enforced). A literal
+  ``map<term, array>`` zero-shuffle variant was tried first and REJECTED
+  by measurement: Catalyst evaluates the 400-entry CreateMap lookup as an
+  interpreted linear scan per probed word (the expression is too large
+  for codegen), costing ~6s on 2,000 docs where the broadcast hash join
+  runs in 0.1s with bit-identical predictions — the same measured-or-die
+  class as the JVM-regex-vs-pandas and GetMapValue findings in BENCH.md.
 
 Cross-engine exactness: every count is an integer; per-class weights are
 ``round(1e6 * ln((docs_with_term_in_class + 1) / (N_class + 2)))`` — the
@@ -188,40 +196,39 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     "train multiclass NB language-ID in-engine on noisy labels, broadcast model, re-predict all files",
 )
 def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
-    corpus = _corpus(spark).localCheckpoint(eager=False)
+    corpus = _corpus(spark)  # already an eager checkpoint (cached fixture)
     labeled = corpus.select(F.col("commit").alias("fid"), "lang", _words_col())
     model = train_nb_langid(spark, corpus, vocab_cap)
     priors = model["priors"]
+    k = len(model["langs"])
 
-    # ---- inference: literal map<term, array<long>>; zero-shuffle fold ----
-    map_items = []
-    for term, ws in model["weights"].items():
-        map_items.append(F.lit(term))
-        map_items.append(F.array(*[F.lit(w).cast("long") for w in ws]))
-    wmap = F.create_map(*map_items)
-    zeros = F.array(*[F.lit(0).cast("long") for _ in model["langs"]])
-    prior_arr = F.array(*[F.lit(p).cast("long") for p in priors])
-    vocab_terms = F.array(*[F.lit(t) for t in model["weights"]])
-    # GetMapValue on a literal CreateMap is a LINEAR scan of all vocab_cap
-    # entries per lookup — folding over every word would cost
-    # O(words * vocab). array_intersect hash-probes first, so the linear
-    # map scan only runs for the handful of words actually in the
-    # vocabulary. try_element_at: ANSI mode (Spark 4 default) raises on
-    # missing map keys.
-    scores = F.aggregate(
-        F.array_intersect("words", vocab_terms),
-        prior_arr,
-        lambda acc, w: F.zip_with(
-            acc,
-            F.coalesce(F.try_element_at(wmap, w), zeros),
-            lambda a, b: a + b,
-        ),
+    # ---- inference: broadcast weight table + per-doc re-aggregate ----
+    # (see module docstring for why this beat the literal-map fold 60x)
+    wdf = spark.createDataFrame(
+        [(t, ws) for t, ws in model["weights"].items()],
+        "term string, w array<bigint>",
+    )
+    toks = labeled.select("fid", F.explode("words").alias("term"))
+    contrib = toks.join(F.broadcast(wdf), "term")  # inner: vocab hits only
+    sums = contrib.groupBy("fid").agg(
+        *[
+            F.sum(F.element_at("w", i + 1)).cast("long").alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
+    # left join restores docs with ZERO vocab evidence (score = priors)
+    scores = F.array(
+        *[
+            F.coalesce(F.col(f"s{i}"), F.lit(0).cast("long"))
+            + F.lit(int(priors[i])).cast("long")
+            for i in range(k)
+        ]
     )
     langs_arr = F.array(*[F.lit(c) for c in model["langs"]])
-    scored = labeled.select(
-        "fid",
-        F.col("lang").alias("claimed_lang"),
-        scores.alias("scores"),
+    scored = (
+        labeled.select("fid", F.col("lang").alias("claimed_lang"))
+        .join(sums, "fid", "left")
+        .select("fid", "claimed_lang", scores.alias("scores"))
     )
     best = F.array_max("scores")
     idx = F.array_position("scores", best)  # 1-based, FIRST max -> alphabetical tie-break

@@ -62,8 +62,27 @@ _RAW = os.path.join(
 _CORPUS_DUCK = f"read_parquet('{_RAW}')"
 
 
+_CORPUS_CACHE: dict[str, object] = {}
+
+
 def _corpus(spark):
-    return generate_spark(spark, _N_ROWS, seed=42, partitions=8)
+    """The deterministic seed=42 fixture corpus, MATERIALIZED once per
+    Spark application: ten repo-level queries consume this identical
+    frame, and the python-side text synthesis (~5s) dominated each of
+    their gate runs when regenerated per query. An eager localCheckpoint
+    keyed by applicationId makes every query after the first read cached
+    blocks (2,000 rows — negligible memory; NOT registry scratch, the
+    fixture is meant to outlive a single query)."""
+    app = spark.sparkContext.applicationId
+    df = _CORPUS_CACHE.get(app)
+    if df is None:
+        if len(_CORPUS_CACHE) > 4:  # stale sessions in long-lived processes
+            _CORPUS_CACHE.clear()
+        df = generate_spark(spark, _N_ROWS, seed=42, partitions=8).localCheckpoint(
+            eager=True
+        )
+        _CORPUS_CACHE[app] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
