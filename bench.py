@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "embed_documents",
     "ann_over_generated",
     "dedup_semantic_generated",
+    "embed_docs_pooled",
+    "ann_docs_pooled",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -289,6 +289,147 @@ WHERE d.drop_id IS NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Document-level pooling: one vector per DOCUMENT = the (re-normalized)
+# sum of its chunk vectors — the standard chunk->doc pooling step of a
+# retrieval pipeline (mean pooling up to the scale factor, which the
+# re-normalization cancels). Exactness: chunk vq are exact ints, the
+# per-dimension sums are exact ints (posexplode -> groupBy(doc, dim) with
+# map-side combine — the same kmeans-update shape, key space docs x DIM,
+# never a per-doc unbounded list), and the final quantization is the same
+# floor(1e6 * s / ||s||) as the chunk level. Bound note: sum(s*s) stays
+# inside int64 up to ~3,000 chunks/doc (~1.4e5 words); beyond that ANSI
+# mode raises ARITHMETIC_OVERFLOW — loud, never silently wrong.
+# ---------------------------------------------------------------------------
+_Q_POOLED_ORACLE = f"""
+WITH {_GEN_DUCK_CTES},
+pooled AS (
+  SELECT g.doc_id, jj.j, cast(sum(g.vq[jj.j + 1]) AS BIGINT) AS s
+  FROM gen g, (SELECT unnest(range(0, {DIM})) AS j) jj
+  GROUP BY g.doc_id, jj.j
+),
+vecs AS (
+  SELECT doc_id, list(s ORDER BY j) AS pv,
+         cast(sum(s * s) AS BIGINT) AS p_l2
+  FROM pooled GROUP BY doc_id
+),
+quant AS (
+  SELECT doc_id, p_l2,
+         list_transform(pv, s -> cast(floor(1000000 * s / sqrt(cast(p_l2 AS DOUBLE))) AS BIGINT)) AS pq
+  FROM vecs WHERE p_l2 > 0
+)
+SELECT q.doc_id,
+       (SELECT cast(count(*) AS BIGINT) FROM gen g WHERE g.doc_id = q.doc_id) AS n_chunks,
+       p_l2,
+       md5(array_to_string(list_transform(pq, x -> cast(x AS VARCHAR)), ',')) AS doc_emb_md5
+FROM quant q
+"""
+
+
+def pooled_doc_vectors(spark, sf_dir):
+    """(doc_id, n_chunks, p_l2, pq: array<bigint>) — document vectors by
+    sum-pooling chunk vectors and re-quantizing to the 1e6 unit grid."""
+    g = generated_vectors(spark, sf_dir)
+    sums = (
+        g.select("doc_id", F.posexplode("vq").alias("j", "x"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("x").alias("s"))
+    )
+    vecs = sums.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, s))), p -> p.s)").alias("pv"),
+        F.sum(F.expr("s * s")).cast("long").alias("p_l2"),
+    )
+    n_chunks = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    quant = vecs.filter(F.col("p_l2") > 0).withColumn(
+        "pq",
+        F.expr(
+            "transform(pv, s -> cast(floor(1000000 * s / sqrt(cast(p_l2 as double))) as bigint))"
+        ),
+    )
+    return quant.join(n_chunks, "doc_id").select(
+        "doc_id", F.col("n_chunks").cast("long").alias("n_chunks"), "p_l2", "pq"
+    )
+
+
+@register(
+    "embed_docs_pooled",
+    _Q_POOLED_ORACLE,
+    "document-level embeddings: sum-pool chunk vectors, re-normalize, quantize",
+)
+def embed_docs_pooled(spark, sf_dir):
+    p = pooled_doc_vectors(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "n_chunks",
+        "p_l2",
+        F.md5(
+            F.array_join(F.expr("transform(pq, x -> cast(x as string))"), ",")
+        ).alias("doc_emb_md5"),
+    )
+
+
+_Q_ANN_DOCS_ORACLE = f"""
+WITH {_GEN_DUCK_CTES},
+pooled AS (
+  SELECT g.doc_id, jj.j, cast(sum(g.vq[jj.j + 1]) AS BIGINT) AS s
+  FROM gen g, (SELECT unnest(range(0, {DIM})) AS j) jj
+  GROUP BY g.doc_id, jj.j
+),
+vecs AS (
+  SELECT doc_id, list(s ORDER BY j) AS pv, cast(sum(s * s) AS BIGINT) AS p_l2
+  FROM pooled GROUP BY doc_id
+),
+quant AS (
+  SELECT doc_id,
+         list_transform(pv, s -> cast(floor(1000000 * s / sqrt(cast(p_l2 AS DOUBLE))) AS BIGINT)) AS pq
+  FROM vecs WHERE p_l2 > 0
+),
+q AS (SELECT doc_id AS q_id, pq AS q_pq FROM quant WHERE doc_id < {_N_Q_DOCS}),
+scored AS (
+  SELECT q.q_id, c.doc_id AS c_id,
+         round({_DOT_DUCK.format(a='q.q_pq', b='c.pq')} /
+               (sqrt({_DOT_DUCK.format(a='q.q_pq', b='q.q_pq')}) *
+                sqrt({_DOT_DUCK.format(a='c.pq', b='c.pq')})), 6) AS cos_sim
+  FROM q JOIN quant c ON q.q_id != c.doc_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "ann_docs_pooled",
+    _Q_ANN_DOCS_ORACLE,
+    "document-level cosine top-k over pooled in-engine embeddings (broadcast query side)",
+)
+def ann_docs_pooled(spark, sf_dir):
+    p = scratch(pooled_doc_vectors(spark, sf_dir).persist())
+    q = p.filter(F.col("doc_id") < _N_Q_DOCS).select(
+        F.col("doc_id").alias("q_id"), F.col("pq").alias("q_pq")
+    )
+    c = p.select(F.col("doc_id").alias("c_id"), F.col("pq").alias("c_pq"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    cos = F.round(
+        F.expr(_DOT.format(a="q_pq", b="c_pq"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="q_pq", b="q_pq")))
+            * F.sqrt(F.expr(_DOT.format(a="c_pq", b="c_pq")))
+        ),
+        6,
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_id")
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
 def _bucketed_generated(spark, sf_dir):
     """Generated nonzero vectors + LSH bucket, persisted as query-scoped
     scratch: ann/semdedup read this frame from 2-3 subtrees (query side,

@@ -145,6 +145,43 @@ def test_semantic_dedup_over_generated(spark):
     assert n_kept < n_gen
 
 
+def test_pooled_doc_vectors(spark):
+    """Doc-level pooling: one vector per doc; single-chunk docs pool to
+    exactly their chunk vector (sum of one + re-quantize of an
+    already-unit vector is a fixed point up to floor re-quantization of
+    the same integer vector — verify via digest equality)."""
+    from curator_spark.operators.embedding import (
+        ann_docs_pooled,
+        embed_docs_pooled,
+        pooled_doc_vectors,
+    )
+
+    g = generated_vectors(spark, SF)
+    pooled = {r["doc_id"]: r for r in pooled_doc_vectors(spark, SF).collect()}
+    per_doc = {}
+    for r in g.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(pooled) == set(per_doc)
+    for d, chunks in per_doc.items():
+        p = pooled[d]
+        assert p["n_chunks"] == len(chunks)
+        # pooled sums equal element-wise chunk sums, then re-quantized
+        sums = [sum(c["vq"][j] for c in chunks) for j in range(DIM)]
+        assert p["p_l2"] == sum(s * s for s in sums)
+        import math
+
+        norm = math.sqrt(p["p_l2"])
+        want = [math.floor(1_000_000 * s / norm) for s in sums]
+        assert list(p["pq"]) == want
+    # ANN over pooled vectors: sane ranks, no self-match
+    out = ann_docs_pooled(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r["q_id"] != r["c_id"] and 1 <= r["rank"] <= 10
+    # digest query returns one row per doc
+    assert embed_docs_pooled(spark, SF).count() == len(per_doc)
+
+
 def test_vec_id_radix_overflow_is_an_error(spark):
     """A document with >= 1e6 chunks must fail LOUDLY (raise_error in the
     vec_id expression), never silently collide with the next doc's id
