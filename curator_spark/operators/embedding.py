@@ -86,12 +86,14 @@ _VEC_ID = (
 )
 
 
-def _chunk_frame(spark, sf_dir):
-    """documents -> (doc_id, chunk_idx, vec_id, cw: array<string>) — THE
-    chunk geometry (chunk_overlap's width/stride), shared by the SQL
-    embedding path and the Arrow model path so the two can never drift.
+def chunk_frame_of(d, text_col: str = "text"):
+    """Any (doc_id, <text_col>) frame -> (doc_id, chunk_idx, vec_id,
+    cw: array<string>) — THE chunk geometry (chunk_overlap's
+    width/stride), shared by the SQL embedding path, the Arrow model
+    path, and the resumable EmbeddingRun so none can drift.
     Zero shuffle: one posexplode flatMap over per-row expressions."""
-    d = load(spark, sf_dir, "documents")
+    if text_col != "text":
+        d = d.withColumn("text", F.col(text_col))
     base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
         "n_chunks",
         F.expr(
@@ -114,6 +116,10 @@ def _chunk_frame(spark, sf_dir):
             "cw",
         )
     )
+
+
+def _chunk_frame(spark, sf_dir):
+    return chunk_frame_of(load(spark, sf_dir, "documents"))
 
 
 def generated_vectors(spark, sf_dir):

@@ -1,0 +1,95 @@
+"""EmbeddingRun — resumable bulk embedding of a document corpus.
+
+The embedding analog of plans.runner.QualityFilterRun: ONE ResumableStage
+whose transform is chunk (operators.embedding.chunk_frame_of — the exact
+geometry every other embedding path uses) followed by the Arrow-batched
+model map (functions.embedder.embed_chunks_arrow, executor-singleton
+loader — curator's offline bulk-inference pattern,
+vllm_offline_request_processor.py:41-53,167-226, with stage-level resume
+from base_request_processor.py:103-143).
+
+Semantics:
+
+* sharded by doc_id (a document's chunks all land in its commit batch —
+  chunking is per-row, so batches stay independent);
+* the embedder's identity (functions.scorers._loader_key rules: explicit
+  cache_key, or module.qualname for module-level loaders; closures
+  without a key are rejected) is part of the stage fingerprint — swapping
+  models re-embeds, re-running the same model resumes/skips;
+* output table: (doc_id, chunk_idx, vec_id, vq, vq_l2) — the same
+  quantized-vector schema the ANN/SemDeDup operators consume; with the
+  default FeatureHashEmbedder the vq column is bit-identical to the SQL
+  expression path (generated_vectors), which the e2e test asserts per
+  vector.
+
+At 10^12 docs this is the job you actually run: the model map is the cost
+center, so the commit granule bounds recomputation after a kill to one
+batch of documents, and a finished run is a metadata probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine.checkpoint import ResumableStage, StageResult
+from ..functions.embedder import Loader, embed_chunks_arrow
+from ..functions.scorers import _loader_key
+
+
+class EmbeddingRun:
+    def __init__(
+        self,
+        work_dir: str,
+        embedder_loader: Loader | None = None,
+        n_batches: int | None = 8,
+        catalog=None,
+        text_col: str = "text",
+    ) -> None:
+        self.embedder_loader = embedder_loader
+        self.text_col = text_col
+        self.stage = ResumableStage(
+            "embed",
+            ["doc_id"],
+            work_dir,
+            config={
+                "embedder": _loader_key(embedder_loader)
+                if embedder_loader is not None
+                else "default",
+                "text_col": text_col,
+                "geometry": "chunk_overlap-w64-s48-dim64-q1e6",
+            },
+            n_batches=n_batches,
+            catalog=catalog,
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from ..operators.embedding import chunk_frame_of
+
+        chunks = chunk_frame_of(df, text_col=self.text_col).select(
+            "doc_id",
+            "chunk_idx",
+            "vec_id",
+            F.array_join("cw", " ").alias("chunk_text"),
+        )
+        return embed_chunks_arrow(chunks, self.embedder_loader)
+
+    def run(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        fail_after_batches: int | None = None,
+        input_token: str | None = None,
+    ) -> StageResult:
+        return self.stage.run(
+            spark,
+            docs,
+            self._transform,
+            fail_after_batches=fail_after_batches,
+            input_token=input_token,
+        )
+
+    def output(self, spark: SparkSession) -> DataFrame:
+        """The committed vector table (doc_id, chunk_idx, vec_id, vq, vq_l2)."""
+        return self.stage.output(spark)

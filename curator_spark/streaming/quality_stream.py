@@ -63,6 +63,44 @@ def stream_quality_filter(
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def stream_embed_documents(
+    spark: SparkSession,
+    source_dir: str,
+    embedder_loader=None,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Continuous embedding generation: readStream(documents parquet) ->
+    chunk (operators.embedding.chunk_frame_of — the exact batch geometry)
+    -> Arrow-batched model map (functions.embedder) -> streaming vector
+    table (doc_id, chunk_idx, vec_id, vq, vq_l2).
+
+    Same micro-batch = commit-granule semantics as the filter stream; the
+    embedder loads ONCE per worker across all micro-batches (the
+    executor-singleton cache). With the default FeatureHashEmbedder the
+    streamed vectors are bit-identical to the batch generated_vectors
+    output over the same files (tested)."""
+    from ..functions.embedder import embed_chunks_arrow
+    from ..operators.embedding import chunk_frame_of
+
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    chunks = chunk_frame_of(src).select(
+        "doc_id", "chunk_idx", "vec_id", F.array_join("cw", " ").alias("chunk_text")
+    )
+    return embed_chunks_arrow(chunks, embedder_loader)
+
+
 def stream_dedup_events(
     spark: SparkSession,
     source_dir: str,

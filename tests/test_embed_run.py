@@ -1,0 +1,108 @@
+"""EmbeddingRun: resumable bulk embedding — kill/resume, model-identity
+fingerprinting, and bit-exact agreement with the SQL expression path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.plans.embed_run import EmbeddingRun
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_embed_run_matches_sql_path(spark, tmp_path):
+    run = EmbeddingRun(str(tmp_path / "w"), n_batches=4)
+    run.run(spark, _docs(spark))
+    committed = {
+        r["vec_id"]: (list(r["vq"]), r["vq_l2"])
+        for r in run.output(spark).collect()
+    }
+    from curator_spark.operators.embedding import generated_vectors
+
+    sql_side = {
+        r["vec_id"]: list(r["vq"]) for r in generated_vectors(spark, SF).collect()
+    }
+    assert set(committed) == set(sql_side)
+    for vid, vq in sql_side.items():
+        got_vq, got_l2 = committed[vid]
+        assert got_vq == vq
+        assert got_l2 == sum(v * v for v in vq)
+
+
+def test_embed_run_kill_resume(spark, tmp_path):
+    docs = _docs(spark)
+    run = EmbeddingRun(str(tmp_path / "w"), n_batches=4)
+    with pytest.raises(StageInterrupted):
+        run.run(spark, docs, fail_after_batches=2)
+    done = run.stage.committed_batches()
+    assert len(done) == 2
+    res = EmbeddingRun(str(tmp_path / "w"), n_batches=4).run(spark, docs)
+    assert sorted(res.batches_skipped) == done
+    assert len(res.batches_run) == 2
+    # complete + correct after resume
+    from curator_spark.operators.embedding import generated_vectors
+
+    assert (
+        EmbeddingRun(str(tmp_path / "w"), n_batches=4).output(spark).count()
+        == generated_vectors(spark, SF).count()
+    )
+    # a further run is a pure cache hit
+    res2 = EmbeddingRun(str(tmp_path / "w"), n_batches=4).run(spark, docs)
+    assert res2.batches_run == []
+
+
+def test_embedder_identity_is_fingerprinted(tmp_path):
+    from curator_spark.functions.embedder import FeatureHashEmbedder
+
+    def loader():
+        return FeatureHashEmbedder(dim=32)
+
+    loader.cache_key = "feature-hash-dim32"
+    a = EmbeddingRun(str(tmp_path), n_batches=2)
+    b = EmbeddingRun(str(tmp_path), n_batches=2, embedder_loader=loader)
+    assert a.stage.fingerprint != b.stage.fingerprint
+    # anonymous closures without a cache key are rejected up front
+    with pytest.raises(ValueError, match="closure/lambda"):
+        EmbeddingRun(
+            str(tmp_path), n_batches=2, embedder_loader=lambda: FeatureHashEmbedder()
+        )
+
+
+def test_embed_run_feeds_ann_consumers(spark, tmp_path):
+    """The committed vector table must plug straight into the similarity
+    machinery: LSH-bucket the committed vq and confirm a top-k query
+    returns sane ranks (the operator contract, not a fixed result)."""
+    from pyspark.sql import Window as W
+
+    from curator_spark.operators.dedup import cap_bucket_width
+    from curator_spark.operators.similarity import bucket_expr
+
+    run = EmbeddingRun(str(tmp_path / "w"), n_batches=2)
+    run.run(spark, _docs(spark))
+    vecs = run.output(spark).filter(F.col("vq_l2") > 0)
+    withb = vecs.withColumn("bucket", F.expr(bucket_expr("vq", 6, 64)))
+    q = withb.filter(F.col("chunk_idx") == 0).limit(3).select(
+        F.col("vec_id").alias("q_id"), "bucket", F.col("vq").alias("q_vq")
+    )
+    c = cap_bucket_width(withb.select("vec_id", "bucket", "vq"), "bucket", "vec_id")
+    dot = (
+        "aggregate(zip_with(q_vq, vq, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (a, v) -> a + v)"
+    )
+    cand = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("vec_id"))
+    w = W.partitionBy("q_id").orderBy(F.desc("dot"), "vec_id")
+    out = (
+        cand.withColumn("dot", F.expr(dot))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert out
+    for r in out:
+        assert r["q_id"] != r["vec_id"] and 1 <= r["rank"] <= 5

@@ -153,3 +153,47 @@ def test_stream_with_trained_scorer(spark, corpus_path, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_embed_documents_matches_batch(spark, tmp_path):
+    """Streamed embedding generation == the batch SQL path, vector for
+    vector, over the same files (micro-batched 2 files per trigger)."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.operators.embedding import generated_vectors
+    from curator_spark.streaming.quality_stream import stream_embed_documents
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.select("doc_id", "text").repartition(6).write.mode("overwrite").parquet(src)
+
+    out = stream_embed_documents(spark, src, max_files_per_trigger=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("embed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["vec_id"]: list(r["vq"])
+        for r in spark.table("embed_stream").collect()
+    }
+    batch = {
+        r["vec_id"]: list(r["vq"])
+        for r in generated_vectors(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert streamed == batch
+    # vq_l2 filter column present and consistent
+    bad = (
+        spark.table("embed_stream")
+        .filter(
+            F.col("vq_l2")
+            != F.expr("aggregate(transform(vq, x -> x * x), cast(0 as bigint), (a, b) -> a + b)")
+        )
+        .count()
+    )
+    assert bad == 0
