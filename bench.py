@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_semantic_generated",
     "embed_docs_pooled",
     "ann_docs_pooled",
+    "nb_quality_score",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

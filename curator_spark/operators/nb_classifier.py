@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry import load, register
 from .repo_ops import _CORPUS_DUCK, _corpus
 
 VOCAB_CAP = 400
@@ -53,10 +53,15 @@ LANGS = ["c", "go", "java", "javascript", "json", "markdown", "python"]
 
 _WORDS_DUCK_C = "list_distinct(list_filter(str_split_regex(content, '[ \\t\\n]+'), w -> w != ''))"
 
-_Q_NB_LANGID_ORACLE = f"""
-WITH labeled AS (
-  SELECT commit AS fid, lang, {_WORDS_DUCK_C} AS words FROM {_CORPUS_DUCK}
-),
+def nb_oracle(labeled_select: str, vocab_cap: int = VOCAB_CAP,
+              claimed_name: str = "claimed_lang", pred_name: str = "pred_lang") -> str:
+    """DuckDB replay of NB training + inference over ANY labeled source:
+    ``labeled_select`` must yield (fid, lang, words) — ``lang`` is the
+    class label (language, keep/drop, any bounded label set). One builder
+    keeps every NB-based query's oracle bit-aligned with train_nb/the
+    broadcast-join inference."""
+    return f"""
+WITH labeled AS ({labeled_select}),
 cls AS (
   SELECT lang, count(*) AS nc FROM labeled GROUP BY lang
 ),
@@ -67,7 +72,7 @@ tc AS (
 ),
 vocab AS (
   SELECT term FROM (SELECT term, cast(sum(ctc) AS BIGINT) AS df FROM tc GROUP BY term)
-  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= {VOCAB_CAP}
+  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= {vocab_cap}
 ),
 -- dense (vocab term x class) weight grid: missing counts smooth to +1
 wts AS (
@@ -84,19 +89,23 @@ priors AS (
   FROM cls, total
 ),
 doc_class AS (
-  SELECT l.fid, l.lang AS claimed_lang, p.lang AS cand_lang,
-         p.pq + cast(coalesce(sum(w.wq), 0) AS BIGINT) AS score_q
+  SELECT l.fid, l.lang AS claimed, p.lang AS cand, p.pq + cast(coalesce(sum(w.wq), 0) AS BIGINT) AS score_q
   FROM labeled l
   CROSS JOIN priors p
   LEFT JOIN toks t ON t.fid = l.fid
   LEFT JOIN wts w ON w.term = t.term AND w.lang = p.lang
   GROUP BY l.fid, l.lang, p.lang, p.pq
 )
-SELECT fid, claimed_lang, cand_lang AS pred_lang, score_q AS pred_score_q,
-       CASE WHEN cand_lang = claimed_lang THEN 1 ELSE 0 END AS agrees
+SELECT fid, claimed AS {claimed_name}, cand AS {pred_name}, score_q AS pred_score_q,
+       CASE WHEN cand = claimed THEN 1 ELSE 0 END AS agrees
 FROM doc_class
-QUALIFY row_number() OVER (PARTITION BY fid ORDER BY score_q DESC, cand_lang ASC) = 1
+QUALIFY row_number() OVER (PARTITION BY fid ORDER BY score_q DESC, cand ASC) = 1
 """
+
+
+_Q_NB_LANGID_ORACLE = nb_oracle(
+    f"SELECT commit AS fid, lang, {_WORDS_DUCK_C} AS words FROM {_CORPUS_DUCK}"
+)
 
 
 def _words_col():
@@ -106,6 +115,13 @@ def _words_col():
 
 
 MAX_CLASSES = 64
+
+
+def train_nb_labeled(spark, labeled, vocab_cap: int = VOCAB_CAP) -> dict:
+    """Generic NB fit over a pre-labeled (lang, words) frame — ``lang``
+    is ANY bounded class label (language, keep/drop quality, ...). Same
+    bounded collects and integer-quantized weights as the langid form."""
+    return _fit_nb(spark, labeled.select("lang", "words"), vocab_cap, what="train_nb_labeled")
 
 
 def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
@@ -136,17 +152,23 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     labeled = (
         corpus_df.filter(F.col("lang").isNotNull())
         .select("lang", _words_col())
-        .localCheckpoint(eager=True)
     )
+    return _fit_nb(spark, labeled, vocab_cap, what="train_nb_langid")
+
+
+def _fit_nb(spark, labeled, vocab_cap: int, what: str) -> dict:
+    # training issues several actions (class counts, vocabulary) — cut and
+    # MATERIALIZE the lineage once (eager) so each action reads cached rows
+    labeled = labeled.localCheckpoint(eager=True)
     class_counts = {
         r["lang"]: int(r["nc"])
         for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("nc")).collect()
     }
     if not class_counts:
-        raise ValueError("train_nb_langid: empty corpus — nothing to fit")
+        raise ValueError(f"{what}: empty input — nothing to fit")
     if len(class_counts) > MAX_CLASSES:
         raise ValueError(
-            f"train_nb_langid: {len(class_counts)} distinct lang labels "
+            f"{what}: {len(class_counts)} distinct labels "
             f"(> {MAX_CLASSES}); the label column looks unbounded"
         )
     langs = sorted(class_counts)
@@ -190,20 +212,15 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     }
 
 
-@register(
-    "nb_langid_score",
-    _Q_NB_LANGID_ORACLE,
-    "train multiclass NB language-ID in-engine on noisy labels, broadcast model, re-predict all files",
-)
-def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
-    corpus = _corpus(spark)  # already an eager checkpoint (cached fixture)
-    labeled = corpus.select(F.col("commit").alias("fid"), "lang", _words_col())
-    model = train_nb_langid(spark, corpus, vocab_cap)
+def nb_predict(spark, labeled, model, claimed_name: str = "claimed_lang",
+               pred_name: str = "pred_lang"):
+    """Broadcast-join NB inference over a (fid, lang, words) frame (see
+    module docstring for why this beat the literal-map fold 60x):
+    explode -> BroadcastHashJoin(vocab_cap-row weight table) -> per-class
+    sums re-aggregated by fid -> left join restores zero-evidence rows
+    (bare priors). Output: (fid, <claimed>, <pred>, pred_score_q, agrees)."""
     priors = model["priors"]
     k = len(model["langs"])
-
-    # ---- inference: broadcast weight table + per-doc re-aggregate ----
-    # (see module docstring for why this beat the literal-map fold 60x)
     wdf = spark.createDataFrame(
         [(t, ws) for t, ws in model["weights"].items()],
         "term string, w array<bigint>",
@@ -216,7 +233,6 @@ def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
             for i in range(k)
         ]
     )
-    # left join restores docs with ZERO vocab evidence (score = priors)
     scores = F.array(
         *[
             F.coalesce(F.col(f"s{i}"), F.lit(0).cast("long"))
@@ -226,18 +242,129 @@ def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
     )
     langs_arr = F.array(*[F.lit(c) for c in model["langs"]])
     scored = (
-        labeled.select("fid", F.col("lang").alias("claimed_lang"))
+        labeled.select("fid", F.col("lang").alias(claimed_name))
         .join(sums, "fid", "left")
-        .select("fid", "claimed_lang", scores.alias("scores"))
+        .select("fid", claimed_name, scores.alias("scores"))
     )
     best = F.array_max("scores")
     idx = F.array_position("scores", best)  # 1-based, FIRST max -> alphabetical tie-break
     return scored.select(
         "fid",
-        "claimed_lang",
-        F.element_at(langs_arr, idx.cast("int")).alias("pred_lang"),
+        claimed_name,
+        F.element_at(langs_arr, idx.cast("int")).alias(pred_name),
         best.cast("long").alias("pred_score_q"),
-        F.when(F.element_at(langs_arr, idx.cast("int")) == F.col("claimed_lang"), 1)
+        F.when(F.element_at(langs_arr, idx.cast("int")) == F.col(claimed_name), 1)
         .otherwise(0)
         .alias("agrees"),
     )
+
+
+@register(
+    "nb_langid_score",
+    _Q_NB_LANGID_ORACLE,
+    "train multiclass NB language-ID in-engine on noisy labels, broadcast model, re-predict all files",
+)
+def nb_langid_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
+    corpus = _corpus(spark)  # already an eager checkpoint (cached fixture)
+    labeled = corpus.select(F.col("commit").alias("fid"), "lang", _words_col())
+    model = train_nb_langid(spark, corpus, vocab_cap)
+    return nb_predict(spark, labeled, model)
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_score: the FineWeb-Edu/CCNet distillation loop — take the
+# HEURISTIC keep/drop labels (the flagship filter: length + alnum +
+# repetition + langid rules, fully SQL-expressible) and train a cheap NB
+# classifier on them, then re-score every document. This is how a team
+# turns hand rules into a learned quality model the rest of the corpus
+# can be scored with; "agrees" directly measures how well the bag-of-words
+# model recovers the rule labels. Same training/inference machinery as
+# langid (one builder, one fit, one predict) — only the labeled source
+# differs.
+# ---------------------------------------------------------------------------
+_WORDS_DUCK_T = "list_distinct(list_filter(str_split_regex(text, '[ \t\n]+'), w -> w != ''))"
+
+
+def _quality_labeled_duck() -> str:
+    from .text_analysis import natlang_pred_sql
+    from .text_analysis import _CFG
+
+    return f"""
+SELECT cast(doc_id AS VARCHAR) AS fid,
+       CASE WHEN (n_chars >= {_CFG.min_chars} AND alnum_ratio >= {_CFG.min_alnum_ratio}
+                  AND NOT (word_count >= {_CFG.repetition_min_words}
+                           AND distinct_word_ratio < {_CFG.min_distinct_word_ratio})
+                  AND lang_pred != 'unknown')
+            THEN 'keep' ELSE 'drop' END AS lang,
+       list_concat({_WORDS_DUCK_T}, [
+         '__nc_' || cast(least(n_chars // 64, 20) AS VARCHAR),
+         '__nw_' || cast(least(word_count // 8, 20) AS VARCHAR),
+         '__al_' || cast(cast(floor(alnum_ratio * 10) AS BIGINT) AS VARCHAR),
+         '__dw_' || cast(cast(floor(distinct_word_ratio * 10) AS BIGINT) AS VARCHAR),
+         '__lp_' || lang_pred
+       ]) AS words
+FROM (
+  SELECT doc_id, text,
+         {natlang_pred_sql('text', 'duckdb')} AS lang_pred,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
+             greatest(length(text), 1) AS alnum_ratio,
+         len(list_distinct(list_filter(str_split_regex(text, '[ \t\n]+'), w -> w != ''))) * 1.0 /
+             greatest(len(list_filter(str_split_regex(text, '[ \t\n]+'), w -> w != '')), 1)
+             AS distinct_word_ratio,
+         len(list_filter(str_split_regex(text, '[ \t\n]+'), w -> w != '')) AS word_count
+  FROM documents)
+"""
+
+
+def _quality_labeled_spark(d):
+    from .text_analysis import natlang_pred_sql
+    from .text_analysis import _CFG, _fast_text_metrics
+
+    n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
+    pred = F.expr(natlang_pred_sql("text", "spark"))
+    keep = (
+        (n_chars >= _CFG.min_chars)
+        & (alnum_ratio >= _CFG.min_alnum_ratio)
+        & ~((wc >= _CFG.repetition_min_words) & (dr < _CFG.min_distinct_word_ratio))
+        & (pred != "unknown")
+    )
+    words = F.expr("array_distinct(filter(split(text, '[ \t\n]+'), w -> w != ''))")
+    # engineered feature tokens — see the comment above _quality_labeled_duck;
+    # integer div + floor of identical IEEE doubles keep both engines exact
+    feats = F.array(
+        F.concat(F.lit("__nc_"), F.expr("cast(least(cast(length(text) as bigint) div 64, 20) as string)")),
+        F.concat(F.lit("__nw_"), F.expr(
+            "cast(least(cast(size(filter(split(text, '[ \t\n]+'), w -> w != '')) as bigint) div 8, 20) as string)"
+        )),
+        F.concat(F.lit("__al_"), F.floor(alnum_ratio * 10).cast("long").cast("string")),
+        F.concat(F.lit("__dw_"), F.floor(dr * 10).cast("long").cast("string")),
+        F.concat(F.lit("__lp_"), pred),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("fid"),
+        F.when(keep, "keep").otherwise("drop").alias("lang"),
+        F.concat(words, feats).alias("words"),
+    )
+
+
+@register(
+    "nb_quality_score",
+    None,  # oracle assigned below (needs the builder + label CTE)
+    "distill heuristic keep/drop labels into a trained NB quality classifier, re-score all docs",
+)
+def nb_quality_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
+    d = load(spark, sf_dir, "documents")
+    labeled = _quality_labeled_spark(d)
+    model = train_nb_labeled(spark, labeled, vocab_cap)
+    return nb_predict(
+        spark, labeled, model, claimed_name="claimed_label", pred_name="pred_label"
+    )
+
+
+# assign the oracle now that the label CTE builder exists
+from .registry import QUERIES as _Q  # noqa: E402
+
+_Q["nb_quality_score"].oracle = nb_oracle(
+    _quality_labeled_duck(), claimed_name="claimed_label", pred_name="pred_label"
+)

@@ -140,9 +140,50 @@ def test_train_langid_rejects_degenerate_inputs(spark):
     from curator_spark.sources.corpus import generate_spark
 
     empty = generate_spark(spark, 10, seed=42).filter("lang = 'no-such'")
-    with pytest.raises(ValueError, match="empty corpus"):
+    with pytest.raises(ValueError, match="empty input"):
         train_nb_langid(spark, empty)
 
     unbounded = generate_spark(spark, 200, seed=42).withColumn("lang", F.col("commit"))
-    with pytest.raises(ValueError, match="distinct lang labels"):
+    with pytest.raises(ValueError, match="distinct labels"):
         train_nb_langid(spark, unbounded)
+
+
+def test_nb_quality_classifier_actually_learns(spark):
+    """The distilled quality classifier must beat the majority-class
+    baseline by a wide margin (a raw bag-of-words collapsed to majority —
+    acc == keep rate; the engineered feature tokens are what carry the
+    rules' evidence)."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.operators import QUERIES
+
+    df = QUERIES["nb_quality_score"].fn(spark, SF)
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum("agrees").alias("ok"),
+        F.sum(F.when(F.col("claimed_label") == "keep", 1).otherwise(0)).alias("pos"),
+    ).collect()[0]
+    acc = r["ok"] / r["n"]
+    majority = max(r["pos"], r["n"] - r["pos"]) / r["n"]
+    assert majority < 0.9, "fixture lost label variance — test is vacuous"
+    assert acc >= majority + 0.1, (acc, majority)
+    assert acc >= 0.9, acc
+    # both classes actually predicted
+    preds = {x["pred_label"] for x in df.select("pred_label").distinct().collect()}
+    assert preds == {"keep", "drop"}
+
+
+def test_nb_quality_model_is_reusable(spark):
+    """train_nb_labeled + nb_predict are generic: refitting on the same
+    labeled frame is deterministic (same model dict)."""
+    from curator_spark.operators.nb_classifier import (
+        _quality_labeled_spark,
+        train_nb_labeled,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    labeled = _quality_labeled_spark(d)
+    m1 = train_nb_labeled(spark, labeled)
+    m2 = train_nb_labeled(spark, labeled)
+    assert m1 == m2
+    assert m1["langs"] == ["drop", "keep"]

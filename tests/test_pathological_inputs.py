@@ -49,7 +49,7 @@ SENSITIVE = [
     # (empty/whitespace docs must produce no chunks; zero-token chunks are
     # impossible by construction; l2q>0 filters guard the cosine paths)
     "embed_documents", "ann_over_generated", "dedup_semantic_generated",
-    "embed_docs_pooled", "ann_docs_pooled",
+    "embed_docs_pooled", "ann_docs_pooled", "nb_quality_score",
     # event-time operators over the tie/null/out-of-order events table
     "sessionize", "tumbling_window", "datetime_extract", "distinct_types",
     "asof_join", "set_ops", "json_extract", "validate_json_map",
