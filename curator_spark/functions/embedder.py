@@ -119,7 +119,14 @@ def sentence_transformer_loader(model_name_or_path: str, dim: int = 384) -> Load
     def load() -> Embedder:
         return SentenceTransformerEmbedder(model_name_or_path, dim)
 
-    load.cache_key = f"sentence_transformer_loader({model_name_or_path!r},{dim})"
+    # file_stamp folds (size, mtime_ns) of a locally-visible model file
+    # into the identity — same in-place-swap hardening as
+    # fasttext_kenlm_loader; hub model names stat-fail and pass through.
+    from .scorers import file_stamp
+
+    load.cache_key = (
+        f"sentence_transformer_loader({file_stamp(model_name_or_path)!r},{dim})"
+    )
     load.__qualname__ = load.cache_key
     return load
 

@@ -123,6 +123,20 @@ def default_scorer_loader() -> Scorer:
     return TrigramScorer()
 
 
+def file_stamp(p: str) -> str:
+    """Version-stamp a locally-visible model file as path#size:mtime_ns —
+    folded into loader cache keys so a model file swapped in place at the
+    same path can't hit a stale executor singleton or pass a run's resume
+    fingerprint as "already computed". Files only resolvable via
+    SparkFiles on executors contribute their path alone (the driver
+    can't stat them)."""
+    try:
+        st = os.stat(p)
+        return f"{p}#{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return p
+
+
 def fasttext_kenlm_loader(fasttext_bin: str, kenlm_model: str) -> Loader:
     """Serializable loader for the production scorer: the returned closure
     carries only the two path strings; models load lazily per worker."""
@@ -131,20 +145,9 @@ def fasttext_kenlm_loader(fasttext_bin: str, kenlm_model: str) -> Loader:
         return FastTextKenLMScorer(fasttext_bin, kenlm_model)
 
     # Stable cache identity per (paths) pair, not per closure object — and
-    # per model-file VERSION: a .bin swapped in place at the same path must
-    # not hit a stale executor singleton or pass the run fingerprint as
-    # "already computed", so (size, mtime_ns) of any locally-visible file
-    # is folded into the key. Files only resolvable via SparkFiles on
-    # executors contribute their path alone (the driver can't stat them).
-    def _stamp(p: str) -> str:
-        try:
-            st = os.stat(p)
-            return f"{p}#{st.st_size}:{st.st_mtime_ns}"
-        except OSError:
-            return p
-
+    # per model-file VERSION (see file_stamp).
     load.cache_key = (
-        f"fasttext_kenlm_loader({_stamp(fasttext_bin)!r},{_stamp(kenlm_model)!r})"
+        f"fasttext_kenlm_loader({file_stamp(fasttext_bin)!r},{file_stamp(kenlm_model)!r})"
     )
     load.__qualname__ = load.cache_key
     return load

@@ -334,27 +334,31 @@ FROM quant q
 
 def pooled_doc_vectors(spark, sf_dir):
     """(doc_id, n_chunks, p_l2, pq: array<bigint>) — document vectors by
-    sum-pooling chunk vectors and re-quantizing to the 1e6 unit grid."""
+    sum-pooling chunk vectors and re-quantizing to the 1e6 unit grid.
+
+    ONE generation pass: every chunk vector contributes exactly one row
+    per dimension j to the (doc_id, j) group, so the per-(doc_id, j) row
+    count IS the doc's chunk count — n_chunks rides the same two-level
+    aggregation instead of a second scan over generated_vectors + a join
+    (the chunk+embed expression is the expensive part of this plan)."""
     g = generated_vectors(spark, sf_dir)
     sums = (
         g.select("doc_id", F.posexplode("vq").alias("j", "x"))
         .groupBy("doc_id", "j")
-        .agg(F.sum("x").alias("s"))
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("nrows"))
     )
     vecs = sums.groupBy("doc_id").agg(
         F.expr("transform(array_sort(collect_list(struct(j, s))), p -> p.s)").alias("pv"),
         F.sum(F.expr("s * s")).cast("long").alias("p_l2"),
+        # identical at every j; max is the deterministic pick
+        F.max("nrows").cast("long").alias("n_chunks"),
     )
-    n_chunks = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    quant = vecs.filter(F.col("p_l2") > 0).withColumn(
+    return vecs.filter(F.col("p_l2") > 0).withColumn(
         "pq",
         F.expr(
             "transform(pv, s -> cast(floor(1000000 * s / sqrt(cast(p_l2 as double))) as bigint))"
         ),
-    )
-    return quant.join(n_chunks, "doc_id").select(
-        "doc_id", F.col("n_chunks").cast("long").alias("n_chunks"), "p_l2", "pq"
-    )
+    ).select("doc_id", "n_chunks", "p_l2", "pq")
 
 
 @register(

@@ -117,11 +117,17 @@ def _words_col():
 MAX_CLASSES = 64
 
 
-def train_nb_labeled(spark, labeled, vocab_cap: int = VOCAB_CAP) -> dict:
+def train_nb_labeled(spark, labeled, vocab_cap: int = VOCAB_CAP,
+                     materialized: bool = False) -> dict:
     """Generic NB fit over a pre-labeled (lang, words) frame — ``lang``
     is ANY bounded class label (language, keep/drop quality, ...). Same
-    bounded collects and integer-quantized weights as the langid form."""
-    return _fit_nb(spark, labeled.select("lang", "words"), vocab_cap, what="train_nb_labeled")
+    bounded collects and integer-quantized weights as the langid form.
+
+    Pass ``materialized=True`` when ``labeled`` is already an eager
+    localCheckpoint the caller shares with inference — skips the
+    redundant internal re-materialization pass."""
+    return _fit_nb(spark, labeled.select("lang", "words"), vocab_cap,
+                   what="train_nb_labeled", materialized=materialized)
 
 
 def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
@@ -156,10 +162,13 @@ def train_nb_langid(spark, corpus_df, vocab_cap: int = VOCAB_CAP) -> dict:
     return _fit_nb(spark, labeled, vocab_cap, what="train_nb_langid")
 
 
-def _fit_nb(spark, labeled, vocab_cap: int, what: str) -> dict:
+def _fit_nb(spark, labeled, vocab_cap: int, what: str,
+            materialized: bool = False) -> dict:
     # training issues several actions (class counts, vocabulary) — cut and
     # MATERIALIZE the lineage once (eager) so each action reads cached rows
-    labeled = labeled.localCheckpoint(eager=True)
+    # (unless the caller already checkpointed the shared frame)
+    if not materialized:
+        labeled = labeled.localCheckpoint(eager=True)
     class_counts = {
         r["lang"]: int(r["nc"])
         for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("nc")).collect()
@@ -355,8 +364,13 @@ def _quality_labeled_spark(d):
 )
 def nb_quality_score(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
     d = load(spark, sf_dir, "documents")
-    labeled = _quality_labeled_spark(d)
-    model = train_nb_labeled(spark, labeled, vocab_cap)
+    # the heuristic-label expression tree (langid regex + three
+    # whitespace-split passes per doc) is the expensive part — materialize
+    # it ONCE and share the cached blocks between training (several
+    # actions) and inference (two subtrees: the toks explode and the
+    # claimed-label join); without this it re-evaluated ~3x per run
+    labeled = _quality_labeled_spark(d).localCheckpoint(eager=True)
+    model = train_nb_labeled(spark, labeled, vocab_cap, materialized=True)
     return nb_predict(
         spark, labeled, model, claimed_name="claimed_label", pred_name="pred_label"
     )

@@ -36,6 +36,16 @@ from ..functions.embedder import Loader, embed_chunks_arrow
 from ..functions.scorers import _loader_key
 
 
+def _geometry_token() -> str:
+    """Chunk/embed geometry as a fingerprint token, interpolated from the
+    LIVE constants (never hardcoded — a hardcoded token let a constant
+    bump reuse batches committed under the old geometry)."""
+    from ..operators.embedding import DIM
+    from ..operators.relational import CHUNK_S, CHUNK_W
+
+    return f"chunk_overlap-w{CHUNK_W}-s{CHUNK_S}-dim{DIM}-q1e6"
+
+
 class EmbeddingRun:
     def __init__(
         self,
@@ -56,7 +66,10 @@ class EmbeddingRun:
                 if embedder_loader is not None
                 else "default",
                 "text_col": text_col,
-                "geometry": "chunk_overlap-w64-s48-dim64-q1e6",
+                # built from the live constants: a CHUNK_W/CHUNK_S/DIM bump
+                # must invalidate committed batches, never silently mix
+                # geometries in one output table
+                "geometry": _geometry_token(),
             },
             n_batches=n_batches,
             catalog=catalog,

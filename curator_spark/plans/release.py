@@ -284,12 +284,16 @@ class ReleaseRun:
             else:
                 # content-derived identity: one bounded aggregate on the
                 # (small) benchmark side — different benchmarks can never
-                # silently reuse a stale committed decontam table
-                # bit_xor: order-independent combine with no ANSI
-                # long-overflow hazard (sum of 64-bit hashes overflows)
+                # silently reuse a stale committed decontam table.
+                # sum over DECIMAL(38,0): order-independent, no ANSI
+                # long-overflow hazard (a raw bigint sum overflows), and —
+                # unlike bit_xor — duplicate rows do NOT cancel: under XOR
+                # {A,B,B} and {A,C,C} collide at equal counts
                 row = benchmarks.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.expr("bit_xor(xxhash64(content))").alias("h"),
+                    F.expr(
+                        "sum(cast(xxhash64(content) as decimal(38,0)))"
+                    ).alias("h"),
                 ).collect()[0]
                 bench_id = f"n={row['n']},h={row['h']}"
             r = self.decontam_stage.run(

@@ -37,6 +37,10 @@ MARKERS = [
     "BatchEvalPython",
     "MapInPandas",
     "FlatMapGroupsInPandas",
+    # source scans: a query whose FileScan count grows re-reads (and
+    # re-computes everything above) an input it already had — e.g. a
+    # dropped persist turning ONE generation pass into two
+    "FileScan",
 ]
 
 OUT = os.path.join(
