@@ -86,15 +86,14 @@ _VEC_ID = (
 )
 
 
-def chunk_frame_of(d, text_col: str = "text"):
-    """Any (doc_id, <text_col>) frame -> (doc_id, chunk_idx, vec_id,
-    cw: array<string>) — THE chunk geometry (chunk_overlap's
-    width/stride), shared by the SQL embedding path, the Arrow model
-    path, and the resumable EmbeddingRun so none can drift.
-    Zero shuffle: one posexplode flatMap over per-row expressions."""
-    if text_col != "text":
-        d = d.withColumn("text", F.col(text_col))
-    base = d.select("doc_id", F.expr(_WORDS_SPARK).alias("ws")).withColumn(
+def _chunked(d, id_cols):
+    """THE chunk geometry (chunk_overlap's width/stride) over a frame that
+    already has a ``text`` column, carrying arbitrary id columns:
+    (*id_cols, chunk_idx, cw: array<string>). Zero shuffle — one
+    posexplode flatMap over per-row expressions. Every chunking path
+    (SQL embedding, Arrow model, EmbeddingRun, release semdedup) goes
+    through here so the geometry can't drift."""
+    base = d.select(*id_cols, F.expr(_WORDS_SPARK).alias("ws")).withColumn(
         "n_chunks",
         F.expr(
             f"CASE WHEN size(ws) = 0 THEN 0"
@@ -106,15 +105,23 @@ def chunk_frame_of(d, text_col: str = "text"):
         f"transform(sequence(0, int(n_chunks) - 1),"
         f" i -> slice(ws, i * {CHUNK_S} + 1, {CHUNK_W}))"
     )
-    return (
-        base.filter(F.col("n_chunks") > 0)
-        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "cw"))
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.expr(_VEC_ID).alias("vec_id"),
-            "cw",
-        )
+    return base.filter(F.col("n_chunks") > 0).select(
+        *id_cols, F.posexplode(chunks).alias("chunk_idx", "cw")
+    )
+
+
+def chunk_frame_of(d, text_col: str = "text"):
+    """Any (doc_id, <text_col>) frame -> (doc_id, chunk_idx, vec_id,
+    cw: array<string>) — the numeric-id chunk frame with the radix-guarded
+    vec_id, shared by the SQL embedding path, the Arrow model path, and
+    the resumable EmbeddingRun."""
+    if text_col != "text":
+        d = d.withColumn("text", F.col(text_col))
+    return _chunked(d, ["doc_id"]).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr(_VEC_ID).alias("vec_id"),
+        "cw",
     )
 
 
@@ -332,22 +339,23 @@ FROM quant q
 """
 
 
-def pooled_doc_vectors(spark, sf_dir):
-    """(doc_id, n_chunks, p_l2, pq: array<bigint>) — document vectors by
-    sum-pooling chunk vectors and re-quantizing to the 1e6 unit grid.
+def pool_chunk_vectors(g, id_cols):
+    """Sum-pool per-chunk quantized vectors into one vector per id:
+    (*id_cols, vq) -> (*id_cols, n_chunks, p_l2, pq) re-quantized to the
+    1e6 unit grid.
 
-    ONE generation pass: every chunk vector contributes exactly one row
-    per dimension j to the (doc_id, j) group, so the per-(doc_id, j) row
-    count IS the doc's chunk count — n_chunks rides the same two-level
-    aggregation instead of a second scan over generated_vectors + a join
-    (the chunk+embed expression is the expensive part of this plan)."""
-    g = generated_vectors(spark, sf_dir)
+    ONE pass over ``g``: every chunk vector contributes exactly one row
+    per dimension j to the (*id, j) group, so the per-(*id, j) row count
+    IS the id's chunk count — n_chunks rides the same two-level
+    aggregation instead of a second scan + join (the upstream chunk+embed
+    expression is the expensive part of these plans)."""
+    id_cols = list(id_cols)
     sums = (
-        g.select("doc_id", F.posexplode("vq").alias("j", "x"))
-        .groupBy("doc_id", "j")
+        g.select(*id_cols, F.posexplode("vq").alias("j", "x"))
+        .groupBy(*id_cols, "j")
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("nrows"))
     )
-    vecs = sums.groupBy("doc_id").agg(
+    vecs = sums.groupBy(*id_cols).agg(
         F.expr("transform(array_sort(collect_list(struct(j, s))), p -> p.s)").alias("pv"),
         F.sum(F.expr("s * s")).cast("long").alias("p_l2"),
         # identical at every j; max is the deterministic pick
@@ -358,7 +366,32 @@ def pooled_doc_vectors(spark, sf_dir):
         F.expr(
             "transform(pv, s -> cast(floor(1000000 * s / sqrt(cast(p_l2 as double))) as bigint))"
         ),
-    ).select("doc_id", "n_chunks", "p_l2", "pq")
+    ).select(*id_cols, "n_chunks", "p_l2", "pq")
+
+
+def pooled_vectors_of(d, id_cols, text_col: str = "text"):
+    """ANY keyed text frame -> pooled quantized doc vectors
+    (*id_cols, n_chunks, p_l2, pq): the full chunk -> feature-hash ->
+    sum-pool -> re-quantize pipeline as per-row expressions + one
+    two-level aggregation, carrying arbitrary (incl. string) id columns.
+    The release pipeline's embed stage uses this with the (repo, path,
+    commit) key; pooled_doc_vectors is the documents-table special case."""
+    id_cols = list(id_cols)
+    if text_col != "text":
+        d = d.withColumn("text", F.col(text_col))
+    ch = _chunked(d, id_cols)
+    g = ch.select(*id_cols, F.expr(_GEN_STRUCT).alias("g")).select(
+        *id_cols, F.col("g.vq").alias("vq")
+    )
+    return pool_chunk_vectors(g, id_cols)
+
+
+def pooled_doc_vectors(spark, sf_dir):
+    """(doc_id, n_chunks, p_l2, pq: array<bigint>) — document vectors by
+    sum-pooling chunk vectors and re-quantizing to the 1e6 unit grid."""
+    return pool_chunk_vectors(
+        generated_vectors(spark, sf_dir).select("doc_id", "vq"), ["doc_id"]
+    )
 
 
 @register(
@@ -529,4 +562,68 @@ def ann_over_generated(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+def semantic_doc_dedup_filter(
+    corpus,
+    key_cols,
+    text_col: str = "content",
+    threshold: float = _SEM_THRESHOLD,
+    vectors=None,
+):
+    """Doc-level SemDeDup keep-filter for ANY keyed frame — the release
+    pipeline's semantic stage: pooled doc vectors -> hyperplane LSH cells
+    -> capped in-cell exact cosine -> drop the LEXICOGRAPHICALLY-LATER
+    key of every near-dup pair (same drop-later-of-pair policy as clone
+    dedup) -> left-anti of the small dropped set against the full corpus.
+
+    ``vectors``: optional precomputed pooled-vector table
+    (*key_cols, ..., pq) — e.g. a ReleaseRun embed stage's committed
+    output, so a resumed run never regenerates vectors; computed in-plan
+    (pooled_vectors_of) when None.
+
+    Scale shape: vector generation is per-row expressions + one bounded
+    two-level aggregate; the only pair work is inside BUCKET_CAP-capped
+    LSH cells; the dropped set is small (near-dup keys only) so the final
+    anti-join broadcasts. Rows capped OUT of a hot cell are never
+    dropped — the cap bounds pair generation only, as in dedup_semantic."""
+    key_cols = list(key_cols)
+    if vectors is None:
+        vectors = pooled_vectors_of(corpus, key_cols, text_col=text_col)
+    sid = F.concat_ws("|", *key_cols)
+    vb = vectors.select(
+        sid.alias("_sid"),
+        F.expr(bucket_expr("pq", _N_PLANES, DIM)).alias("bucket"),
+        "pq",
+    )
+    capped = cap_bucket_width(vb, "bucket", "_sid")
+    a = capped.select(
+        F.col("_sid").alias("a_id"),
+        F.col("bucket").alias("a_bucket"),
+        F.col("pq").alias("a_pq"),
+    )
+    b = capped.select(
+        F.col("_sid").alias("drop_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("pq").alias("b_pq"),
+    )
+    cos = F.expr(_DOT.format(a="a_pq", b="b_pq")) / (
+        F.sqrt(F.expr(_DOT.format(a="a_pq", b="a_pq")))
+        * F.sqrt(F.expr(_DOT.format(a="b_pq", b="b_pq")))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a_bucket") == F.col("b_bucket"))
+            & (F.col("a_id") < F.col("drop_id")),
+        )
+        .filter(cos >= threshold)
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        corpus.withColumn("_sid", sid)
+        .join(dropped, F.col("_sid") == F.col("drop_id"), "left_anti")
+        .drop("_sid")
     )

@@ -75,6 +75,7 @@ def build_release(
     cfg: RuleConfig = DEFAULT_RULES,
     rates_ppm: dict[str, int] | None = None,
     scorer_loader=None,
+    semantic_dedup: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full release chain; return (released DataFrame with a
     ``split`` column, manifest dict with per-stage row accounting and the
@@ -84,6 +85,13 @@ def build_release(
     n1 = s1.count()
     s2 = _clone_dedup(s1).localCheckpoint(eager=False)
     n2 = s2.count()
+    if semantic_dedup:
+        from ..operators.embedding import semantic_doc_dedup_filter
+
+        s2 = semantic_doc_dedup_filter(
+            s2, KEY_COLS, text_col="content"
+        ).localCheckpoint(eager=False)
+    n2s = s2.count()
     if benchmarks is not None:
         from ..operators.decontaminate import decontaminate_against
 
@@ -112,7 +120,8 @@ def build_release(
         "input_files": n0,
         "removed_exact_dup": n0 - n1,
         "removed_clone_dup": n1 - n2,
-        "removed_decontaminated": n2 - n3,
+        "removed_semantic_dup": n2 - n2s,
+        "removed_decontaminated": n2s - n3,
         "removed_quality_filter": n3 - n4,
         "removed_mixture_downsample": n4 - n5,
         "released_files": n5,
@@ -133,6 +142,12 @@ class ReleaseRun:
       dedup (n_batches, sharded by content digest)
         -> clonededup (global: the LSH band join pairs files across the
            whole corpus, so the stage IS the granule)
+        -> embed (n_batches, 1:1-per-key pooled doc vectors; only when
+           semantic_dedup=True; its config carries the EMBEDDER identity
+           + chunk geometry — a model swap re-embeds, same model resumes)
+        -> semdedup (global: the LSH-cell pair join crosses the corpus;
+           consumes the embed stage's committed vectors, so a resumed
+           semdedup never regenerates them)
         -> decontam (global, only when benchmarks given; its config
            carries the benchmark set's identity token)
         -> annotate (n_batches, 1:1 map — full rule/model/scrub
@@ -158,6 +173,8 @@ class ReleaseRun:
         benchmarks_token: str | None = None,
         catalog=None,
         scorer_loader=None,
+        semantic_dedup: bool = False,
+        embedder_loader=None,
     ) -> None:
         """``benchmarks_token``: optional explicit version label for the
         benchmark set. When omitted, run() derives an identity from the
@@ -191,6 +208,36 @@ class ReleaseRun:
                     "bucket_cap": _CAP, "policy": "drop-later-of-pair"},
             n_batches=1, catalog=self.catalog,
         )
+        self.embedder_loader = embedder_loader
+        if semantic_dedup:
+            from ..operators.embedding import _N_PLANES, _SEM_THRESHOLD
+            from .embed_run import _geometry_token
+
+            self.embed_stage = ResumableStage(
+                "rel-embed", KEY_COLS, work_dir,
+                config={
+                    "embedder": _loader_key(embedder_loader)
+                    if embedder_loader is not None
+                    else "default-featurehash-sql",
+                    "geometry": _geometry_token(),
+                    "pool": "sum-l2-q1e6",
+                },
+                n_batches=n_batches, catalog=self.catalog,
+            )
+            self.semdedup_stage = ResumableStage(
+                "rel-semdedup", KEY_COLS, work_dir,
+                config={
+                    "method": "lsh-cell-cosine-doc",
+                    "threshold": _SEM_THRESHOLD,
+                    "n_planes": _N_PLANES,
+                    "bucket_cap": _CAP,
+                    "policy": "drop-later-of-pair",
+                },
+                n_batches=1, catalog=self.catalog,
+            )
+        else:
+            self.embed_stage = None
+            self.semdedup_stage = None
         self._bench_token = benchmarks_token
         self.decontam_stage = (
             ResumableStage(
@@ -223,7 +270,9 @@ class ReleaseRun:
         self.stages = [
             s
             for s in (
-                self.dedup_stage, self.clone_stage, self.decontam_stage,
+                self.dedup_stage, self.clone_stage,
+                self.embed_stage, self.semdedup_stage,
+                self.decontam_stage,
                 self.annotate_stage, self.finalize_stage,
             )
             if s is not None
@@ -233,6 +282,45 @@ class ReleaseRun:
             s.run_hash = self.run_hash
 
     # -- stage transforms -----------------------------------------------------
+    def _embed_transform(self, df: DataFrame) -> DataFrame:
+        """(repo, path, commit, n_chunks, p_l2, pq) pooled doc vectors —
+        per-key work only, so n_batches sharding stays independent.
+        Default: the SQL feature-hash expression path (zero Python).
+        With an embedder_loader: the Arrow model path, pooled the same
+        way. embed_chunks_arrow needs a numeric id: pmod(xxhash64(key),
+        2^42) — bounded so the vec_id radix (id * 1e6 + chunk_idx) stays
+        inside int64; an in-batch id collision (~birthday at 2^21 docs
+        per commit batch) would orphan one key's vector, which only
+        SKIPS that file's semantic dedup, never corrupts it."""
+        from ..operators.embedding import (
+            chunk_frame_of,
+            pool_chunk_vectors,
+            pooled_vectors_of,
+        )
+
+        if self.embedder_loader is None:
+            return pooled_vectors_of(df, KEY_COLS, text_col="content")
+        from ..functions.embedder import embed_chunks_arrow
+
+        keyed = df.select(*KEY_COLS, "content").withColumn(
+            "doc_id",
+            F.expr(
+                f"pmod(xxhash64(concat_ws('|', {', '.join(KEY_COLS)})),"
+                f" {2**42}L)"
+            ),
+        )
+        chunks = chunk_frame_of(keyed, text_col="content").select(
+            "doc_id", "chunk_idx", "vec_id", F.array_join("cw", " ").alias("chunk_text")
+        )
+        pooled = pool_chunk_vectors(
+            embed_chunks_arrow(chunks, self.embedder_loader).select("doc_id", "vq"),
+            ["doc_id"],
+        )
+        keys = keyed.select(*KEY_COLS, "doc_id").dropDuplicates(["doc_id"])
+        return pooled.join(keys, "doc_id").select(
+            *KEY_COLS, "n_chunks", "p_l2", "pq"
+        )
+
     def _annotate_transform(self, df: DataFrame) -> DataFrame:
         return annotate(df, self.cfg, scorer_loader=self.scorer_loader)
 
@@ -272,6 +360,33 @@ class ReleaseRun:
         )
         ran["clonededup"] = r.batches_run
         cur = self.clone_stage.output(spark)
+
+        if self.embed_stage is not None:
+            from ..engine.fingerprint import input_identity
+            from ..operators.embedding import semantic_doc_dedup_filter
+
+            r = self.embed_stage.run(
+                spark, cur, self._embed_transform,
+                fail_after_batches=fail_after_batches,
+            )
+            ran["embed"] = r.batches_run
+            vectors = self.embed_stage.output(spark)
+            r = self.semdedup_stage.run(
+                spark, cur,
+                lambda df: semantic_doc_dedup_filter(
+                    df, KEY_COLS, text_col="content", vectors=vectors
+                ),
+                fail_after_batches=fail_after_batches,
+                # depends on BOTH the surviving corpus and the committed
+                # vector table (embedder identity rides the embed stage's
+                # fingerprint, which input_identity(vectors) inherits via
+                # its storage location)
+                input_token=(
+                    f"{input_identity(cur)}|vec:{input_identity(vectors)}"
+                ),
+            )
+            ran["semdedup"] = r.batches_run
+            cur = self.semdedup_stage.output(spark)
 
         if self.decontam_stage is not None:
             if benchmarks is None:
@@ -328,10 +443,15 @@ class ReleaseRun:
         n0 = corpus.count()
         n1 = self.dedup_stage.output(spark).count()
         n2 = self.clone_stage.output(spark).count()
+        n2s = (
+            self.semdedup_stage.output(spark).count()
+            if self.semdedup_stage is not None
+            else n2
+        )
         n3 = (
             self.decontam_stage.output(spark).count()
             if self.decontam_stage is not None
-            else n2
+            else n2s
         )
         annotated = self.annotate_stage.output(spark)
         n4 = annotated.filter("keep").count()
@@ -340,7 +460,8 @@ class ReleaseRun:
             "input_files": n0,
             "removed_exact_dup": n0 - n1,
             "removed_clone_dup": n1 - n2,
-            "removed_decontaminated": n2 - n3,
+            "removed_semantic_dup": n2 - n2s,
+            "removed_decontaminated": n2s - n3,
             "removed_quality_filter": n3 - n4,
             "removed_mixture_downsample": n4 - n5,
             "released_files": n5,

@@ -1,0 +1,155 @@
+"""ReleaseRun's optional semantic layer (embed -> semdedup ResumableStage
+pair between clone-dedup and decontaminate): committed pooled doc
+vectors fingerprinted by embedder identity, doc-level SemDeDup drop,
+kill/resume bit-identical to the single-session build_release.
+
+The injected near-dup pairs are REVERSED-word copies of 40-word
+prefixes: identical word histograms (pooled cosine = 1.0 -> semantic
+drop) but near-disjoint 3-gram shingle sets (clone dedup must NOT catch
+them) and distinct bytes (exact dedup must not either) — so any drop of
+the pair is attributable to the semantic stage alone."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.plans.release import ReleaseRun, build_release
+from curator_spark.sources.corpus import generate_spark
+
+ROWS = 300
+RATES = {"python": 600_000}
+
+
+def _semantic_corpus(spark, tmp_path):
+    base = generate_spark(spark, ROWS, seed=42, partitions=4)
+    ws = F.expr("slice(filter(split(content, '[ \\t\\n]+'), x -> x != ''), 1, 40)")
+    pairs = (
+        base.limit(8)
+        .select("repo", "path", "commit", "lang", ws.alias("ws"))
+        .filter(F.size("ws") >= 40)
+    )
+    v1 = pairs.select(
+        "repo",
+        F.concat("path", F.lit(".sa")).alias("path"),
+        F.concat("commit", F.lit("aa")).alias("commit"),
+        "lang",
+        F.array_join("ws", " ").alias("content"),
+    )
+    v2 = pairs.select(
+        "repo",
+        F.concat("path", F.lit(".sb")).alias("path"),
+        F.concat("commit", F.lit("bb")).alias("commit"),
+        "lang",
+        F.array_join(F.reverse("ws"), " ").alias("content"),
+    )
+    p = str(tmp_path / "sem_corpus.parquet")
+    base.unionByName(v1).unionByName(v2).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def _released_set(df):
+    return {
+        tuple(r)
+        for r in df.select(
+            "repo", "path", "commit", "scrubbed_sha256", "split"
+        ).collect()
+    }
+
+
+def test_semantic_release_matches_single_session(spark, tmp_path):
+    corpus = _semantic_corpus(spark, tmp_path)
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, semantic_dedup=True
+    )
+    ran = run.run(spark, corpus)
+    assert len(ran["embed"]) == 3 and ran["semdedup"] == [0]
+
+    released, manifest = build_release(
+        corpus, rates_ppm=RATES, semantic_dedup=True
+    )
+    assert _released_set(run.output(spark)) == _released_set(released)
+    m = run.manifest(spark, corpus)
+    m.pop("datacard"), manifest.pop("datacard")
+    assert m == manifest
+    # the reversed-word twins are invisible to exact + clone dedup but
+    # pooled-cosine-identical: the semantic stage (and only it) drops one
+    # member of each surviving pair
+    assert m["removed_semantic_dup"] >= 1
+
+    # a fresh identically-configured run is a pure cache hit
+    ran2 = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, semantic_dedup=True
+    ).run(spark, corpus)
+    assert all(v == [] for v in ran2.values()), ran2
+
+
+def test_semantic_vs_plain_release_accounting(spark, tmp_path):
+    corpus = _semantic_corpus(spark, tmp_path)
+    _, plain = build_release(corpus, rates_ppm=RATES)
+    _, sem = build_release(corpus, rates_ppm=RATES, semantic_dedup=True)
+    assert plain["removed_semantic_dup"] == 0
+    assert sem["removed_semantic_dup"] >= 1
+    # strict row accounting holds for both chains
+    for m in (plain, sem):
+        assert m["input_files"] == (
+            m["removed_exact_dup"] + m["removed_clone_dup"]
+            + m["removed_semantic_dup"] + m["removed_decontaminated"]
+            + m["removed_quality_filter"] + m["removed_mixture_downsample"]
+            + m["released_files"]
+        )
+
+
+def test_semantic_release_survives_repeated_kills(spark, tmp_path):
+    corpus = _semantic_corpus(spark, tmp_path)
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, semantic_dedup=True
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 60, "no convergence — a batch is being re-run forever"
+        try:
+            run.run(spark, corpus, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    # one commit per (stage, batch) across ALL attempts — nothing re-ran
+    from curator_spark.engine.lineage import read_lineage
+
+    lin = read_lineage(spark, str(tmp_path / "w" / "_lineage"))
+    dupes = (
+        lin.groupBy("stage", "partition_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .collect()
+    )
+    assert dupes == [], f"recommitted batches: {dupes}"
+    assert attempts >= 7  # embed(3) + semdedup(1) + other stages
+
+    released, _ = build_release(corpus, rates_ppm=RATES, semantic_dedup=True)
+    assert _released_set(run.output(spark)) == _released_set(released)
+
+
+def test_embedder_swap_invalidates_embed_stage(spark, tmp_path):
+    """Embedder identity rides the embed stage's fingerprint: the same
+    corpus re-run with an explicit (Arrow-path) embedder re-embeds and
+    re-deduplicates, while upstream stages stay cache-hits — and with the
+    FeatureHashEmbedder (bit-identical to the SQL path) the released set
+    is unchanged."""
+    from curator_spark.functions.embedder import default_embedder_loader
+
+    corpus = _semantic_corpus(spark, tmp_path)
+    wd = str(tmp_path / "w")
+    a = ReleaseRun(wd, rates_ppm=RATES, n_batches=2, semantic_dedup=True)
+    a.run(spark, corpus)
+
+    b = ReleaseRun(
+        wd, rates_ppm=RATES, n_batches=2, semantic_dedup=True,
+        embedder_loader=default_embedder_loader,
+    )
+    assert a.embed_stage.fingerprint != b.embed_stage.fingerprint
+    ran = b.run(spark, corpus)
+    assert ran["dedup"] == [] and ran["clonededup"] == []  # cache hits
+    assert len(ran["embed"]) == 2 and ran["semdedup"] == [0]  # re-ran
+    assert _released_set(b.output(spark)) == _released_set(a.output(spark))
