@@ -382,3 +382,127 @@ from .registry import QUERIES as _Q  # noqa: E402
 _Q["nb_quality_score"].oracle = nb_oracle(
     _quality_labeled_duck(), claimed_name="claimed_label", pred_name="pred_label"
 )
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_report: the distilled classifier's evaluation as a GATE-VISIBLE
+# query — per-class confusion counts + accuracy/precision/recall/F1, all in
+# exact integer basis points (p = tp*10000 div n_pred etc., f1 = 2*tp*10000
+# div (n_true + n_pred) — no float in the hashed values), replayed bit-exactly
+# by DuckDB over the same label CTE + NB oracle. Institutionalizes what
+# BENCH.md r4 measured ad hoc (acc 0.93/0.94, keep-F1 0.96): a regression in
+# the distilled model now fails the correctness gate, like ann_recall_report
+# does for ANN recall.
+# ---------------------------------------------------------------------------
+def _report_oracle(scored_sql: str) -> str:
+    return f"""
+WITH scored AS ({scored_sql}),
+conf AS (
+  SELECT claimed_label AS c, pred_label AS p, count(*) AS n
+  FROM scored GROUP BY claimed_label, pred_label
+),
+classes AS (
+  SELECT c AS label FROM conf UNION SELECT p FROM conf
+),
+tr AS (SELECT c AS label, cast(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY c),
+pr AS (SELECT p AS label, cast(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY p),
+tpm AS (SELECT c AS label, cast(n AS BIGINT) AS tp FROM conf WHERE c = p),
+tot AS (
+  SELECT cast(sum(n) AS BIGINT) AS total,
+         cast(sum(CASE WHEN c = p THEN n ELSE 0 END) AS BIGINT) AS agree
+  FROM conf
+)
+SELECT cl.label,
+       coalesce(tr.n_true, 0) AS n_true,
+       coalesce(pr.n_pred, 0) AS n_pred,
+       coalesce(tpm.tp, 0) AS tp,
+       coalesce(pr.n_pred, 0) - coalesce(tpm.tp, 0) AS fp,
+       coalesce(tr.n_true, 0) - coalesce(tpm.tp, 0) AS fn,
+       CASE WHEN coalesce(pr.n_pred, 0) > 0
+            THEN coalesce(tpm.tp, 0) * 10000 // pr.n_pred ELSE 0 END AS precision_bp,
+       CASE WHEN coalesce(tr.n_true, 0) > 0
+            THEN coalesce(tpm.tp, 0) * 10000 // tr.n_true ELSE 0 END AS recall_bp,
+       CASE WHEN coalesce(tr.n_true, 0) + coalesce(pr.n_pred, 0) > 0
+            THEN 2 * coalesce(tpm.tp, 0) * 10000 // (coalesce(tr.n_true, 0) + coalesce(pr.n_pred, 0))
+            ELSE 0 END AS f1_bp,
+       (SELECT agree * 10000 // total FROM tot) AS acc_bp
+FROM classes cl
+LEFT JOIN tr ON tr.label = cl.label
+LEFT JOIN pr ON pr.label = cl.label
+LEFT JOIN tpm ON tpm.label = cl.label
+"""
+
+
+@register(
+    "nb_quality_report",
+    None,  # assigned below (shares nb_quality_score's oracle SQL as a CTE)
+    "evaluate the distilled quality classifier: per-class confusion + acc/P/R/F1 in exact bp",
+)
+def nb_quality_report(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
+    scored = nb_quality_score(spark, sf_dir, vocab_cap)
+    # confusion matrix is <= n_classes^2 rows; materialize it so the
+    # per-class / total derivations below read 4 cached rows, not three
+    # more passes over the scored corpus
+    conf = (
+        scored.groupBy(
+            F.col("claimed_label").alias("c"), F.col("pred_label").alias("p")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    classes = (
+        conf.select(F.col("c").alias("label"))
+        .union(conf.select("p"))
+        .distinct()
+    )
+    tr = conf.groupBy(F.col("c").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    pr = conf.groupBy(F.col("p").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tpm = conf.filter(F.col("c") == F.col("p")).select(
+        F.col("c").alias("label"), F.col("n").cast("long").alias("tp")
+    )
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.when(F.col("c") == F.col("p"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    out = (
+        classes.join(tr, "label", "left")
+        .join(pr, "label", "left")
+        .join(tpm, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("n_true", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+            F.expr(
+                "CASE WHEN coalesce(n_pred, 0) > 0"
+                " THEN coalesce(tp, 0) * 10000 div n_pred ELSE 0 END"
+            ).alias("precision_bp"),
+            F.expr(
+                "CASE WHEN coalesce(n_true, 0) > 0"
+                " THEN coalesce(tp, 0) * 10000 div n_true ELSE 0 END"
+            ).alias("recall_bp"),
+            F.expr(
+                "CASE WHEN coalesce(n_true, 0) + coalesce(n_pred, 0) > 0"
+                " THEN 2 * coalesce(tp, 0) * 10000"
+                " div (coalesce(n_true, 0) + coalesce(n_pred, 0)) ELSE 0 END"
+            ).alias("f1_bp"),
+            F.expr("agree * 10000 div total").alias("acc_bp"),
+        )
+    )
+    return out
+
+
+_Q["nb_quality_report"].oracle = _report_oracle(
+    nb_oracle(
+        _quality_labeled_duck(), claimed_name="claimed_label", pred_name="pred_label"
+    )
+)

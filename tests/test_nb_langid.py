@@ -187,3 +187,26 @@ def test_nb_quality_model_is_reusable(spark):
     m2 = train_nb_labeled(spark, labeled)
     assert m1 == m2
     assert m1["langs"] == ["drop", "keep"]
+
+
+def test_nb_quality_report_floors(spark):
+    """The distilled classifier's institutionalized evaluation
+    (nb_quality_report): exact-integer bp metrics, internally consistent
+    confusion counts, and quality floors (overall acc >= 0.90, keep-class
+    F1 >= 0.93) — a model/feature regression now fails HERE, not just in
+    an ad-hoc BENCH measurement."""
+    rows = {
+        r["label"]: r.asDict()
+        for r in QUERIES["nb_quality_report"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"keep", "drop"}
+    for m in rows.values():
+        assert m["tp"] + m["fn"] == m["n_true"]
+        assert m["tp"] + m["fp"] == m["n_pred"]
+    # both classes see the same corpus: totals agree
+    assert (
+        rows["keep"]["n_true"] + rows["drop"]["n_true"]
+        == rows["keep"]["n_pred"] + rows["drop"]["n_pred"]
+    )
+    assert rows["keep"]["acc_bp"] == rows["drop"]["acc_bp"] >= 9000
+    assert rows["keep"]["f1_bp"] >= 9300
