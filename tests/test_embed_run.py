@@ -106,3 +106,77 @@ def test_embed_run_feeds_ann_consumers(spark, tmp_path):
     assert out
     for r in out:
         assert r["q_id"] != r["vec_id"] and 1 <= r["rank"] <= 5
+
+
+def test_embed_run_stress_commit_granule_with_expensive_model(spark, tmp_path):
+    """The round's scale proof for resumable bulk embedding: the 50k-doc
+    stress fixture with a deliberately EXPENSIVE model (sleep per Arrow
+    batch on top of FeatureHash — realistic model-dominated cost), killed
+    after 2 of 8 commit batches. The resume must (a) skip both committed
+    batches (batches-recommitted = 0), (b) run exactly the remaining 6,
+    and (c) produce the complete chunk set, which then feeds doc-pooled
+    ANN end-to-end. The committed-batch granule is what bounds the model
+    cost re-paid after a kill to ONE batch of documents."""
+    import time
+
+    docs = spark.read.parquet("/root/repo/.stress/documents.parquet")
+
+    from curator_spark.functions.embedder import FeatureHashEmbedder
+
+    class SlowFeatureHashEmbedder(FeatureHashEmbedder):
+        def embed(self, texts):
+            time.sleep(0.2)  # simulated model latency per Arrow batch
+            return super().embed(texts)
+
+    def loader():
+        return SlowFeatureHashEmbedder()
+
+    loader.cache_key = "slow-feature-hash-v1-dim64"
+
+    wd = str(tmp_path / "w")
+    run = EmbeddingRun(wd, embedder_loader=loader, n_batches=8)
+    t0 = time.time()
+    with pytest.raises(StageInterrupted):
+        run.run(spark, docs, fail_after_batches=2)
+    t_first = time.time() - t0
+    committed = run.stage.committed_batches()
+    assert len(committed) == 2
+
+    res = EmbeddingRun(wd, embedder_loader=loader, n_batches=8).run(spark, docs)
+    assert sorted(res.batches_skipped) == committed  # recommitted = 0
+    assert len(res.batches_run) == 6
+
+    out = EmbeddingRun(wd, embedder_loader=loader, n_batches=8).output(spark)
+    from curator_spark.operators.embedding import chunk_frame_of
+
+    assert out.count() == chunk_frame_of(docs).count()
+
+    # committed vectors feed doc-pooled ANN end-to-end
+    from curator_spark.operators.embedding import pool_chunk_vectors
+
+    pooled = pool_chunk_vectors(out.select("doc_id", "vq"), ["doc_id"])
+    q = pooled.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), F.col("pq").alias("q_pq")
+    )
+    dot = (
+        "aggregate(zip_with(q_pq, pq, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (a, v) -> a + v)"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("dot"), "doc_id")
+    top = (
+        pooled.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("doc_id"))
+        .withColumn("dot", F.expr(dot))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert len(top) == 15  # 3 queries x top-5
+    # a fully-committed run is a metadata probe, paying ZERO model cost
+    t1 = time.time()
+    res2 = EmbeddingRun(wd, embedder_loader=loader, n_batches=8).run(spark, docs)
+    t_probe = time.time() - t1
+    assert res2.batches_run == []
+    assert t_probe < max(1.0, t_first / 2)
