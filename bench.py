@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "embed_docs_pooled",
     "ann_docs_pooled",
     "nb_quality_score",
+    # round-5 operators
+    "nb_quality_report",
+    "dedup_semantic_docs",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

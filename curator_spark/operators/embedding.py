@@ -314,8 +314,9 @@ WHERE d.drop_id IS NULL
 # inside int64 up to ~3,000 chunks/doc (~1.4e5 words); beyond that ANSI
 # mode raises ARITHMETIC_OVERFLOW — loud, never silently wrong.
 # ---------------------------------------------------------------------------
-_Q_POOLED_ORACLE = f"""
-WITH {_GEN_DUCK_CTES},
+# shared CTE block ending in `quant` (doc_id, p_l2, pq) — pooled doc
+# vectors, reused by the pooled-embedding, doc-ANN, and doc-semdedup oracles
+_POOLED_CTES = f"""{_GEN_DUCK_CTES},
 pooled AS (
   SELECT g.doc_id, jj.j, cast(sum(g.vq[jj.j + 1]) AS BIGINT) AS s
   FROM gen g, (SELECT unnest(range(0, {DIM})) AS j) jj
@@ -330,7 +331,10 @@ quant AS (
   SELECT doc_id, p_l2,
          list_transform(pv, s -> cast(floor(1000000 * s / sqrt(cast(p_l2 AS DOUBLE))) AS BIGINT)) AS pq
   FROM vecs WHERE p_l2 > 0
-)
+)"""
+
+_Q_POOLED_ORACLE = f"""
+WITH {_POOLED_CTES}
 SELECT q.doc_id,
        (SELECT cast(count(*) AS BIGINT) FROM gen g WHERE g.doc_id = q.doc_id) AS n_chunks,
        p_l2,
@@ -412,21 +416,7 @@ def embed_docs_pooled(spark, sf_dir):
 
 
 _Q_ANN_DOCS_ORACLE = f"""
-WITH {_GEN_DUCK_CTES},
-pooled AS (
-  SELECT g.doc_id, jj.j, cast(sum(g.vq[jj.j + 1]) AS BIGINT) AS s
-  FROM gen g, (SELECT unnest(range(0, {DIM})) AS j) jj
-  GROUP BY g.doc_id, jj.j
-),
-vecs AS (
-  SELECT doc_id, list(s ORDER BY j) AS pv, cast(sum(s * s) AS BIGINT) AS p_l2
-  FROM pooled GROUP BY doc_id
-),
-quant AS (
-  SELECT doc_id,
-         list_transform(pv, s -> cast(floor(1000000 * s / sqrt(cast(p_l2 AS DOUBLE))) AS BIGINT)) AS pq
-  FROM vecs WHERE p_l2 > 0
-),
+WITH {_POOLED_CTES},
 q AS (SELECT doc_id AS q_id, pq AS q_pq FROM quant WHERE doc_id < {_N_Q_DOCS}),
 scored AS (
   SELECT q.q_id, c.doc_id AS c_id,
@@ -565,6 +555,59 @@ def ann_over_generated(spark, sf_dir):
     )
 
 
+_Q_SEM_DOCS_ORACLE = f"""
+WITH {_POOLED_CTES},
+sid AS (SELECT cast(doc_id AS VARCHAR) AS _sid, doc_id, pq FROM quant),
+planes AS (
+  SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
+  FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
+       (SELECT unnest(range(0, {DIM})) AS j) j
+),
+sigs AS (
+  SELECT s._sid, pl.p,
+         CASE WHEN sum(cast(s.pq[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM sid s, planes pl GROUP BY s._sid, pl.p
+),
+buckets AS (
+  SELECT _sid, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY _sid
+),
+withb AS (SELECT s._sid, b.bucket, s.pq FROM buckets b JOIN sid s USING (_sid)),
+capped AS (SELECT * FROM withb
+           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY _sid) <= {BUCKET_CAP}),
+dropped AS (
+  SELECT DISTINCT b._sid AS drop_id
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a._sid < b._sid
+  WHERE {_DOT_DUCK.format(a='a.pq', b='b.pq')} /
+        (sqrt({_DOT_DUCK.format(a='a.pq', b='a.pq')}) *
+         sqrt({_DOT_DUCK.format(a='b.pq', b='b.pq')})) >= {_SEM_THRESHOLD}
+)
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN dropped dr ON cast(d.doc_id AS VARCHAR) = dr.drop_id
+WHERE dr.drop_id IS NULL
+"""
+
+
+@register(
+    "dedup_semantic_docs",
+    _Q_SEM_DOCS_ORACLE,
+    "doc-level SemDeDup: pooled doc vectors -> LSH cells -> capped in-cell cosine -> drop later key",
+)
+def dedup_semantic_docs(spark, sf_dir, threshold: float = _SEM_THRESHOLD):
+    """The release pipeline's semantic stage (semantic_doc_dedup_filter)
+    driver-verified in ISOLATION over the documents table — whole-document
+    near-dup removal on pooled vectors, vs dedup_semantic_generated's
+    chunk-level variant. Docs without a vector (empty text) are never
+    dropped; drop-later-of-pair is by the STRING key order (the release
+    stage orders by 'repo|path|commit'; here the key is cast(doc_id))."""
+    d = load(spark, sf_dir, "documents")
+    kept = semantic_doc_dedup_filter(
+        d.select("doc_id", "lang", "text"), ["doc_id"],
+        text_col="text", threshold=threshold,
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
 def semantic_doc_dedup_filter(
     corpus,
     key_cols,
@@ -592,10 +635,16 @@ def semantic_doc_dedup_filter(
     if vectors is None:
         vectors = pooled_vectors_of(corpus, key_cols, text_col=text_col)
     sid = F.concat_ws("|", *key_cols)
-    vb = vectors.select(
-        sid.alias("_sid"),
-        F.expr(bucket_expr("pq", _N_PLANES, DIM)).alias("bucket"),
-        "pq",
+    # persist the bucketed vectors query-scoped: the pair join reads this
+    # frame from TWO subtrees (a/b sides) — without the persist the whole
+    # chunk+embed+pool pipeline would run twice (the _bucketed_generated
+    # pattern; plan-drift golden pins the single FileScan)
+    vb = scratch(
+        vectors.select(
+            sid.alias("_sid"),
+            F.expr(bucket_expr("pq", _N_PLANES, DIM)).alias("bucket"),
+            "pq",
+        ).persist()
     )
     capped = cap_bucket_width(vb, "bucket", "_sid")
     a = capped.select(
