@@ -327,11 +327,11 @@ FROM (
 
 
 def _quality_labeled_spark(d):
-    from .text_analysis import natlang_pred_sql
+    from .text_analysis import natlang_pred_spark_fast
     from .text_analysis import _CFG, _fast_text_metrics
 
     n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
-    pred = F.expr(natlang_pred_sql("text", "spark"))
+    pred = F.expr(natlang_pred_spark_fast("text"))
     keep = (
         (n_chars >= _CFG.min_chars)
         & (alnum_ratio >= _CFG.min_alnum_ratio)

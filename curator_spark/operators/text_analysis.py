@@ -59,6 +59,42 @@ def natlang_pred_sql(col: str, dialect: str) -> str:
     )
 
 
+def natlang_pred_spark_fast(col: str) -> str:
+    """VALUE-IDENTICAL to ``natlang_pred_sql(col, 'spark')`` but with the
+    normalized text and the four language scores LET-BOUND (evaluated
+    once per row). The portable form inlines the full-text
+    ``regexp_replace`` into every stopword term and repeats each score in
+    several CASE branches — ~80 regex passes + ~320 replace/length chains
+    per row, measured 26s for 5,000 docs at sf0.1 where this form runs
+    the regex ONCE and each score chain once (same term order, same
+    double arithmetic, so every value is bit-identical; the DuckDB oracle
+    keeps the portable spelling — engines CSE it fine)."""
+    from .dedup import _let
+
+    norm = _NORM_SPARK.format(col=col)
+    zh = f"{col} rlike '[一-鿿]'"
+    idx = {lang: i for i, lang in enumerate(NAT_LANG_ORDER)}
+
+    def sc(lang: str) -> str:
+        return f"sc[{idx[lang]}]"
+
+    scores = (
+        "array("
+        + ",".join(_score_expr("nrm", lang) for lang in NAT_LANG_ORDER)
+        + ")"
+    )
+    body = (
+        "CASE "
+        f"WHEN {zh} THEN 'zh' "
+        f"WHEN {sc('en')} <= 0 AND {sc('es')} <= 0 AND {sc('de')} <= 0 AND {sc('fr')} <= 0 THEN 'unknown' "
+        f"WHEN {sc('en')} >= {sc('es')} AND {sc('en')} >= {sc('de')} AND {sc('en')} >= {sc('fr')} THEN 'en' "
+        f"WHEN {sc('es')} >= {sc('de')} AND {sc('es')} >= {sc('fr')} THEN 'es' "
+        f"WHEN {sc('de')} >= {sc('fr')} THEN 'de' "
+        "ELSE 'fr' END"
+    )
+    return _let(norm, "nrm", _let(scores, "sc", body))
+
+
 _Q_LANGID_ORACLE = f"""
 SELECT doc_id, lang AS lang_claimed,
        {natlang_pred_sql('text', 'duckdb')} AS lang_pred,
@@ -70,7 +106,7 @@ FROM documents
 @register("langid_documents", _Q_LANGID_ORACLE, "n-gram-heuristic language ID (SQL-expressible)")
 def langid_documents(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    pred = F.expr(natlang_pred_sql("text", "spark"))
+    pred = F.expr(natlang_pred_spark_fast("text"))
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_claimed"),
@@ -285,7 +321,7 @@ def quality_filter_documents(spark, sf_dir):
     from ..plans.quality_pipeline import scrub_content
 
     d = load(spark, sf_dir, "documents")
-    pred = F.expr(natlang_pred_sql("text", "spark"))
+    pred = F.expr(natlang_pred_spark_fast("text"))
     n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
     m = d.select(
         "doc_id",
