@@ -555,35 +555,88 @@ def ann_over_generated(spark, sf_dir):
     )
 
 
-_Q_SEM_DOCS_ORACLE = f"""
-WITH {_POOLED_CTES},
-sid AS (SELECT cast(doc_id AS VARCHAR) AS _sid, doc_id, pq FROM quant),
-planes AS (
+def semdedup_dropped_duck(src: str, key_expr: str, text_col: str = "content") -> str:
+    """DuckDB replay of :func:`semantic_doc_dedup_filter` over ANY table:
+    CTE chain (sem_-prefixed, safe to splice into larger oracles) ending
+    in ``sem_dropped (drop_id VARCHAR)`` — chunk, feature-hash, quantize,
+    sum-pool per STRING key, hyperplane-LSH cells, capped in-cell exact
+    cosine, drop-later-key. One definition serves both the standalone
+    dedup_semantic_docs oracle and the composed release oracle."""
+    return f"""sem_w AS (
+  SELECT {key_expr} AS _sid,
+         list_filter(str_split_regex({text_col}, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM {src}
+),
+sem_nch AS (
+  SELECT _sid, ws,
+         CASE WHEN len(ws) = 0 THEN 0
+              WHEN len(ws) <= {CHUNK_W} THEN 1
+              ELSE 1 + cast(ceil((len(ws) - {CHUNK_W}) * 1.0 / {CHUNK_S}) AS BIGINT)
+         END AS n_chunks
+  FROM sem_w
+),
+sem_ch AS (
+  SELECT _sid, chunk_idx,
+         ws[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}] AS cw
+  FROM (SELECT _sid, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM sem_nch)
+),
+sem_cvq AS (
+  SELECT _sid,
+         list_transform(counts, c -> cast(floor(1000000 * c /
+           sqrt(cast(list_sum(list_transform(counts, c2 -> c2 * c2)) AS DOUBLE)))
+           AS BIGINT)) AS vq
+  FROM (
+    SELECT _sid,
+           list_transform(range(0, {DIM}),
+             b -> cast(len(list_filter(cw,
+                  w2 -> ('0x' || substr(md5(w2), 1, 8))::BIGINT % {DIM} = b)) AS BIGINT)
+           ) AS counts
+    FROM sem_ch)
+),
+sem_pooled AS (
+  SELECT v._sid, jj.j, cast(sum(v.vq[jj.j + 1]) AS BIGINT) AS ps
+  FROM sem_cvq v, (SELECT unnest(range(0, {DIM})) AS j) jj
+  GROUP BY v._sid, jj.j
+),
+sem_vecs AS (
+  SELECT _sid, list(ps ORDER BY j) AS pv, cast(sum(ps * ps) AS BIGINT) AS p_l2
+  FROM sem_pooled GROUP BY _sid
+),
+sem_quant AS (
+  SELECT _sid,
+         list_transform(pv, s2 -> cast(floor(1000000 * s2 / sqrt(cast(p_l2 AS DOUBLE))) AS BIGINT)) AS pq
+  FROM sem_vecs WHERE p_l2 > 0
+),
+sem_planes AS (
   SELECT p.p AS p, j.j AS j, {_SIGN_DUCK.format(p='p.p', j='j.j')} AS sign
   FROM (SELECT unnest(range(0, {_N_PLANES})) AS p) p,
        (SELECT unnest(range(0, {DIM})) AS j) j
 ),
-sigs AS (
-  SELECT s._sid, pl.p,
-         CASE WHEN sum(cast(s.pq[pl.j + 1] AS DOUBLE) * pl.sign) > 0
+sem_sigs AS (
+  SELECT q._sid, pl.p,
+         CASE WHEN sum(cast(q.pq[pl.j + 1] AS DOUBLE) * pl.sign) > 0
               THEN '1' ELSE '0' END AS bit
-  FROM sid s, planes pl GROUP BY s._sid, pl.p
+  FROM sem_quant q, sem_planes pl GROUP BY q._sid, pl.p
 ),
-buckets AS (
-  SELECT _sid, string_agg(bit, '' ORDER BY p) AS bucket FROM sigs GROUP BY _sid
+sem_buckets AS (
+  SELECT _sid, string_agg(bit, '' ORDER BY p) AS bucket FROM sem_sigs GROUP BY _sid
 ),
-withb AS (SELECT s._sid, b.bucket, s.pq FROM buckets b JOIN sid s USING (_sid)),
-capped AS (SELECT * FROM withb
+sem_withb AS (SELECT q._sid, b.bucket, q.pq FROM sem_buckets b JOIN sem_quant q USING (_sid)),
+sem_capped AS (SELECT * FROM sem_withb
            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY _sid) <= {BUCKET_CAP}),
-dropped AS (
+sem_dropped AS (
   SELECT DISTINCT b._sid AS drop_id
-  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a._sid < b._sid
+  FROM sem_capped a JOIN sem_capped b ON a.bucket = b.bucket AND a._sid < b._sid
   WHERE {_DOT_DUCK.format(a='a.pq', b='b.pq')} /
         (sqrt({_DOT_DUCK.format(a='a.pq', b='a.pq')}) *
          sqrt({_DOT_DUCK.format(a='b.pq', b='b.pq')})) >= {_SEM_THRESHOLD}
-)
+)"""
+
+
+_Q_SEM_DOCS_ORACLE = f"""
+WITH {semdedup_dropped_duck('documents', 'cast(doc_id AS VARCHAR)', 'text')}
 SELECT d.doc_id, d.lang
-FROM documents d LEFT JOIN dropped dr ON cast(d.doc_id AS VARCHAR) = dr.drop_id
+FROM documents d LEFT JOIN sem_dropped dr ON cast(d.doc_id AS VARCHAR) = dr.drop_id
 WHERE dr.drop_id IS NULL
 """
 

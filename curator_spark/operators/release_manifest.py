@@ -88,3 +88,86 @@ def release_manifest(spark, sf_dir):
         F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
         F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The SEMANTIC release chain (exact dedup -> clone dedup -> doc-level
+# SemDeDup over pooled in-engine embeddings -> filter+scrub -> split) as a
+# second composed 1-row manifest: the embed->semdedup release stages,
+# driver-verified end-to-end. The oracle splices the generic
+# semdedup_dropped_duck CTE chain (operators/embedding.py — one definition
+# with the standalone dedup_semantic_docs oracle) between the clone-dedup
+# and golden-join stages, keyed by the same 'repo|path|commit' string the
+# Spark stage orders drop-later-of-pair by.
+# ---------------------------------------------------------------------------
+_SEM_KEY = "repo || '|' || path || '|' || commit"
+
+def _release_sem_oracle() -> str:
+    from .embedding import semdedup_dropped_duck
+
+    return f"""
+WITH base AS (SELECT * FROM {_CORPUS_DUCK}),
+ded AS (
+  SELECT * FROM base
+  QUALIFY row_number() OVER (PARTITION BY content ORDER BY repo, path, commit) = 1
+),
+pairs AS ({clone_pairs_sql("ded")}),
+dropped AS (SELECT DISTINCT fid_b AS c FROM pairs),
+cloned AS (SELECT * FROM ded WHERE commit NOT IN (SELECT c FROM dropped)),
+{semdedup_dropped_duck('cloned', _SEM_KEY, 'content')},
+semkept AS (
+  SELECT * FROM cloned WHERE {_SEM_KEY} NOT IN (SELECT drop_id FROM sem_dropped)
+),
+kept AS (
+  SELECT d.repo, d.path, d.commit, g.scrubbed_sha256
+  FROM semkept d JOIN read_parquet('{_GOLDEN}') g ON d.commit = g.commit
+),
+split AS (
+  SELECT *,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT (SELECT count(*) FROM base) AS input_files,
+       (SELECT count(*) FROM base) - (SELECT count(*) FROM ded) AS removed_exact_dup,
+       (SELECT count(*) FROM ded) - (SELECT count(*) FROM cloned) AS removed_clone_dup,
+       (SELECT count(*) FROM cloned) - (SELECT count(*) FROM semkept) AS removed_semantic_dup,
+       (SELECT count(*) FROM semkept) - (SELECT count(*) FROM kept) AS removed_quality_filter,
+       (SELECT count(*) FROM kept) AS released_files,
+       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
+FROM split
+"""
+
+
+@register(
+    "release_manifest_semantic",
+    None,  # assigned below (builder needs the embedding import at def time)
+    "composed release WITH the semantic layer (dedup->clone->SemDeDup->filter+scrub->split), 1-row bit-exact manifest",
+)
+def release_manifest_semantic(spark, sf_dir):
+    from ..plans.release import build_release
+
+    released, manifest = build_release(
+        _corpus(spark), benchmarks=None, rates_ppm={}, semantic_dedup=True
+    )
+    return released.agg(
+        F.lit(manifest["input_files"]).cast("long").alias("input_files"),
+        F.lit(manifest["removed_exact_dup"]).cast("long").alias("removed_exact_dup"),
+        F.lit(manifest["removed_clone_dup"]).cast("long").alias("removed_clone_dup"),
+        F.lit(manifest["removed_semantic_dup"]).cast("long").alias("removed_semantic_dup"),
+        F.lit(manifest["removed_quality_filter"]).cast("long").alias("removed_quality_filter"),
+        F.lit(manifest["released_files"]).cast("long").alias("released_files"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
+    )
+
+
+from .registry import QUERIES as _Q  # noqa: E402
+
+_Q["release_manifest_semantic"].oracle = _release_sem_oracle()
