@@ -230,6 +230,101 @@ def embed_documents(spark, sf_dir):
     )
 
 
+def gen_chunks_duck(src: str, key_expr: str, text_col: str = "content") -> str:
+    """DuckDB replay of :func:`chunk_vectors_of` over ANY table: CTE chain
+    (genk_-prefixed, safe to splice) ending in ``genk (k, chunk_idx, vq)``
+    keyed by an arbitrary expression — _GEN_DUCK_CTES generalized beyond
+    the documents table."""
+    return f"""genk_w AS (
+  SELECT {key_expr} AS k,
+         list_filter(str_split_regex({text_col}, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM {src}
+),
+genk_nch AS (
+  SELECT k, ws,
+         CASE WHEN len(ws) = 0 THEN 0
+              WHEN len(ws) <= {CHUNK_W} THEN 1
+              ELSE 1 + cast(ceil((len(ws) - {CHUNK_W}) * 1.0 / {CHUNK_S}) AS BIGINT)
+         END AS n_chunks
+  FROM genk_w
+),
+genk_ch AS (
+  SELECT k, chunk_idx,
+         ws[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}] AS cw
+  FROM (SELECT k, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM genk_nch)
+),
+genk AS (
+  SELECT k, cast(chunk_idx AS BIGINT) AS chunk_idx,
+         list_transform(counts, c -> cast(floor(1000000 * c /
+           sqrt(cast(list_sum(list_transform(counts, c2 -> c2 * c2)) AS DOUBLE)))
+           AS BIGINT)) AS vq
+  FROM (
+    SELECT k, chunk_idx,
+           list_transform(range(0, {DIM}),
+             b -> cast(len(list_filter(cw,
+                  w2 -> ('0x' || substr(md5(w2), 1, 8))::BIGINT % {DIM} = b)) AS BIGINT)
+           ) AS counts
+    FROM genk_ch)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# embed_incremental: the incremental-snapshot pattern applied to the
+# VECTOR table — crawl N+1 (rows [400, 2400)) shares 1,600 of 2,000 file
+# versions with crawl N (rows [0, 2000)); carried vectors are reused
+# (semi-join on commit), only the 400 added files run the embedding.
+# The oracle embeds the CURRENT window directly from content — so the
+# value-hash equality is the PROOF that carry-forward equals recompute
+# (embedding is a pure per-row function of content), with the `carried`
+# flag replayed by prev-window membership.
+# ---------------------------------------------------------------------------
+def _embed_incr_oracle() -> str:
+    from .repo_ops import _CORPUS_DUCK, _RAW_W400
+
+    return f"""
+WITH prevw AS (SELECT commit FROM {_CORPUS_DUCK}),
+{gen_chunks_duck(f"read_parquet('{_RAW_W400}')", "commit", "content")}
+SELECT k AS commit, chunk_idx,
+       md5(array_to_string(list_transform(vq, x -> cast(x AS VARCHAR)), ',')) AS emb_md5,
+       CASE WHEN k IN (SELECT commit FROM prevw) THEN 1 ELSE 0 END AS carried
+FROM genk
+"""
+
+
+@register(
+    "embed_incremental",
+    None,  # assigned below (builder imports repo_ops constants)
+    "incremental embedding across crawl snapshots: carry stable commits' vectors, embed only added files",
+)
+def embed_incremental(spark, sf_dir):
+    from ..sources.corpus import generate_spark
+    from .repo_ops import _DRIFT_START, _N_ROWS, _corpus
+
+    prev = _corpus(spark)
+    curr = generate_spark(
+        spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START
+    )
+    # stands in for the committed vector table of the previous run
+    # (EmbeddingRun.output / an Iceberg table on a real deployment)
+    prev_vecs = chunk_vectors_of(prev, ["commit"], text_col="content")
+    out = incremental_chunk_vectors(
+        curr, prev, prev_vecs, key="commit", text_col="content"
+    )
+    return out.select(
+        "commit",
+        "chunk_idx",
+        F.md5(
+            F.array_join(F.expr("transform(vq, x -> cast(x as string))"), ",")
+        ).alias("emb_md5"),
+        F.col("carried").cast("long").alias("carried"),
+    )
+
+
+from .registry import QUERIES as _QQ  # noqa: E402
+
+_QQ["embed_incremental"].oracle = _embed_incr_oracle()
+
+
 # ---------------------------------------------------------------------------
 # ANN + SemDeDup over the GENERATED vectors: random-hyperplane LSH buckets
 # (plane signs IMPORTED from similarity.py — one definition for Spark,
@@ -373,6 +468,30 @@ def pool_chunk_vectors(g, id_cols):
     ).select(*id_cols, "n_chunks", "p_l2", "pq")
 
 
+def chunk_vectors_of(d, id_cols, text_col: str = "text"):
+    """ANY keyed text frame -> per-chunk quantized vectors
+    (*id_cols, chunk_idx, l2q, vq) with THE chunk geometry and the SQL
+    feature-hash embedding — generated_vectors generalized to arbitrary
+    (incl. string) id columns. Zero shuffle."""
+    id_cols = list(id_cols)
+    if text_col != "text":
+        d = d.withColumn("text", F.col(text_col))
+    return (
+        _chunked(d, id_cols)
+        .select(
+            *id_cols,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(_GEN_STRUCT).alias("g"),
+        )
+        .select(
+            *id_cols,
+            "chunk_idx",
+            F.col("g.l2q").alias("l2q"),
+            F.col("g.vq").alias("vq"),
+        )
+    )
+
+
 def pooled_vectors_of(d, id_cols, text_col: str = "text"):
     """ANY keyed text frame -> pooled quantized doc vectors
     (*id_cols, n_chunks, p_l2, pq): the full chunk -> feature-hash ->
@@ -381,13 +500,33 @@ def pooled_vectors_of(d, id_cols, text_col: str = "text"):
     The release pipeline's embed stage uses this with the (repo, path,
     commit) key; pooled_doc_vectors is the documents-table special case."""
     id_cols = list(id_cols)
-    if text_col != "text":
-        d = d.withColumn("text", F.col(text_col))
-    ch = _chunked(d, id_cols)
-    g = ch.select(*id_cols, F.expr(_GEN_STRUCT).alias("g")).select(
-        *id_cols, F.col("g.vq").alias("vq")
-    )
+    g = chunk_vectors_of(d, id_cols, text_col=text_col).select(*id_cols, "vq")
     return pool_chunk_vectors(g, id_cols)
+
+
+def incremental_chunk_vectors(
+    curr, prev, prev_vectors, key: str = "commit", text_col: str = "content"
+):
+    """The incremental-snapshot pattern for EMBEDDINGS (the
+    incremental_annotate of the vector table): crawl N+1 shares most
+    file versions with crawl N, so re-embedding 10^12 files because 2%
+    changed wastes the model cost on the 98%. Carry forward the
+    committed vectors of STABLE keys (semi-join on the per-version
+    identity key), embed ONLY the added keys, union. Row-for-row equal
+    to a from-scratch embed of the current snapshot because the
+    embedding is a pure per-row function of content (the oracle of
+    embed_incremental proves this bit-exactly). Two key joins; the
+    carried side never runs the model. Output rows carry
+    ``carried`` = 1 for reused vectors. Reference anchor: curator's
+    response-cache resume, base_request_processor.py:145-198."""
+    stable = prev_vectors.join(
+        curr.select(key), key, "left_semi"
+    ).withColumn("carried", F.lit(1))
+    added = curr.join(prev.select(key), key, "left_anti")
+    new_vecs = chunk_vectors_of(added, [key], text_col=text_col).withColumn(
+        "carried", F.lit(0)
+    )
+    return stable.unionByName(new_vecs)
 
 
 def pooled_doc_vectors(spark, sf_dir):

@@ -144,7 +144,9 @@ class ReleaseRun:
            whole corpus, so the stage IS the granule)
         -> embed (n_batches, 1:1-per-key pooled doc vectors; only when
            semantic_dedup=True; its config carries the EMBEDDER identity
-           + chunk geometry — a model swap re-embeds, same model resumes)
+           + chunk geometry — a model swap re-embeds, same model resumes;
+           reference anchor for chaining a model stage into a block
+           pipeline: blocks/raft.py:214-229)
         -> semdedup (global: the LSH-cell pair join crosses the corpus;
            consumes the embed stage's committed vectors, so a resumed
            semdedup never regenerates them)

@@ -180,3 +180,38 @@ def test_embed_run_stress_commit_granule_with_expensive_model(spark, tmp_path):
     t_probe = time.time() - t1
     assert res2.batches_run == []
     assert t_probe < max(1.0, t_first / 2)
+
+
+def test_incremental_chunk_vectors_equals_full_recompute(spark):
+    """incremental_chunk_vectors: carried vectors (stable commits) +
+    freshly-embedded added files == a from-scratch embed of the current
+    snapshot, with the model pass confined to the added set."""
+    from curator_spark.operators.embedding import (
+        chunk_vectors_of,
+        incremental_chunk_vectors,
+    )
+    from curator_spark.sources.corpus import generate_spark
+
+    prev = generate_spark(spark, 300, seed=42, partitions=4)
+    curr = generate_spark(spark, 300, seed=42, partitions=4, start=60)
+    prev_vecs = chunk_vectors_of(prev, ["commit"], text_col="content")
+    out = incremental_chunk_vectors(curr, prev, prev_vecs)
+
+    def key(df):
+        return {
+            (r["commit"], r["chunk_idx"]): tuple(r["vq"])
+            for r in df.collect()
+        }
+
+    full = key(chunk_vectors_of(curr, ["commit"], text_col="content"))
+    got = key(out)
+    assert got == full
+    # 240 stable + 60 added docs (minus empty docs, which produce no
+    # chunks): the carried flag partitions exactly on prev-membership,
+    # and only added docs' chunks were (re)embedded
+    prev_commits = {r["commit"] for r in prev.select("commit").collect()}
+    vec_commits = {c for c, _ in full}
+    carried = out.filter("carried = 1").select("commit").distinct().count()
+    fresh = out.filter("carried = 0").select("commit").distinct().count()
+    assert carried == len(vec_commits & prev_commits) == 236
+    assert fresh == len(vec_commits - prev_commits) == 60
