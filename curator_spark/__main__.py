@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
         "exact Jaccard confirm) as a resumable global stage",
     )
     p.add_argument(
+        "--semantic-dedup", action="store_true",
+        help="drop whole-document semantic near-duplicates (pooled "
+        "in-engine doc embeddings -> LSH cells -> capped in-cell cosine) "
+        "as a resumable embed+semdedup stage pair",
+    )
+    p.add_argument(
         "--decontaminate",
         default=None,
         help="parquet of benchmark docs (content column): drop corpus rows "
@@ -108,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     run = QualityFilterRun(
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
         clone_dedup=args.clone_dedup, scorer_loader=scorer_loader,
+        semantic_dedup=args.semantic_dedup,
     )
     r1, r2 = run.run(spark, corpus)
     out = run.output(spark)

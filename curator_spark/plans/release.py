@@ -69,6 +69,114 @@ def _split_col() -> F.Column:
     return F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
 
+def _pooled_embed_transform(df: DataFrame, embedder_loader) -> DataFrame:
+    """(repo, path, commit, n_chunks, p_l2, pq) pooled doc vectors —
+    per-key work only, so n_batches sharding stays independent.
+    Default: the SQL feature-hash expression path (zero Python).
+    With an embedder_loader: the Arrow model path, pooled the same
+    way. embed_chunks_arrow needs a numeric id: pmod(xxhash64(key),
+    2^42) — bounded so the vec_id radix (id * 1e6 + chunk_idx) stays
+    inside int64; an in-batch id collision (~birthday at 2^21 docs
+    per commit batch) would orphan one key's vector, which only
+    SKIPS that file's semantic dedup, never corrupts it."""
+    from ..operators.embedding import (
+        chunk_frame_of,
+        pool_chunk_vectors,
+        pooled_vectors_of,
+    )
+
+    if embedder_loader is None:
+        return pooled_vectors_of(df, KEY_COLS, text_col="content")
+    from ..functions.embedder import embed_chunks_arrow
+
+    keyed = df.select(*KEY_COLS, "content").withColumn(
+        "doc_id",
+        F.expr(
+            f"pmod(xxhash64(concat_ws('|', {', '.join(KEY_COLS)})),"
+            f" {2**42}L)"
+        ),
+    )
+    chunks = chunk_frame_of(keyed, text_col="content").select(
+        "doc_id", "chunk_idx", "vec_id", F.array_join("cw", " ").alias("chunk_text")
+    )
+    pooled = pool_chunk_vectors(
+        embed_chunks_arrow(chunks, embedder_loader).select("doc_id", "vq"),
+        ["doc_id"],
+    )
+    keys = keyed.select(*KEY_COLS, "doc_id").dropDuplicates(["doc_id"])
+    return pooled.join(keys, "doc_id").select(
+        *KEY_COLS, "n_chunks", "p_l2", "pq"
+    )
+
+
+def make_semantic_stages(
+    work_dir: str, n_batches, catalog, embedder_loader, prefix: str = "rel-"
+):
+    """The committed embed -> semdedup stage pair, shared by ReleaseRun
+    and QualityFilterRun: embed commits pooled doc vectors (config
+    carries embedder identity + chunk geometry — model swap re-embeds,
+    same model resumes), semdedup is global (its LSH pair join crosses
+    the corpus)."""
+    from ..engine.checkpoint import ResumableStage
+    from ..functions.scorers import _loader_key
+    from ..operators.dedup import BUCKET_CAP as _CAP
+    from ..operators.embedding import _N_PLANES, _SEM_THRESHOLD
+    from .embed_run import _geometry_token
+
+    embed = ResumableStage(
+        f"{prefix}embed", KEY_COLS, work_dir,
+        config={
+            "embedder": _loader_key(embedder_loader)
+            if embedder_loader is not None
+            else "default-featurehash-sql",
+            "geometry": _geometry_token(),
+            "pool": "sum-l2-q1e6",
+        },
+        n_batches=n_batches, catalog=catalog,
+    )
+    sem = ResumableStage(
+        f"{prefix}semdedup", KEY_COLS, work_dir,
+        config={
+            "method": "lsh-cell-cosine-doc",
+            "threshold": _SEM_THRESHOLD,
+            "n_planes": _N_PLANES,
+            "bucket_cap": _CAP,
+            "policy": "drop-later-of-pair",
+        },
+        n_batches=1, catalog=catalog,
+    )
+    return embed, sem
+
+
+def run_semantic_pair(
+    spark, cur, embed_stage, semdedup_stage, embedder_loader,
+    fail_after_batches=None,
+):
+    """Run (or resume) the embed -> semdedup pair over ``cur``; returns
+    (surviving frame, embed StageResult, semdedup StageResult). The
+    semdedup input token binds BOTH the surviving corpus and the
+    committed vector table, so a resumed semdedup never regenerates
+    vectors and an embedder swap invalidates it."""
+    from ..engine.fingerprint import input_identity
+    from ..operators.embedding import semantic_doc_dedup_filter
+
+    r_e = embed_stage.run(
+        spark, cur,
+        lambda df: _pooled_embed_transform(df, embedder_loader),
+        fail_after_batches=fail_after_batches,
+    )
+    vectors = embed_stage.output(spark)
+    r_s = semdedup_stage.run(
+        spark, cur,
+        lambda df: semantic_doc_dedup_filter(
+            df, KEY_COLS, text_col="content", vectors=vectors
+        ),
+        fail_after_batches=fail_after_batches,
+        input_token=f"{input_identity(cur)}|vec:{input_identity(vectors)}",
+    )
+    return semdedup_stage.output(spark), r_e, r_s
+
+
 def build_release(
     corpus: DataFrame,
     benchmarks: DataFrame | None = None,
@@ -212,30 +320,8 @@ class ReleaseRun:
         )
         self.embedder_loader = embedder_loader
         if semantic_dedup:
-            from ..operators.embedding import _N_PLANES, _SEM_THRESHOLD
-            from .embed_run import _geometry_token
-
-            self.embed_stage = ResumableStage(
-                "rel-embed", KEY_COLS, work_dir,
-                config={
-                    "embedder": _loader_key(embedder_loader)
-                    if embedder_loader is not None
-                    else "default-featurehash-sql",
-                    "geometry": _geometry_token(),
-                    "pool": "sum-l2-q1e6",
-                },
-                n_batches=n_batches, catalog=self.catalog,
-            )
-            self.semdedup_stage = ResumableStage(
-                "rel-semdedup", KEY_COLS, work_dir,
-                config={
-                    "method": "lsh-cell-cosine-doc",
-                    "threshold": _SEM_THRESHOLD,
-                    "n_planes": _N_PLANES,
-                    "bucket_cap": _CAP,
-                    "policy": "drop-later-of-pair",
-                },
-                n_batches=1, catalog=self.catalog,
+            self.embed_stage, self.semdedup_stage = make_semantic_stages(
+                work_dir, n_batches, self.catalog, embedder_loader
             )
         else:
             self.embed_stage = None
@@ -284,45 +370,6 @@ class ReleaseRun:
             s.run_hash = self.run_hash
 
     # -- stage transforms -----------------------------------------------------
-    def _embed_transform(self, df: DataFrame) -> DataFrame:
-        """(repo, path, commit, n_chunks, p_l2, pq) pooled doc vectors —
-        per-key work only, so n_batches sharding stays independent.
-        Default: the SQL feature-hash expression path (zero Python).
-        With an embedder_loader: the Arrow model path, pooled the same
-        way. embed_chunks_arrow needs a numeric id: pmod(xxhash64(key),
-        2^42) — bounded so the vec_id radix (id * 1e6 + chunk_idx) stays
-        inside int64; an in-batch id collision (~birthday at 2^21 docs
-        per commit batch) would orphan one key's vector, which only
-        SKIPS that file's semantic dedup, never corrupts it."""
-        from ..operators.embedding import (
-            chunk_frame_of,
-            pool_chunk_vectors,
-            pooled_vectors_of,
-        )
-
-        if self.embedder_loader is None:
-            return pooled_vectors_of(df, KEY_COLS, text_col="content")
-        from ..functions.embedder import embed_chunks_arrow
-
-        keyed = df.select(*KEY_COLS, "content").withColumn(
-            "doc_id",
-            F.expr(
-                f"pmod(xxhash64(concat_ws('|', {', '.join(KEY_COLS)})),"
-                f" {2**42}L)"
-            ),
-        )
-        chunks = chunk_frame_of(keyed, text_col="content").select(
-            "doc_id", "chunk_idx", "vec_id", F.array_join("cw", " ").alias("chunk_text")
-        )
-        pooled = pool_chunk_vectors(
-            embed_chunks_arrow(chunks, self.embedder_loader).select("doc_id", "vq"),
-            ["doc_id"],
-        )
-        keys = keyed.select(*KEY_COLS, "doc_id").dropDuplicates(["doc_id"])
-        return pooled.join(keys, "doc_id").select(
-            *KEY_COLS, "n_chunks", "p_l2", "pq"
-        )
-
     def _annotate_transform(self, df: DataFrame) -> DataFrame:
         return annotate(df, self.cfg, scorer_loader=self.scorer_loader)
 
@@ -364,31 +411,12 @@ class ReleaseRun:
         cur = self.clone_stage.output(spark)
 
         if self.embed_stage is not None:
-            from ..engine.fingerprint import input_identity
-            from ..operators.embedding import semantic_doc_dedup_filter
-
-            r = self.embed_stage.run(
-                spark, cur, self._embed_transform,
-                fail_after_batches=fail_after_batches,
+            cur, r_e, r_s = run_semantic_pair(
+                spark, cur, self.embed_stage, self.semdedup_stage,
+                self.embedder_loader, fail_after_batches=fail_after_batches,
             )
-            ran["embed"] = r.batches_run
-            vectors = self.embed_stage.output(spark)
-            r = self.semdedup_stage.run(
-                spark, cur,
-                lambda df: semantic_doc_dedup_filter(
-                    df, KEY_COLS, text_col="content", vectors=vectors
-                ),
-                fail_after_batches=fail_after_batches,
-                # depends on BOTH the surviving corpus and the committed
-                # vector table (embedder identity rides the embed stage's
-                # fingerprint, which input_identity(vectors) inherits via
-                # its storage location)
-                input_token=(
-                    f"{input_identity(cur)}|vec:{input_identity(vectors)}"
-                ),
-            )
-            ran["semdedup"] = r.batches_run
-            cur = self.semdedup_stage.output(spark)
+            ran["embed"] = r_e.batches_run
+            ran["semdedup"] = r_s.batches_run
 
         if self.decontam_stage is not None:
             if benchmarks is None:

@@ -41,6 +41,8 @@ class QualityFilterRun:
         clone_dedup: bool = False,
         catalog=None,
         scorer_loader=None,
+        semantic_dedup: bool = False,
+        embedder_loader=None,
     ) -> None:
         """``n_batches=None``: each stage auto-sizes its commit granule
         from its own input's bytes/rows (see ResumableStage).
@@ -96,6 +98,20 @@ class QualityFilterRun:
             if clone_dedup
             else None
         )
+        # optional semantic near-dup removal between clone dedup and the
+        # filter: committed pooled-doc-vector embed stage + global
+        # LSH-cell semdedup (same pair ReleaseRun uses; embedder identity
+        # in the embed stage's fingerprint)
+        self.embedder_loader = embedder_loader
+        if semantic_dedup:
+            from .release import make_semantic_stages
+
+            self.embed_stage, self.semdedup_stage = make_semantic_stages(
+                work_dir, n_batches, self.catalog, embedder_loader, prefix=""
+            )
+        else:
+            self.embed_stage = None
+            self.semdedup_stage = None
         self.filter_stage = ResumableStage(
             "filter",
             KEY_COLS,
@@ -182,6 +198,15 @@ class QualityFilterRun:
                 spark, corpus, _clone_dedup, fail_after_batches=fail_after_batches
             )
             corpus = self.clone_stage.output(spark)
+        if self.embed_stage is not None:
+            from .release import run_semantic_pair
+
+            self.embed_stage.run_hash = self.run_hash
+            self.semdedup_stage.run_hash = self.run_hash
+            corpus, _, _ = run_semantic_pair(
+                spark, corpus, self.embed_stage, self.semdedup_stage,
+                self.embedder_loader, fail_after_batches=fail_after_batches,
+            )
         r1 = self.filter_stage.run(
             spark, corpus, self._filter_transform, fail_after_batches=fail_after_batches
         )

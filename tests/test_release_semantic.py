@@ -153,3 +153,58 @@ def test_embedder_swap_invalidates_embed_stage(spark, tmp_path):
     assert ran["dedup"] == [] and ran["clonededup"] == []  # cache hits
     assert len(ran["embed"]) == 2 and ran["semdedup"] == [0]  # re-ran
     assert _released_set(b.output(spark)) == _released_set(a.output(spark))
+
+
+def test_quality_filter_run_semantic_dedup(spark, tmp_path):
+    """QualityFilterRun(semantic_dedup=True): the embed+semdedup pair
+    (shared with ReleaseRun) drops one member of each reversed-word twin
+    pair before the filter stage, resumably; default run keeps both."""
+    corpus = _semantic_corpus(spark, tmp_path)
+    from curator_spark.plans.runner import QualityFilterRun
+
+    plain = QualityFilterRun(str(tmp_path / "wp"), n_batches=2)
+    plain.run(spark, corpus)
+    sem = QualityFilterRun(str(tmp_path / "ws"), n_batches=2, semantic_dedup=True)
+    sem.run(spark, corpus)
+
+    kp = {tuple(r) for r in plain.output(spark).select("repo", "path", "commit").collect()}
+    ks = {tuple(r) for r in sem.output(spark).select("repo", "path", "commit").collect()}
+    assert ks < kp  # strictly fewer files survive with semantic dedup on
+    dropped = kp - ks
+    # (no clone-dedup stage here, so the corpus' natural clone families
+    # are legitimately dropped too — only the twin-pair policy is pinned)
+    twin_drops = {p for _, p, _ in dropped if p.endswith((".sa", ".sb"))}
+    assert twin_drops
+    # deterministic policy: of each twin pair exactly the
+    # LEXICOGRAPHICALLY-LATER key was dropped (.sb sorts after .sa)
+    assert all(p.endswith(".sb") for p in twin_drops)
+
+    # a fresh identically-configured run is a pure cache hit through the
+    # new stages too
+    sem2 = QualityFilterRun(str(tmp_path / "ws"), n_batches=2, semantic_dedup=True)
+    r1, r2 = sem2.run(spark, corpus)
+    assert r1.batches_run == [] and r2.batches_run == []
+    assert sem2.embed_stage.committed_batches() == [0, 1]
+
+
+def test_cli_semantic_dedup_flag(spark, tmp_path, capsys):
+    """python -m curator_spark --semantic-dedup: fewer kept rows than the
+    default run on the twin corpus, end to end through the CLI."""
+    import json
+
+    from curator_spark.__main__ import main
+
+    corpus = _semantic_corpus(spark, tmp_path)
+    inp = str(tmp_path / "cli_in")
+    corpus.write.mode("overwrite").parquet(inp)
+
+    def kept(args):
+        rc = main(args)
+        assert rc == 0
+        line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)["kept_rows"]
+
+    k_plain = kept(["--input", inp, "--work-dir", str(tmp_path / "c1"), "--n-batches", "2"])
+    k_sem = kept(["--input", inp, "--work-dir", str(tmp_path / "c2"), "--n-batches", "2",
+                  "--semantic-dedup"])
+    assert 0 < k_sem < k_plain
