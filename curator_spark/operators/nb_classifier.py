@@ -394,12 +394,13 @@ _Q["nb_quality_score"].oracle = nb_oracle(
 # the distilled model now fails the correctness gate, like ann_recall_report
 # does for ANN recall.
 # ---------------------------------------------------------------------------
-def _report_oracle(scored_sql: str) -> str:
+def _report_oracle(scored_sql: str, claimed: str = "claimed_label",
+                   pred: str = "pred_label") -> str:
     return f"""
 WITH scored AS ({scored_sql}),
 conf AS (
-  SELECT claimed_label AS c, pred_label AS p, count(*) AS n
-  FROM scored GROUP BY claimed_label, pred_label
+  SELECT {claimed} AS c, {pred} AS p, count(*) AS n
+  FROM scored GROUP BY {claimed}, {pred}
 ),
 classes AS (
   SELECT c AS label FROM conf UNION SELECT p FROM conf
@@ -440,12 +441,19 @@ LEFT JOIN tpm ON tpm.label = cl.label
 )
 def nb_quality_report(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
     scored = nb_quality_score(spark, sf_dir, vocab_cap)
+    return confusion_report(scored, "claimed_label", "pred_label")
+
+
+def confusion_report(scored, claimed_col: str, pred_col: str):
+    """Per-class confusion + acc/P/R/F1 in exact integer basis points for
+    ANY (claimed, pred) scored frame — shared by the quality and langid
+    report queries; mirrored bit-exactly by _report_oracle."""
     # confusion matrix is <= n_classes^2 rows; materialize it so the
-    # per-class / total derivations below read 4 cached rows, not three
-    # more passes over the scored corpus
+    # per-class / total derivations below read a few cached rows, not
+    # three more passes over the scored corpus
     conf = (
         scored.groupBy(
-            F.col("claimed_label").alias("c"), F.col("pred_label").alias("p")
+            F.col(claimed_col).alias("c"), F.col(pred_col).alias("p")
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
@@ -506,3 +514,17 @@ _Q["nb_quality_report"].oracle = _report_oracle(
         _quality_labeled_duck(), claimed_name="claimed_label", pred_name="pred_label"
     )
 )
+
+
+@register(
+    "nb_langid_report",
+    _report_oracle(_Q_NB_LANGID_ORACLE, claimed="claimed_lang", pred="pred_lang"),
+    "evaluate the in-engine NB language-ID model: per-class confusion + acc/P/R/F1 in exact bp",
+)
+def nb_langid_report(spark, sf_dir, vocab_cap: int = VOCAB_CAP):
+    """The langid classifier's evaluation against the (noisy, ~10%-wrong
+    by construction) claimed labels — 7 language classes, same
+    confusion_report/_report_oracle machinery as the quality distillation
+    report, so a langid-model regression is gate-visible too."""
+    scored = nb_langid_score(spark, sf_dir, vocab_cap)
+    return confusion_report(scored, "claimed_lang", "pred_lang")
