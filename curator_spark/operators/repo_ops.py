@@ -285,6 +285,18 @@ def repo_dir_rollup(spark, sf_dir):
 _N_HASHES = 8
 _J_MIN_BP = 2500
 
+# 8 single-hash band keys per file from its distinct 3-gram shingles, as one
+# let-chained codegen expression over a bound `sh` column (see dedup._let for
+# why the let-binding matters). Shared by clone_pairs and the incremental
+# band-index builder so both produce bit-identical index rows.
+_BAND_SIG_EXPR = _let(
+    "sh",
+    "shz",
+    f"transform(sequence(0, {_N_HASHES - 1}),"
+    " s -> md5(concat(cast(s as string), '|',"
+    " array_min(transform(shz, x -> md5(concat(cast(s as string), ':', x)))))))",
+)
+
 
 def clone_pairs_sql(corpus_expr: str) -> str:
     """Confirmed cross-repo clone pairs as a standalone SQL query over any
@@ -353,15 +365,8 @@ def clone_pairs(corpus_df):
         c.select("fid", "repo", F.expr(_SHINGLES_SPARK).alias("sh"))
         .localCheckpoint(eager=False)
     )
-    sig_expr = _let(
-        "sh",
-        "shz",
-        f"transform(sequence(0, {_N_HASHES - 1}),"
-        " s -> md5(concat(cast(s as string), '|',"
-        " array_min(transform(shz, x -> md5(concat(cast(s as string), ':', x)))))))",
-    )
     bands = shingled.filter(F.size("sh") > 0).select(
-        "fid", F.explode(F.expr(sig_expr)).alias("band_key")
+        "fid", F.explode(F.expr(_BAND_SIG_EXPR)).alias("band_key")
     )
     bands = cap_bucket_width(bands, "band_key", "fid")
     a, b = bands.alias("a"), bands.alias("b")
@@ -549,3 +554,166 @@ def clone_dedup_keep(spark, sf_dir):
             .alias("n_clone_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# clone_incremental: incremental fuzzy dedup across crawl snapshots — the
+# pattern that makes fuzzy dedup affordable at web scale. Re-pairing the
+# whole corpus per crawl is O(corpus) in shingling and band-join work even
+# when a crawl only adds 1% new files; production pipelines
+# (CCNet/RefinedWeb-style rolling dedup) instead COMMIT the band index and,
+# per crawl, (1) carry forward index rows whose files are still present,
+# (2) band only the ADDED files, (3) generate candidates only for pairs
+# that involve at least one added file — stable-vs-stable pairs were
+# already adjudicated by the previous run. Per-crawl cost is then
+# O(|added| shingling) + one semi-join to expire vanished files + the
+# capped bucket join restricted to new-involving pairs.
+#
+# The committed index is UNCAPPED (fid, band_key) rows by design:
+# BUCKET_CAP is a query-time join bound, and a capped committed index
+# would freeze cap membership at crawl N, diverging from a fresh run.
+# Confirm-stage shingles are recomputed from current content for CANDIDATE
+# MEMBERS ONLY (semi-join on the candidate fid set), so the committed
+# state stays small — band keys, never shingle sets.
+#
+# Correctness proof mirrors embed_incremental: the oracle runs the FULL
+# clone-pair computation directly on the current window and keeps pairs
+# with >= 1 added member; value-hash equality shows carry-forward +
+# added-only banding is bit-identical to recompute-everything. The
+# `a_is_new`/`b_is_new` flags are replayed by prev-window membership.
+# ---------------------------------------------------------------------------
+def band_index(corpus_df):
+    """Uncapped (fid, band_key) MinHash band rows for ANY (commit, content)
+    frame — the committed, carry-forward-able representation of fuzzy-dedup
+    state (on a real deployment: a parquet/Iceberg table keyed by crawl).
+    Same _BAND_SIG_EXPR as clone_pairs, so carried and fresh rows are
+    bit-identical for identical content."""
+    c = corpus_df.select(
+        F.col("commit").alias("fid"), F.col("content").alias("text")
+    )
+    return (
+        c.select("fid", F.expr(_SHINGLES_SPARK).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("fid", F.explode(F.expr(_BAND_SIG_EXPR)).alias("band_key"))
+    )
+
+
+def incremental_clone_candidates(curr_df, prev_index):
+    """Candidate pairs (fid_a, fid_b, a_is_new, b_is_new) from the carried
+    band index + added-only banding — the capped band-key equi-join with
+    stable-vs-stable pairs filtered out. Exposed separately so the
+    plan-shape tests can assert on the join strategies BEFORE the
+    materialization checkpoint hides them behind an RDD scan."""
+    curr_fids = curr_df.select(F.col("commit").alias("fid"))
+    # expire vanished files; whatever remains is the carried, already-paid
+    # banding work of the previous crawl
+    carried = prev_index.join(curr_fids, "fid", "left_semi").withColumn(
+        "is_new", F.lit(0)
+    )
+    added = curr_df.join(
+        prev_index.select("fid").distinct(),
+        curr_df["commit"] == F.col("fid"),
+        "left_anti",
+    )
+    fresh = band_index(added).withColumn("is_new", F.lit(1))
+    # carried ∪ fresh == band_index(curr) exactly, so capping here is the
+    # same deterministic truncate a full recompute would apply
+    capped = cap_bucket_width(carried.unionByName(fresh), "band_key", "fid")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.fid") < F.col("b.fid")),
+        )
+        # the incremental win: stable-vs-stable pairs never leave the join
+        .filter((F.col("a.is_new") == 1) | (F.col("b.is_new") == 1))
+        .select(
+            F.col("a.fid").alias("fid_a"),
+            F.col("b.fid").alias("fid_b"),
+            F.col("a.is_new").alias("a_is_new"),
+            F.col("b.is_new").alias("b_is_new"),
+        )
+        .distinct()
+    )
+
+
+def incremental_clone_pairs(curr_df, prev_index):
+    """Confirmed cross-repo clone pairs involving at least one file that is
+    NEW in ``curr_df`` relative to the committed ``prev_index`` (uncapped
+    (fid, band_key) rows from the previous crawl, i.e. ``band_index`` of
+    the previous corpus). Returns (fid_a, fid_b, repo_a, repo_b,
+    jaccard_bp, a_is_new, b_is_new)."""
+    cand = incremental_clone_candidates(curr_df, prev_index).localCheckpoint(
+        # consumed twice (member-fid set + confirm join): materialize once
+        eager=False
+    )
+    cand_fids = (
+        cand.select(F.col("fid_a").alias("fid"))
+        .union(cand.select(F.col("fid_b").alias("fid")))
+        .distinct()
+    )
+    # confirm shingles ONLY for candidate members — bounded by candidate
+    # count, not corpus size
+    sh = (
+        curr_df.join(cand_fids, curr_df["commit"] == cand_fids["fid"], "left_semi")
+        .select(
+            F.col("commit").alias("fid"), "repo", F.col("content").alias("text")
+        )
+        .select("fid", "repo", F.expr(_SHINGLES_SPARK).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sa = sh.select(
+        F.col("fid").alias("fid_a"),
+        F.col("repo").alias("repo_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    sb = sh.select(
+        F.col("fid").alias("fid_b"),
+        F.col("repo").alias("repo_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        cand.join(sa, "fid_a")
+        .join(sb, "fid_b")
+        .filter(F.col("repo_a") != F.col("repo_b"))
+        .withColumn("__inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard_bp",
+            F.expr("__inter * 10000 div (size(sh_a) + size(sh_b) - __inter)"),
+        )
+        .filter(F.col("jaccard_bp") >= _J_MIN_BP)
+        .select(
+            "fid_a",
+            "fid_b",
+            "repo_a",
+            "repo_b",
+            "jaccard_bp",
+            F.col("a_is_new").cast("long").alias("a_is_new"),
+            F.col("b_is_new").cast("long").alias("b_is_new"),
+        )
+    )
+
+
+_Q_CLONE_INCR_ORACLE = f"""
+WITH prevw AS (SELECT commit FROM {_CORPUS_DUCK}),
+pairs AS ({clone_pairs_sql(f"read_parquet('{_RAW_W400}')")})
+SELECT fid_a, fid_b, repo_a, repo_b, jaccard_bp,
+       cast(CASE WHEN fid_a IN (SELECT commit FROM prevw) THEN 0 ELSE 1 END AS BIGINT) AS a_is_new,
+       cast(CASE WHEN fid_b IN (SELECT commit FROM prevw) THEN 0 ELSE 1 END AS BIGINT) AS b_is_new
+FROM pairs
+WHERE fid_a NOT IN (SELECT commit FROM prevw)
+   OR fid_b NOT IN (SELECT commit FROM prevw)
+"""
+
+
+@register(
+    "clone_incremental",
+    _Q_CLONE_INCR_ORACLE,
+    "incremental fuzzy dedup across crawl snapshots: carried band index + added-only banding",
+)
+def clone_incremental(spark, sf_dir):
+    prev = _corpus(spark)
+    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
+    # stands in for the committed band-index table of the previous crawl
+    return incremental_clone_pairs(curr, band_index(prev))

@@ -41,3 +41,38 @@ def test_incremental_only_computes_added_rows(spark):
     assert plan.count("MapInPandas") <= 3
     n_added = curr.join(prev.select("commit"), "commit", "left_anti").count()
     assert n_added == 100
+
+
+def test_incremental_clone_pairs_equal_full_recompute(spark):
+    """Fuzzy-dedup carry-forward: pairing a new crawl against the previous
+    crawl's committed band index must yield exactly the new-involving
+    subset of a from-scratch clone-pair run on the current window."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.repo_ops import (
+        band_index,
+        clone_pairs,
+        incremental_clone_pairs,
+    )
+
+    prev = generate_spark(spark, 600, seed=42, partitions=4)
+    curr = generate_spark(spark, 600, seed=42, partitions=4, start=150)
+    inc = incremental_clone_pairs(curr, band_index(prev))
+
+    prev_fids = {r[0] for r in prev.select("commit").collect()}
+    full = clone_pairs(curr).collect()
+    want = sorted(
+        (r.fid_a, r.fid_b, r.repo_a, r.repo_b, r.jaccard_bp,
+         int(r.fid_a not in prev_fids), int(r.fid_b not in prev_fids))
+        for r in full
+        if r.fid_a not in prev_fids or r.fid_b not in prev_fids
+    )
+    got = sorted(tuple(r) for r in inc.collect())
+    assert got == want
+    assert len(got) > 0  # the windows genuinely overlap in clones
+
+    # vanished files must expire from the carried index
+    carried = band_index(prev).join(
+        curr.select(F.col("commit").alias("fid")), "fid", "left_semi"
+    )
+    assert carried.select("fid").distinct().count() <= 450

@@ -104,3 +104,35 @@ def test_cross_repo_clones_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_clone_incremental_plan_shape(spark):
+    """The incremental pairer must keep the full-run guarantees (capped
+    band equi-join, no cross-product, no Python nodes) and show the two
+    incremental joins: a LeftSemi (index expiry) and a LeftAnti
+    (added-file detection against the committed index). The candidate
+    stage is inspected pre-checkpoint — the registered query's plan hides
+    it behind the materialization RDD scan."""
+    from curator_spark.operators.repo_ops import (
+        _DRIFT_START,
+        _N_ROWS,
+        band_index,
+        incremental_clone_candidates,
+    )
+    from curator_spark.sources.corpus import generate_spark
+
+    prev = generate_spark(spark, _N_ROWS, seed=42, partitions=8)
+    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
+    cand = incremental_clone_candidates(curr, band_index(prev))
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cplan
+    assert "BroadcastNestedLoopJoin" not in cplan
+    assert "ArrowEvalPython" not in cplan and "BatchEvalPython" not in cplan
+    assert "LeftSemi" in cplan
+    assert "LeftAnti" in cplan
+
+    # the confirm stage downstream of the checkpoint keeps the same bans
+    plan = _plan(spark, "clone_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
