@@ -717,3 +717,88 @@ def clone_incremental(spark, sf_dir):
     curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
     # stands in for the committed band-index table of the previous crawl
     return incremental_clone_pairs(curr, band_index(prev))
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_incremental: FIRST-SEEN-WINS exact dedup across crawl
+# snapshots — the third leg of the incremental family (exact here, fuzzy =
+# clone_incremental, semantic = embed_incremental). Rolling-crawl pipelines
+# (CCNet-style) do not re-dedup the union of all crawls per crawl; they
+# COMMIT a digest index (one row per distinct content digest with its
+# winning file id) and, per crawl, (1) drop current rows whose digest is
+# already committed — duplicates of content kept by an earlier crawl —
+# then (2) dedup the remainder within-crawl (min commit wins), and
+# (3) append the surviving digests to the index. Per-crawl cost is one
+# anti-join against the committed index plus one window over the
+# crawl-local digest groups; the previous crawls' CONTENT is never
+# rescanned — only their digests travel.
+#
+# Note the semantics are first-seen-wins (crawl order, then min commit
+# within a crawl), the production choice for rolling dedup — NOT
+# global-min-commit over the union, which would require retro-revoking
+# previously published canonical rows whenever a later crawl surfaced a
+# smaller id. test_incremental asserts the equivalence against a direct
+# first-seen-wins computation over the two-crawl union.
+# ---------------------------------------------------------------------------
+def digest_index(corpus_df):
+    """Committed (digest, canonical) index of a crawl: one row per
+    distinct content digest with the winning (min) commit. This — not the
+    content — is the carry-forward state; at 10^12 files it is one
+    hash-aggregate producing a table keyed uniformly by digest."""
+    return corpus_df.groupBy(F.md5("content").alias("digest")).agg(
+        F.min("commit").alias("canonical")
+    )
+
+
+def incremental_exact_keep(curr_df, prev_index):
+    """Rows of ``curr_df`` that survive first-seen-wins exact dedup
+    against the committed ``prev_index``: digest unseen in the index AND
+    first (min commit) within its crawl-local digest group. Returns
+    (commit, repo, path, digest, n_copies_in_crawl). One anti-join on
+    digest + one hash-aggregate (min-struct winner + group count, both
+    partial-aggregatable: map-side combine, no per-group sort a window
+    would need) — digest keys are uniform (md5), so no shuffle can skew."""
+    d = curr_df.withColumn("digest", F.md5("content"))
+    fresh = d.join(prev_index.select("digest"), "digest", "left_anti")
+    return (
+        fresh.groupBy("digest")
+        .agg(
+            # struct ordering is lexicographic by field: min commit wins
+            F.min(F.struct("commit", "repo", "path")).alias("__w"),
+            F.count(F.lit(1)).alias("n_copies_in_crawl"),
+        )
+        .select(
+            F.col("__w.commit").alias("commit"),
+            F.col("__w.repo").alias("repo"),
+            F.col("__w.path").alias("path"),
+            "digest",
+            "n_copies_in_crawl",
+        )
+    )
+
+
+_Q_EXACT_INCR_ORACLE = f"""
+WITH previx AS (SELECT DISTINCT md5(content) AS digest FROM {_CORPUS_DUCK}),
+curr AS (SELECT commit, repo, path, md5(content) AS digest
+         FROM read_parquet('{_RAW_W400}')),
+fresh AS (SELECT * FROM curr WHERE digest NOT IN (SELECT digest FROM previx)),
+ranked AS (
+  SELECT commit, repo, path, digest,
+         row_number() OVER (PARTITION BY digest ORDER BY commit) AS rn,
+         count(*) OVER (PARTITION BY digest) AS n_copies_in_crawl
+  FROM fresh
+)
+SELECT commit, repo, path, digest, n_copies_in_crawl FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_exact_incremental",
+    _Q_EXACT_INCR_ORACLE,
+    "incremental exact dedup across crawl snapshots: anti-join the committed digest index, first-seen wins",
+)
+def dedup_exact_incremental(spark, sf_dir):
+    prev = _corpus(spark)
+    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
+    # stands in for the committed digest-index table of the previous crawl
+    return incremental_exact_keep(curr, digest_index(prev))

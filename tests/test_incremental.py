@@ -76,3 +76,51 @@ def test_incremental_clone_pairs_equal_full_recompute(spark):
         curr.select(F.col("commit").alias("fid")), "fid", "left_semi"
     )
     assert carried.select("fid").distinct().count() <= 450
+
+
+def test_incremental_exact_dedup_first_seen_wins(spark):
+    """Exact-dedup carry-forward: (prev kept) ∪ (incremental keep of curr
+    against prev's committed digest index) must equal a direct
+    first-seen-wins dedup over the two-crawl union — earlier crawl wins a
+    digest, min commit breaks ties within a crawl."""
+    from curator_spark.operators.repo_ops import (
+        digest_index,
+        incremental_exact_keep,
+    )
+
+    prev = generate_spark(spark, 600, seed=42, partitions=4)
+    curr = generate_spark(spark, 600, seed=42, partitions=4, start=150)
+    inc = incremental_exact_keep(curr, digest_index(prev)).collect()
+
+    import hashlib
+
+    def dig(text):
+        return hashlib.md5(text.encode()).hexdigest()
+
+    prev_rows = prev.select("commit", "content").collect()
+    curr_rows = curr.select("commit", "repo", "path", "content").collect()
+
+    # direct first-seen-wins over the union: crawl order, then min commit
+    first_seen = {}
+    for crawl_no, rows in ((0, prev_rows), (1, curr_rows)):
+        for r in rows:
+            d = dig(r.content)
+            k = (crawl_no, r.commit)
+            if d not in first_seen or k < first_seen[d]:
+                first_seen[d] = k
+    want = sorted(
+        (c, d) for d, (crawl_no, c) in first_seen.items() if crawl_no == 1
+    )
+    got = sorted((r.commit, r.digest) for r in inc)
+    assert got == want
+    assert len(got) > 0 and len(got) < len(curr_rows)  # both branches real
+
+    # n_copies_in_crawl replays the crawl-local group size of survivors
+    prev_digests = {dig(r.content) for r in prev_rows}
+    from collections import Counter
+
+    curr_counts = Counter(
+        dig(r.content) for r in curr_rows if dig(r.content) not in prev_digests
+    )
+    for r in inc:
+        assert r.n_copies_in_crawl == curr_counts[r.digest]
