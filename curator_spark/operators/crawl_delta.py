@@ -1,0 +1,135 @@
+"""The COMPOSED incremental-crawl delta as a driver-verified query: run
+plans/crawl over two crawl snapshots (crawl 0 = rows [0, 2000), crawl 1 =
+rows [400, 2400)) and emit the ONE-ROW delta manifest — per-stage removal
+counts, split counts, and a bit-exact released-delta fingerprint.
+
+The DuckDB oracle replays the whole rolling-release semantics FROM
+SCRATCH — no carried state:
+
+* crawl-0 bootstrap — exact dedup (min commit per content digest), then
+  cross-repo clone dedup (repo_ops.clone_pairs_sql, drop fid_b);
+* exact delta — current rows whose digest was never seen in crawl 0,
+  min-commit deduped within-crawl;
+* clone delta — clone pairs over the FULL current base (stable kept +
+  fresh), restricted to pairs involving >=1 fresh file, dropping the
+  fresh side of stable-fresh pairs and the later commit of fresh-fresh
+  pairs. The operator-level equality (test_incremental: carried band
+  index + added-only banding == full banding of the current base) is
+  what makes this from-scratch replay equal the incremental plan;
+* quality filter + scrub — fresh survivors joined to the w400 window's
+  pre-materialized reference-label golden (scripts/make_golden.py);
+* split — the identical md5(repo|path|commit) bucket arithmetic.
+
+A value-hash match therefore proves the incremental composition
+(carry-forward digest index, carried band index, delta-only annotation)
+is bit-identical to recomputing the rolling release from scratch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import (
+    _CORPUS_DUCK,
+    _DRIFT_START,
+    _N_ROWS,
+    _RAW_W400,
+    _corpus,
+    clone_pairs_sql,
+)
+from .release_manifest import _SPLIT_BUCKET_DUCK
+
+_GOLDEN_W400 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden",
+    "corpus_golden_2000_w400.parquet",
+)
+
+_Q_CRAWL_DELTA_ORACLE = f"""
+WITH prev AS (SELECT * FROM {_CORPUS_DUCK}),
+curr AS (SELECT * FROM read_parquet('{_RAW_W400}')),
+prev_ded AS (
+  SELECT * FROM prev
+  QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
+),
+pairs0 AS ({clone_pairs_sql("prev_ded")}),
+prev_kept AS (
+  SELECT * FROM prev_ded
+  WHERE commit NOT IN (SELECT DISTINCT fid_b FROM pairs0)
+),
+previx AS (SELECT DISTINCT md5(content) AS digest FROM prev_ded),
+freshk AS (
+  SELECT * FROM curr
+  WHERE md5(content) NOT IN (SELECT digest FROM previx)
+  QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
+),
+stable AS (
+  SELECT c.* FROM curr c WHERE c.commit IN (SELECT commit FROM prev_kept)
+),
+cur_base AS (SELECT * FROM stable UNION ALL SELECT * FROM freshk),
+pairs1 AS ({clone_pairs_sql("cur_base")}),
+newpairs AS (
+  SELECT fid_a, fid_b,
+         fid_b IN (SELECT commit FROM freshk) AS b_new
+  FROM pairs1
+  WHERE fid_a IN (SELECT commit FROM freshk)
+     OR fid_b IN (SELECT commit FROM freshk)
+),
+dropped AS (
+  SELECT DISTINCT CASE WHEN b_new THEN fid_b ELSE fid_a END AS c FROM newpairs
+),
+surv AS (SELECT * FROM freshk WHERE commit NOT IN (SELECT c FROM dropped)),
+kept AS (
+  SELECT s.repo, s.path, s.commit, g.scrubbed_sha256
+  FROM surv s JOIN read_parquet('{_GOLDEN_W400}') g ON s.commit = g.commit
+),
+split AS (
+  SELECT *,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT (SELECT count(*) FROM curr) AS crawl_files,
+       (SELECT count(*) FROM curr) - (SELECT count(*) FROM freshk) AS carried_dup_or_stable,
+       (SELECT count(*) FROM freshk) AS fresh_files,
+       (SELECT count(*) FROM freshk) - (SELECT count(*) FROM surv) AS removed_clone_dup,
+       (SELECT count(*) FROM surv) - (SELECT count(*) FROM kept) AS removed_quality_filter,
+       (SELECT count(*) FROM kept) AS delta_released,
+       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
+FROM split
+"""
+
+
+@register(
+    "crawl_delta_manifest",
+    _Q_CRAWL_DELTA_ORACLE,
+    "incremental crawl delta release (carried digest+band indexes, delta-only filter) as a 1-row bit-exact manifest",
+)
+def crawl_delta_manifest(spark, sf_dir):
+    from ..plans.crawl import build_crawl_delta, initial_crawl_state
+    from ..sources.corpus import generate_spark
+
+    prev = _corpus(spark)
+    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
+    _, state = initial_crawl_state(prev)
+    delta, _, manifest = build_crawl_delta(curr, state)
+    return delta.agg(
+        F.lit(manifest["crawl_files"]).cast("long").alias("crawl_files"),
+        F.lit(manifest["carried_dup_or_stable"]).cast("long").alias("carried_dup_or_stable"),
+        F.lit(manifest["fresh_files"]).cast("long").alias("fresh_files"),
+        F.lit(manifest["removed_clone_dup"]).cast("long").alias("removed_clone_dup"),
+        F.lit(manifest["removed_quality_filter"]).cast("long").alias("removed_quality_filter"),
+        F.lit(manifest["delta_released"]).cast("long").alias("delta_released"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
+    )

@@ -1,0 +1,381 @@
+"""Incremental crawl processing — the rolling-release pattern that makes
+curation affordable when crawl N+1 shares most of its content with crawl N:
+instead of re-releasing the union of all crawls, each crawl ships a DELTA
+(the new content that survives curation) and carries forward three small
+committed state tables; previous crawls' CONTENT is never rescanned.
+
+State carried between crawls (on a real deployment: Iceberg tables keyed
+by crawl id — here plain DataFrames / committed parquet stages):
+
+  digest_index  (digest, canonical)  — every content digest ever SEEN
+                                       (post exact dedup, independent of
+                                       downstream stages), winning commit
+  band_index    (fid, band_key)      — MinHash band rows of the current
+                                       kept corpus (clone-dedup state)
+  kept_commits  (commit)             — the current post-dedup corpus ids
+
+Per-crawl delta chain (first-seen-wins at every level — an earlier crawl
+always beats a later one for the same / near-dup content):
+
+  1. exact:  anti-join the crawl against digest_index, dedup the
+             remainder within-crawl (min commit) -> ``fresh`` rows
+  2. clone:  band ONLY the fresh rows; candidates = carried index rows
+             (expired by presence) + fresh bands; confirmed pairs that
+             involve >=1 fresh file drop the fresh side of stable-fresh
+             pairs and the later commit of fresh-fresh pairs
+  3. filter: annotate (langid + ppl + rules + scrub) ONLY the fresh
+             clone survivors; keep + split = the crawl's delta release
+  4. state:  append fresh digests, carry+extend the band index, extend
+             kept_commits — all bounded by |fresh|, not |corpus|
+
+Stage shapes at 10^12 files: (1) is one digest anti-join + one
+partial-aggregatable hash-aggregate; (2) reuses repo_ops's capped band
+join with the stable-vs-stable pairs filtered out before the shuffle
+fans out; (3) is the zero-shuffle fused Arrow map of the quality
+pipeline over |fresh| rows only. The operator-level equalities
+(tests/test_incremental.py: carry-forward == full recompute for exact,
+clone, and embedding) are what entitle this composition; the composed
+delta itself is driver-verified as crawl_delta_manifest
+(operators/crawl_delta.py) and chain-tested across three crawls.
+
+Reference anchor: curator resumes at response granularity
+(base_request_processor.py:145-198); this is the same idea lifted to
+crawl granularity, where the "already computed" set is the previous
+releases' state tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rules import DEFAULT_RULES, RuleConfig
+from .quality_pipeline import annotate
+from .release import KEY_COLS, _split_col
+
+
+@dataclass
+class CrawlState:
+    """The committed cross-crawl curation state (see module docstring)."""
+
+    digest_index: DataFrame  # (digest, canonical)
+    band_index: DataFrame  # (fid, band_key)
+    kept_commits: DataFrame  # (commit)
+
+
+def initial_crawl_state(corpus: DataFrame) -> tuple[DataFrame, CrawlState]:
+    """Bootstrap: crawl 0 is a full run — exact dedup (min-commit wins)
+    then cross-repo clone dedup — returning (post-dedup corpus, state).
+    The caller releases crawl 0 through the normal quality pipeline."""
+    from ..operators.repo_ops import (
+        band_index,
+        clone_dedup_filter,
+        digest_index,
+        incremental_exact_keep,
+    )
+
+    # exact: first-seen-wins degenerates to min-commit-wins on one crawl;
+    # an empty index frame keeps the plan identical to the delta path
+    empty_ix = corpus.sparkSession.createDataFrame([], "digest string")
+    deduped = corpus.join(
+        incremental_exact_keep(corpus, empty_ix).select("commit"),
+        "commit",
+        "left_semi",
+    )
+    deduped = deduped.localCheckpoint(eager=False)
+    kept = clone_dedup_filter(deduped).localCheckpoint(eager=False)
+    state = CrawlState(
+        digest_index=digest_index(deduped),
+        band_index=band_index(kept),
+        kept_commits=kept.select("commit"),
+    )
+    return kept, state
+
+
+def crawl_delta_frames(curr: DataFrame, state: CrawlState) -> dict:
+    """The delta chain as named frames (pre-annotation), so both
+    :func:`build_crawl_delta` and the resumable CrawlRun stage transforms
+    consume one definition. Returns dict with ``fresh`` (post exact),
+    ``clone_dropped`` (fresh fids dropped by clone policy), ``survivors``
+    (fresh rows entering the quality filter), ``cur_base`` (the full
+    post-exact-dedup current corpus: stable kept + fresh)."""
+    from ..operators.repo_ops import incremental_clone_pairs, incremental_exact_keep
+
+    fresh_keep = incremental_exact_keep(curr, state.digest_index)
+    fresh = curr.join(fresh_keep.select("commit"), "commit", "left_semi")
+    stable = curr.join(state.kept_commits, "commit", "left_semi")
+    cur_base = stable.unionByName(fresh)
+    pairs = incremental_clone_pairs(cur_base, state.band_index)
+    # first-seen-wins drop policy: stable-fresh pairs drop the fresh side,
+    # fresh-fresh pairs drop the later commit (fid_a < fid_b always)
+    clone_dropped = pairs.select(
+        F.when(F.col("b_is_new") == 1, F.col("fid_b"))
+        .otherwise(F.col("fid_a"))
+        .alias("commit")
+    ).distinct()
+    survivors = fresh.join(clone_dropped, "commit", "left_anti")
+    return {
+        "fresh": fresh,
+        "cur_base": cur_base,
+        "clone_dropped": clone_dropped,
+        "survivors": survivors,
+    }
+
+
+def build_crawl_delta(
+    curr: DataFrame,
+    state: CrawlState,
+    cfg: RuleConfig = DEFAULT_RULES,
+    scorer_loader=None,
+) -> tuple[DataFrame, CrawlState, dict]:
+    """Process one crawl against the committed state; returns
+    (delta release with ``split``, next state, manifest dict). Every
+    count in the manifest is over |crawl| or |fresh| rows — nothing
+    scales with the cumulative corpus except the two index joins."""
+    from ..operators.repo_ops import band_index, digest_index
+
+    fr = crawl_delta_frames(curr, state)
+    fresh = fr["fresh"].localCheckpoint(eager=False)
+    survivors = fr["survivors"].localCheckpoint(eager=False)
+
+    n_crawl = curr.count()
+    n_fresh = fresh.count()
+    n_surv = survivors.count()
+
+    annotated = annotate(survivors, cfg, scorer_loader=scorer_loader).localCheckpoint(
+        eager=False
+    )
+    delta = (
+        annotated.filter("keep")
+        .select(
+            *KEY_COLS,
+            "lang",
+            "lang_pred",
+            F.col("scrubbed_content").alias("content"),
+            "scrubbed_sha256",
+        )
+        .withColumn("split", _split_col())
+    )
+    n_delta = delta.count()
+
+    still_present = state.kept_commits.join(
+        curr.select("commit"), "commit", "left_semi"
+    )
+    kept_commits = still_present.unionByName(survivors.select("commit"))
+    new_state = CrawlState(
+        digest_index=state.digest_index.unionByName(digest_index(fresh)),
+        band_index=state.band_index.join(
+            kept_commits.select(F.col("commit").alias("fid")), "fid", "left_semi"
+        ).unionByName(band_index(survivors)),
+        kept_commits=kept_commits,
+    )
+    manifest = {
+        "crawl_files": n_crawl,
+        "carried_dup_or_stable": n_crawl - n_fresh,
+        "fresh_files": n_fresh,
+        "removed_clone_dup": n_fresh - n_surv,
+        "removed_quality_filter": n_surv - n_delta,
+        "delta_released": n_delta,
+    }
+    return delta, new_state, manifest
+
+
+class CrawlRun:
+    """One crawl's delta as committed, independently-resumable stages —
+    the crawl-granularity analog of ReleaseRun. A SIGKILL anywhere resumes
+    without recomputing committed work; a fully-committed crawl is a
+    metadata probe. Chain crawls by feeding ``next_state(spark)`` (built
+    from COMMITTED stage tables, no recomputation of previous crawls) into
+    the next CrawlRun.
+
+    Stage layout (commit granule in parens):
+
+      fresh    (n_batches, sharded BY CONTENT — all copies of a digest
+                land in one batch, so the per-batch min-commit pick is
+                globally correct; the digest-index anti-join rides each
+                batch; input token binds the index identity, so a state
+                swap invalidates committed batches)
+        -> clonedelta (global: the band join crosses the corpus; input
+                token binds band-index + stable-corpus identities)
+        -> bands      (n_batches, per-row banding of the survivors —
+                the committed band-index DELTA the next crawl carries)
+        -> annotate   (n_batches, the 1:1 quality-pipeline map over
+                survivors only)
+        -> finalize   (n_batches, keep-filter + split)
+    """
+
+    def __init__(
+        self,
+        work_dir: str,
+        crawl_id: int,
+        cfg: RuleConfig = DEFAULT_RULES,
+        n_batches: int | None = 4,
+        catalog=None,
+        scorer_loader=None,
+    ) -> None:
+        from ..engine.checkpoint import ResumableStage
+        from ..engine.fingerprint import run_fingerprint
+        from ..functions.scorers import _loader_key
+        from ..functions.scrub import SCRUB_PATTERNS
+        from ..operators.dedup import BUCKET_CAP as _CAP
+        from ..operators.repo_ops import _J_MIN_BP
+        from ..sources.catalog import ParquetDirCatalog
+
+        self.cfg = cfg
+        self.scorer_loader = scorer_loader
+        self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
+        p = f"crawl{crawl_id}-"
+        self.fresh_stage = ResumableStage(
+            f"{p}fresh", ["content"], work_dir,
+            config={"method": "digest-index-anti+min-commit"},
+            n_batches=n_batches, catalog=self.catalog,
+        )
+        self.clone_stage = ResumableStage(
+            f"{p}clonedelta", KEY_COLS, work_dir,
+            config={"method": "carried-band-lsh", "j_min_bp": _J_MIN_BP,
+                    "bucket_cap": _CAP, "policy": "first-seen-wins"},
+            n_batches=1, catalog=self.catalog,
+        )
+        self.bands_stage = ResumableStage(
+            f"{p}bands", KEY_COLS, work_dir,
+            config={"method": "minhash-band-index"},
+            n_batches=n_batches, catalog=self.catalog,
+        )
+        self.annotate_stage = ResumableStage(
+            f"{p}annotate", KEY_COLS, work_dir,
+            config={
+                "rules": cfg.to_dict(),
+                "patterns": SCRUB_PATTERNS,
+                "scorer": _loader_key(scorer_loader) if scorer_loader else "default",
+            },
+            n_batches=n_batches, catalog=self.catalog,
+        )
+        self.finalize_stage = ResumableStage(
+            f"{p}finalize", KEY_COLS, work_dir,
+            config={"split": "md5[9:16]%100/80/90"},
+            n_batches=n_batches, catalog=self.catalog,
+        )
+        self.stages = [
+            self.fresh_stage, self.clone_stage, self.bands_stage,
+            self.annotate_stage, self.finalize_stage,
+        ]
+        self.run_hash = run_fingerprint(work_dir, [s.fingerprint for s in self.stages])
+        for s in self.stages:
+            s.run_hash = self.run_hash
+
+    def run(
+        self,
+        spark,
+        curr: DataFrame,
+        state: CrawlState,
+        fail_after_batches: int | None = None,
+    ) -> dict:
+        from ..engine.fingerprint import input_identity
+        from ..operators.repo_ops import (
+            band_index,
+            incremental_clone_pairs,
+        )
+
+        # identity tokens BEFORE localCheckpoint: checkpointing severs the
+        # lineage input_identity reads (an RDD scan prints no sources)
+        ix_token = input_identity(state.digest_index)
+        band_token = input_identity(state.band_index)
+        digest_ix = state.digest_index.localCheckpoint(eager=False)
+        ran = {}
+
+        def _fresh_transform(df: DataFrame) -> DataFrame:
+            d = df.withColumn("__dg", F.md5("content"))
+            surv = (
+                d.join(digest_ix.select("digest"),
+                       d["__dg"] == F.col("digest"), "left_anti")
+                .groupBy("__dg")
+                .agg(F.min(F.struct("commit", "repo", "path", "lang", "content")).alias("__w"))
+                .select("__w.*")
+            )
+            return surv
+
+        r = self.fresh_stage.run(
+            spark, curr, _fresh_transform,
+            fail_after_batches=fail_after_batches,
+            input_token=f"{input_identity(curr)}|ix:{ix_token}",
+        )
+        ran["fresh"] = r.batches_run
+        fresh = self.fresh_stage.output(spark)
+
+        stable_lineage = curr.join(state.kept_commits, "commit", "left_semi")
+        stable_token = input_identity(stable_lineage)
+        stable = stable_lineage.localCheckpoint(eager=False)
+
+        def _clone_transform(df: DataFrame) -> DataFrame:
+            cur_base = stable.unionByName(df.select(*stable.columns))
+            pairs = incremental_clone_pairs(cur_base, state.band_index)
+            dropped = pairs.select(
+                F.when(F.col("b_is_new") == 1, F.col("fid_b"))
+                .otherwise(F.col("fid_a"))
+                .alias("commit")
+            ).distinct()
+            return df.join(dropped, "commit", "left_anti")
+
+        r = self.clone_stage.run(
+            spark, fresh, _clone_transform,
+            fail_after_batches=fail_after_batches,
+            input_token=(
+                f"{input_identity(fresh)}|band:{band_token}|stable:{stable_token}"
+            ),
+        )
+        ran["clonedelta"] = r.batches_run
+        survivors = self.clone_stage.output(spark)
+
+        r = self.bands_stage.run(
+            spark, survivors, band_index,
+            fail_after_batches=fail_after_batches,
+        )
+        ran["bands"] = r.batches_run
+
+        r = self.annotate_stage.run(
+            spark, survivors,
+            lambda df: annotate(df, self.cfg, scorer_loader=self.scorer_loader),
+            fail_after_batches=fail_after_batches,
+        )
+        ran["annotate"] = r.batches_run
+
+        def _finalize_transform(df: DataFrame) -> DataFrame:
+            return (
+                df.filter("keep")
+                .select(
+                    *KEY_COLS, "lang", "lang_pred",
+                    F.col("scrubbed_content").alias("content"), "scrubbed_sha256",
+                )
+                .withColumn("split", _split_col())
+            )
+
+        r = self.finalize_stage.run(
+            spark, self.annotate_stage.output(spark), _finalize_transform,
+            fail_after_batches=fail_after_batches,
+        )
+        ran["finalize"] = r.batches_run
+        return ran
+
+    def delta(self, spark) -> DataFrame:
+        """This crawl's released delta (scrubbed content, split assigned)."""
+        return self.finalize_stage.output(spark)
+
+    def next_state(self, spark, curr: DataFrame, state: CrawlState) -> CrawlState:
+        """The next crawl's state, from COMMITTED tables only: the fresh
+        stage's output supplies the digest-index delta, the bands stage
+        the band-index delta; carried rows are expired by presence."""
+        from ..operators.repo_ops import digest_index
+
+        fresh = self.fresh_stage.output(spark)
+        survivors = self.clone_stage.output(spark)
+        still = state.kept_commits.join(curr.select("commit"), "commit", "left_semi")
+        kept_commits = still.unionByName(survivors.select("commit"))
+        return CrawlState(
+            digest_index=state.digest_index.unionByName(digest_index(fresh)),
+            band_index=state.band_index.join(
+                kept_commits.select(F.col("commit").alias("fid")), "fid", "left_semi"
+            ).unionByName(self.bands_stage.output(spark)),
+            kept_commits=kept_commits,
+        )

@@ -31,15 +31,24 @@ OUT = os.path.join(
 )
 
 
-def main() -> None:
-    corpus = generate_pandas(2000, seed=42)
+OUT_W400 = OUT.replace("corpus_golden_2000", "corpus_golden_2000_w400")
+
+
+def _write(corpus, out) -> None:
     labels = reference_labels(corpus)
     kept = labels[labels["keep"]][
         ["repo", "path", "commit", "lang_pred", "ppl", "scrubbed_sha256"]
     ].reset_index(drop=True)
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(kept, preserve_index=False), OUT)
-    print(f"wrote {len(kept)} kept rows -> {OUT}")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(kept, preserve_index=False), out)
+    print(f"wrote {len(kept)} kept rows -> {out}")
+
+
+def main() -> None:
+    _write(generate_pandas(2000, seed=42), OUT)
+    # the drifted crawl window (rows [400, 2400)): the crawl-delta oracle
+    # joins its fresh survivors against this window's reference labels
+    _write(generate_pandas(2000, seed=42, start=400), OUT_W400)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,139 @@
+"""Incremental crawl processing (plans/crawl.py): the rolling-release
+chain must be exactly first-seen-wins across crawls, its carried state
+must equal a fresh recompute, and the committed CrawlRun must survive
+kills and converge to the single-session result bit for bit."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.plans.crawl import (
+    CrawlRun,
+    build_crawl_delta,
+    initial_crawl_state,
+)
+from curator_spark.sources.corpus import generate_spark
+
+ROWS = 600
+
+
+def _crawl(spark, tmp_path, name, start):
+    p = str(tmp_path / f"{name}.parquet")
+    generate_spark(spark, ROWS, seed=42, partitions=4, start=start).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return spark.read.parquet(p)
+
+
+def _dig(text: str) -> str:
+    return hashlib.md5(text.encode()).hexdigest()
+
+
+def test_crawl_chain_three_crawls_first_seen_exact(spark, tmp_path):
+    """Chain three overlapping crawls; the cumulative digest index must be
+    exactly the first-seen-wins set over the concatenated stream, and the
+    carried band index must equal a from-scratch banding of the current
+    kept corpus (carry-forward == recompute, composed)."""
+    from curator_spark.operators.repo_ops import band_index
+
+    a = _crawl(spark, tmp_path, "a", 0)
+    b = _crawl(spark, tmp_path, "b", 150)
+    c = _crawl(spark, tmp_path, "c", 300)
+
+    _, s0 = initial_crawl_state(a)
+    d1, s1, m1 = build_crawl_delta(b, s0)
+    d2, s2, m2 = build_crawl_delta(c, s1)
+    assert m1["delta_released"] > 0 and m2["delta_released"] > 0
+    assert m1["crawl_files"] == ROWS and m2["crawl_files"] == ROWS
+
+    # digest index == first-seen-wins over the concatenated crawl stream
+    first_seen = {}
+    for crawl_no, df in ((0, a), (1, b), (2, c)):
+        for r in df.select("commit", "content").collect():
+            d = _dig(r.content)
+            k = (crawl_no, r.commit)
+            if d not in first_seen or k < first_seen[d]:
+                first_seen[d] = k
+    want_ix = {(d, c_) for d, (_, c_) in first_seen.items()}
+    got_ix = {(r.digest, r.canonical) for r in s2.digest_index.collect()}
+    assert got_ix == want_ix
+
+    # kept corpus lives entirely in the current crawl window
+    c_commits = {r.commit for r in c.select("commit").collect()}
+    kept = {r.commit for r in s2.kept_commits.collect()}
+    assert kept <= c_commits
+
+    # carried band index == fresh banding of the current kept corpus
+    kept_rows = c.join(s2.kept_commits, "commit", "left_semi")
+    want_bands = {tuple(r) for r in band_index(kept_rows).collect()}
+    got_bands = {tuple(r) for r in s2.band_index.collect()}
+    assert got_bands == want_bands
+
+    # deltas never re-release content: released commits are disjoint and
+    # map to digests first seen in their own crawl
+    d1c = {r.commit for r in d1.select("commit").collect()}
+    d2c = {r.commit for r in d2.select("commit").collect()}
+    assert d1c.isdisjoint(d2c)
+    for commit_set, crawl_no in ((d1c, 1), (d2c, 2)):
+        for cm in commit_set:
+            # the released commit won its digest in its own crawl
+            assert any(
+                k == (crawl_no, cm) for k in first_seen.values()
+            ), f"{cm} released by crawl {crawl_no} but first seen elsewhere"
+
+
+def _delta_set(df):
+    return {
+        tuple(r)
+        for r in df.select(
+            "repo", "path", "commit", "scrubbed_sha256", "split"
+        ).collect()
+    }
+
+
+def test_crawl_run_kill_resume_matches_single_session(spark, tmp_path):
+    a = _crawl(spark, tmp_path, "a", 0)
+    b = _crawl(spark, tmp_path, "b", 150)
+    _, s0 = initial_crawl_state(a)
+
+    run = CrawlRun(str(tmp_path / "w"), crawl_id=1, n_batches=3)
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 40, "no convergence — a batch is being re-run forever"
+        try:
+            run.run(spark, b, s0, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    assert attempts >= 5  # kills really happened across the chain
+
+    from curator_spark.engine.lineage import read_lineage
+
+    lin = read_lineage(spark, str(tmp_path / "w" / "_lineage"))
+    dupes = (
+        lin.groupBy("stage", "partition_id").count().filter(F.col("count") > 1).collect()
+    )
+    assert dupes == [], f"recommitted batches: {dupes}"
+
+    delta_ref, s1_ref, _ = build_crawl_delta(b, s0)
+    assert _delta_set(run.delta(spark)) == _delta_set(delta_ref)
+
+    # a fully-committed crawl is a metadata probe: zero batches re-run
+    ran = run.run(spark, b, s0)
+    assert all(v == [] for v in ran.values()), ran
+
+    # next_state from committed tables == the single-session state
+    s1 = run.next_state(spark, b, s0)
+    assert {tuple(r) for r in s1.digest_index.collect()} == {
+        tuple(r) for r in s1_ref.digest_index.collect()
+    }
+    assert {tuple(r) for r in s1.band_index.collect()} == {
+        tuple(r) for r in s1_ref.band_index.collect()
+    }
+    assert {r.commit for r in s1.kept_commits.collect()} == {
+        r.commit for r in s1_ref.kept_commits.collect()
+    }
