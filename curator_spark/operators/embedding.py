@@ -694,13 +694,13 @@ def ann_over_generated(spark, sf_dir):
     )
 
 
-def semdedup_dropped_duck(src: str, key_expr: str, text_col: str = "content") -> str:
-    """DuckDB replay of :func:`semantic_doc_dedup_filter` over ANY table:
-    CTE chain (sem_-prefixed, safe to splice into larger oracles) ending
-    in ``sem_dropped (drop_id VARCHAR)`` — chunk, feature-hash, quantize,
-    sum-pool per STRING key, hyperplane-LSH cells, capped in-cell exact
-    cosine, drop-later-key. One definition serves both the standalone
-    dedup_semantic_docs oracle and the composed release oracle."""
+def semdedup_capped_duck(src: str, key_expr: str, text_col: str = "content") -> str:
+    """The shared prefix of every doc-level SemDeDup oracle: CTE chain
+    (sem_-prefixed) ending in ``sem_capped (_sid, bucket, pq)`` — chunk,
+    feature-hash, quantize, sum-pool per STRING key, hyperplane-LSH
+    cells, BUCKET_CAP truncation. Spliced by :func:`semdedup_dropped_duck`
+    (drop-later-key policy) and the incremental oracle (first-seen-wins
+    over new-involving pairs)."""
     return f"""sem_w AS (
   SELECT {key_expr} AS _sid,
          list_filter(str_split_regex({text_col}, '[ \\t\\n]+'), x -> x != '') AS ws
@@ -762,7 +762,16 @@ sem_buckets AS (
 ),
 sem_withb AS (SELECT q._sid, b.bucket, q.pq FROM sem_buckets b JOIN sem_quant q USING (_sid)),
 sem_capped AS (SELECT * FROM sem_withb
-           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY _sid) <= {BUCKET_CAP}),
+           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY _sid) <= {BUCKET_CAP})"""
+
+
+def semdedup_dropped_duck(src: str, key_expr: str, text_col: str = "content") -> str:
+    """DuckDB replay of :func:`semantic_doc_dedup_filter` over ANY table:
+    the sem_capped chain plus ``sem_dropped (drop_id VARCHAR)`` — capped
+    in-cell exact cosine, drop-later-key. One definition serves the
+    standalone dedup_semantic_docs oracle and the composed release
+    oracles."""
+    return f"""{semdedup_capped_duck(src, key_expr, text_col)},
 sem_dropped AS (
   SELECT DISTINCT b._sid AS drop_id
   FROM sem_capped a JOIN sem_capped b ON a.bucket = b.bucket AND a._sid < b._sid
@@ -868,3 +877,140 @@ def semantic_doc_dedup_filter(
         .join(dropped, F.col("_sid") == F.col("drop_id"), "left_anti")
         .drop("_sid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental doc-level SemDeDup across crawl snapshots — the semantic leg
+# of the incremental family (exact = dedup_exact_incremental, fuzzy =
+# clone_incremental). The committed state is the UNCAPPED bucketed
+# pooled-vector table (_sid, bucket, pq) of the previous crawl; per crawl:
+# carry rows whose key is still present, embed+bucket ONLY the added keys,
+# and adjudicate only pairs involving >= 1 added key (stable-vs-stable
+# pairs were decided by the previous run). First-seen-wins drop policy:
+# a stable-fresh near-dup pair drops the fresh side, a fresh-fresh pair
+# drops the later key. Because pooled vectors are a pure function of
+# content, carried ∪ fresh == the bucketed vectors of the full current
+# corpus, so the capped pair join is bit-identical to a from-scratch
+# run — which is exactly what the oracle computes.
+# ---------------------------------------------------------------------------
+def vector_bucket_index(corpus, key_cols, text_col: str = "content"):
+    """Uncapped committed (_sid, bucket, pq) rows for ANY keyed frame —
+    the carry-forward-able semantic-dedup state (on a real deployment: a
+    parquet/Iceberg table keyed by crawl; in CrawlRun-style pipelines the
+    committed output of an embed stage). BUCKET_CAP stays a query-time
+    join bound, exactly like the band index in repo_ops.band_index."""
+    key_cols = list(key_cols)
+    v = pooled_vectors_of(corpus, key_cols, text_col=text_col)
+    return v.select(
+        F.concat_ws("|", *key_cols).alias("_sid"),
+        F.expr(bucket_expr("pq", _N_PLANES, DIM)).alias("bucket"),
+        "pq",
+    )
+
+
+def incremental_semantic_pairs(
+    curr,
+    prev_vindex,
+    key_cols,
+    text_col: str = "content",
+    threshold: float = _SEM_THRESHOLD,
+):
+    """Confirmed near-dup pairs involving >= 1 key that is NEW in ``curr``
+    relative to the committed ``prev_vindex`` (vector_bucket_index of the
+    previous corpus), with the first-seen-wins drop attribution applied:
+    returns (drop_sid, kept_sid, kept_is_new)."""
+    key_cols = list(key_cols)
+    sid = F.concat_ws("|", *key_cols)
+    curr_sids = curr.select(sid.alias("_sid"))
+    # expire vanished keys; the survivors are the already-paid embedding
+    # work of the previous crawl
+    carried = prev_vindex.join(curr_sids, "_sid", "left_semi").withColumn(
+        "is_new", F.lit(0)
+    )
+    added = (
+        curr.withColumn("_sid", sid)
+        .join(prev_vindex.select("_sid"), "_sid", "left_anti")
+        .drop("_sid")
+    )
+    fresh = vector_bucket_index(added, key_cols, text_col=text_col).withColumn(
+        "is_new", F.lit(1)
+    )
+    # carried ∪ fresh == vector_bucket_index(curr) exactly (vectors are a
+    # pure function of content), so the cap is the same deterministic
+    # truncate a full recompute would apply
+    vb = scratch(carried.unionByName(fresh).persist())
+    capped = cap_bucket_width(vb, "bucket", "_sid")
+    a = capped.select(
+        F.col("_sid").alias("a_id"), F.col("bucket").alias("a_bucket"),
+        F.col("pq").alias("a_pq"), F.col("is_new").alias("a_new"),
+    )
+    b = capped.select(
+        F.col("_sid").alias("b_id"), F.col("bucket").alias("b_bucket"),
+        F.col("pq").alias("b_pq"), F.col("is_new").alias("b_new"),
+    )
+    cos = F.expr(_DOT.format(a="a_pq", b="b_pq")) / (
+        F.sqrt(F.expr(_DOT.format(a="a_pq", b="a_pq")))
+        * F.sqrt(F.expr(_DOT.format(a="b_pq", b="b_pq")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_bucket") == F.col("b_bucket"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        # the incremental win: stable-vs-stable pairs never leave the join
+        .filter((F.col("a_new") == 1) | (F.col("b_new") == 1))
+        .filter(cos >= threshold)
+        .select(
+            F.when(F.col("b_new") == 1, F.col("b_id")).otherwise(F.col("a_id")).alias("drop_sid"),
+            F.when(F.col("b_new") == 1, F.col("a_id")).otherwise(F.col("b_id")).alias("kept_sid"),
+            F.when(F.col("b_new") == 1, F.col("a_new")).otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept_is_new"),
+        )
+        .distinct()
+    )
+
+
+def _semdedup_incr_oracle() -> str:
+    from .repo_ops import _CORPUS_DUCK, _RAW_W400
+
+    return f"""
+WITH prevw AS (SELECT commit FROM {_CORPUS_DUCK}),
+{semdedup_capped_duck(f"read_parquet('{_RAW_W400}')", "commit", "content")},
+sem_pairs AS (
+  SELECT a._sid AS sa, b._sid AS sb,
+         a._sid NOT IN (SELECT commit FROM prevw) AS a_new,
+         b._sid NOT IN (SELECT commit FROM prevw) AS b_new
+  FROM sem_capped a JOIN sem_capped b ON a.bucket = b.bucket AND a._sid < b._sid
+  WHERE {_DOT_DUCK.format(a='a.pq', b='b.pq')} /
+        (sqrt({_DOT_DUCK.format(a='a.pq', b='a.pq')}) *
+         sqrt({_DOT_DUCK.format(a='b.pq', b='b.pq')})) >= {_SEM_THRESHOLD}
+)
+SELECT DISTINCT
+       CASE WHEN b_new THEN sb ELSE sa END AS drop_sid,
+       CASE WHEN b_new THEN sa ELSE sb END AS kept_sid,
+       cast(CASE WHEN b_new THEN a_new ELSE FALSE END AS BIGINT) AS kept_is_new
+FROM sem_pairs
+WHERE a_new OR b_new
+"""
+
+
+@register(
+    "semdedup_incremental",
+    None,  # assigned below (builder imports repo_ops constants)
+    "incremental doc-level SemDeDup across crawl snapshots: carried vector-bucket index + added-only embedding",
+)
+def semdedup_incremental(spark, sf_dir):
+    from ..sources.corpus import generate_spark
+    from .repo_ops import _DRIFT_START, _N_ROWS, _corpus
+
+    prev = _corpus(spark)
+    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
+    # stands in for the committed vector-bucket table of the previous crawl
+    return incremental_semantic_pairs(
+        curr, vector_bucket_index(prev, ["commit"]), ["commit"]
+    )
+
+
+_QQ["semdedup_incremental"].oracle = _semdedup_incr_oracle()

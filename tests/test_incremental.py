@@ -124,3 +124,62 @@ def test_incremental_exact_dedup_first_seen_wins(spark):
     )
     for r in inc:
         assert r.n_copies_in_crawl == curr_counts[r.digest]
+
+
+def test_incremental_semdedup_carry_forward_equals_recompute(spark):
+    """Semantic carry-forward: carried (still-present) index rows plus
+    added-only embedding must reproduce the from-scratch vector-bucket
+    index of the current window exactly; the drop policy must never drop
+    a stable key; and with an EMPTY index the pair generation must agree
+    with semantic_doc_dedup_filter's independently-computed dropped set."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.embedding import (
+        incremental_semantic_pairs,
+        semantic_doc_dedup_filter,
+        vector_bucket_index,
+    )
+
+    prev = generate_spark(spark, 600, seed=42, partitions=4)
+    curr = generate_spark(spark, 600, seed=42, partitions=4, start=150)
+
+    pix = vector_bucket_index(prev, ["commit"])
+    carried = pix.join(
+        curr.select(F.col("commit").alias("_sid")), "_sid", "left_semi"
+    )
+    added = curr.join(
+        pix.select(F.col("_sid").alias("commit")), "commit", "left_anti"
+    )
+    fresh = vector_bucket_index(added, ["commit"])
+    got_ix = {
+        (r._sid, r.bucket, tuple(r.pq))
+        for r in carried.unionByName(fresh).collect()
+    }
+    want_ix = {
+        (r._sid, r.bucket, tuple(r.pq))
+        for r in vector_bucket_index(curr, ["commit"]).collect()
+    }
+    assert got_ix == want_ix
+
+    pairs = incremental_semantic_pairs(curr, pix, ["commit"]).collect()
+    assert len(pairs) > 0
+    prev_sids = {r[0] for r in prev.select("commit").collect()}
+    for r in pairs:
+        assert r.drop_sid not in prev_sids  # stable keys are never dropped
+
+    # empty index => everything is new => first-seen-wins degenerates to
+    # drop-later-of-pair, which must match the production keep filter's
+    # independently-derived dropped set
+    empty_ix = spark.createDataFrame(
+        [], "_sid string, bucket string, pq array<bigint>"
+    )
+    full_pairs = incremental_semantic_pairs(curr, empty_ix, ["commit"]).collect()
+    kept = semantic_doc_dedup_filter(curr, ["commit"], text_col="content")
+    full_dropped = {
+        r.commit
+        for r in curr.join(kept.select("commit"), "commit", "left_anti")
+        .select("commit")
+        .collect()
+    }
+    assert {r.drop_sid for r in full_pairs} == full_dropped
+    assert all(r.kept_is_new == 1 for r in full_pairs)
