@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "nb_quality_score",
     # round-5 operators
     "nb_quality_report",
+    "crawl_delta_manifest",
+    "crawl_delta_manifest_semantic",
+    "semdedup_incremental",
     "dedup_semantic_docs",
 ]
 

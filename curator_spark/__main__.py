@@ -66,6 +66,23 @@ def main(argv: list[str] | None = None) -> int:
         "default is the deterministic trigram stand-in",
     )
     p.add_argument(
+        "--crawl-id", type=int, default=None,
+        help="incremental-crawl mode: process --input as crawl N's "
+        "snapshot and release only its delta (CrawlRun). Requires "
+        "--state-out; --state-in carries the previous crawl's committed "
+        "state (absent = crawl 0, the bootstrap-as-delta over the empty "
+        "state). --semantic-dedup adds the carried-vector SemDeDup leg.",
+    )
+    p.add_argument(
+        "--state-in", default=None,
+        help="previous crawl's save_state directory (crawl mode)",
+    )
+    p.add_argument(
+        "--state-out", default=None,
+        help="directory to publish this crawl's carry-forward state "
+        "(crawl mode; written last, atomic marker)",
+    )
+    p.add_argument(
         "--train-langid", action="store_true",
         help="fit the in-engine NB language-ID model on the input corpus "
         "(one distributed pass, bounded model collect) and run it as the "
@@ -111,6 +128,46 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.nb_classifier import train_nb_langid
 
         scorer_loader = nb_scorer_loader(train_nb_langid(spark, corpus))
+    if args.crawl_id is not None:
+        if not args.state_out:
+            p.error("--crawl-id requires --state-out")
+        from .plans.crawl import (
+            CrawlRun,
+            empty_crawl_state,
+            load_state,
+            save_state,
+        )
+
+        state = (
+            load_state(spark, args.state_in)
+            if args.state_in
+            else empty_crawl_state(spark, semantic=args.semantic_dedup)
+        )
+        crun = CrawlRun(
+            args.work_dir, crawl_id=args.crawl_id, cfg=cfg,
+            n_batches=n_batches, scorer_loader=scorer_loader,
+            semantic_dedup=args.semantic_dedup,
+        )
+        ran = crun.run(spark, corpus, state)
+        save_state(crun.next_state(spark, corpus, state), args.state_out)
+        delta = crun.delta(spark)
+        n_delta = delta.count()
+        if args.output:
+            delta.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "run_hash": crun.run_hash,
+                    "crawl_id": args.crawl_id,
+                    "delta_rows": n_delta,
+                    "batches_run": {k: len(v) for k, v in ran.items()},
+                    "state_out": args.state_out,
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
+
     run = QualityFilterRun(
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
         clone_dedup=args.clone_dedup, scorer_loader=scorer_loader,

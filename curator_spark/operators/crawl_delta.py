@@ -52,25 +52,25 @@ _GOLDEN_W400 = os.path.join(
 _Q_CRAWL_DELTA_ORACLE = f"""
 WITH prev AS (SELECT * FROM {_CORPUS_DUCK}),
 curr AS (SELECT * FROM read_parquet('{_RAW_W400}')),
-prev_ded AS (
+prev_ded AS MATERIALIZED (
   SELECT * FROM prev
   QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
 ),
 pairs0 AS ({clone_pairs_sql("prev_ded")}),
-prev_kept AS (
+prev_kept AS MATERIALIZED (
   SELECT * FROM prev_ded
   WHERE commit NOT IN (SELECT DISTINCT fid_b FROM pairs0)
 ),
-previx AS (SELECT DISTINCT md5(content) AS digest FROM prev_ded),
-freshk AS (
+previx AS MATERIALIZED (SELECT DISTINCT md5(content) AS digest FROM prev_ded),
+freshk AS MATERIALIZED (
   SELECT * FROM curr
   WHERE md5(content) NOT IN (SELECT digest FROM previx)
   QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
 ),
-stable AS (
+stable AS MATERIALIZED (
   SELECT c.* FROM curr c WHERE c.commit IN (SELECT commit FROM prev_kept)
 ),
-cur_base AS (SELECT * FROM stable UNION ALL SELECT * FROM freshk),
+cur_base AS MATERIALIZED (SELECT * FROM stable UNION ALL SELECT * FROM freshk),
 pairs1 AS ({clone_pairs_sql("cur_base")}),
 newpairs AS (
   SELECT fid_a, fid_b,
@@ -79,11 +79,11 @@ newpairs AS (
   WHERE fid_a IN (SELECT commit FROM freshk)
      OR fid_b IN (SELECT commit FROM freshk)
 ),
-dropped AS (
+dropped AS MATERIALIZED (
   SELECT DISTINCT CASE WHEN b_new THEN fid_b ELSE fid_a END AS c FROM newpairs
 ),
-surv AS (SELECT * FROM freshk WHERE commit NOT IN (SELECT c FROM dropped)),
-kept AS (
+surv AS MATERIALIZED (SELECT * FROM freshk WHERE commit NOT IN (SELECT c FROM dropped)),
+kept AS MATERIALIZED (
   SELECT s.repo, s.path, s.commit, g.scrubbed_sha256
   FROM surv s JOIN read_parquet('{_GOLDEN_W400}') g ON s.commit = g.commit
 ),
@@ -133,3 +133,135 @@ def crawl_delta_manifest(spark, sf_dir):
         F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
         F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
     )
+
+
+def _crawl_delta_semantic_oracle() -> str:
+    """From-scratch DuckDB replay of the SEMANTIC rolling release: the
+    non-semantic chain plus (a) doc-level SemDeDup inside the crawl-0
+    bootstrap and (b) the incremental semantic delta — the capped
+    hyperplane-LSH cosine chain over the CURRENT base (stable + clone
+    survivors), pairs restricted to fresh-involving, stable side always
+    winning. A value-hash match proves the carried vector index +
+    added-only embedding == full recompute, composed through the whole
+    release (the operator-level equality is semdedup_incremental's
+    oracle; this splices it into the crawl chain via the prefix-renamed
+    CTE chains of embedding.semdedup_*_duck)."""
+    from .embedding import (
+        _DOT_DUCK,
+        _SEM_THRESHOLD,
+        semdedup_capped_duck,
+        semdedup_dropped_duck,
+    )
+
+    return f"""
+WITH prev AS (SELECT * FROM {_CORPUS_DUCK}),
+curr AS (SELECT * FROM read_parquet('{_RAW_W400}')),
+prev_ded AS MATERIALIZED (
+  SELECT * FROM prev
+  QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
+),
+pairs0 AS ({clone_pairs_sql("prev_ded")}),
+prev_kept0 AS MATERIALIZED (
+  SELECT * FROM prev_ded
+  WHERE commit NOT IN (SELECT DISTINCT fid_b FROM pairs0)
+),
+{semdedup_dropped_duck("prev_kept0", "commit", "content", prefix="s0_")},
+prev_kept AS MATERIALIZED (
+  SELECT * FROM prev_kept0
+  WHERE commit NOT IN (SELECT drop_id FROM s0_dropped)
+),
+previx AS MATERIALIZED (SELECT DISTINCT md5(content) AS digest FROM prev_ded),
+freshk AS MATERIALIZED (
+  SELECT * FROM curr
+  WHERE md5(content) NOT IN (SELECT digest FROM previx)
+  QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
+),
+stable AS MATERIALIZED (
+  SELECT c.* FROM curr c WHERE c.commit IN (SELECT commit FROM prev_kept)
+),
+cur_base AS MATERIALIZED (SELECT * FROM stable UNION ALL SELECT * FROM freshk),
+pairs1 AS ({clone_pairs_sql("cur_base")}),
+newpairs AS (
+  SELECT fid_a, fid_b,
+         fid_b IN (SELECT commit FROM freshk) AS b_new
+  FROM pairs1
+  WHERE fid_a IN (SELECT commit FROM freshk)
+     OR fid_b IN (SELECT commit FROM freshk)
+),
+dropped AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN b_new THEN fid_b ELSE fid_a END AS c FROM newpairs
+),
+surv_c AS MATERIALIZED (SELECT * FROM freshk WHERE commit NOT IN (SELECT c FROM dropped)),
+base1 AS MATERIALIZED (SELECT * FROM stable UNION ALL SELECT * FROM surv_c),
+{semdedup_capped_duck("base1", "commit", "content", prefix="s1_")},
+s1_pairs AS (
+  SELECT a._sid AS sa, b._sid AS sb,
+         a._sid IN (SELECT commit FROM surv_c) AS a_new,
+         b._sid IN (SELECT commit FROM surv_c) AS b_new
+  FROM s1_capped a JOIN s1_capped b ON a.bucket = b.bucket AND a._sid < b._sid
+  WHERE {_DOT_DUCK.format(a='a.pq', b='b.pq')} /
+        (sqrt({_DOT_DUCK.format(a='a.pq', b='a.pq')}) *
+         sqrt({_DOT_DUCK.format(a='b.pq', b='b.pq')})) >= {_SEM_THRESHOLD}
+),
+semdrop AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN b_new THEN sb ELSE sa END AS c
+  FROM s1_pairs WHERE a_new OR b_new
+),
+surv AS MATERIALIZED (SELECT * FROM surv_c WHERE commit NOT IN (SELECT c FROM semdrop)),
+kept AS MATERIALIZED (
+  SELECT s.repo, s.path, s.commit, g.scrubbed_sha256
+  FROM surv s JOIN read_parquet('{_GOLDEN_W400}') g ON s.commit = g.commit
+),
+split AS (
+  SELECT *,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT (SELECT count(*) FROM curr) AS crawl_files,
+       (SELECT count(*) FROM curr) - (SELECT count(*) FROM freshk) AS carried_dup_or_stable,
+       (SELECT count(*) FROM freshk) AS fresh_files,
+       (SELECT count(*) FROM freshk) - (SELECT count(*) FROM surv_c) AS removed_clone_dup,
+       (SELECT count(*) FROM surv_c) - (SELECT count(*) FROM surv) AS removed_semantic_dup,
+       (SELECT count(*) FROM surv) - (SELECT count(*) FROM kept) AS removed_quality_filter,
+       (SELECT count(*) FROM kept) AS delta_released,
+       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
+FROM split
+"""
+
+
+@register(
+    "crawl_delta_manifest_semantic",
+    None,  # assigned below (lazy: needs embedding's duck chain builders)
+    "incremental crawl delta with the semantic layer (carried digest+band+vector indexes) as a 1-row bit-exact manifest",
+)
+def crawl_delta_manifest_semantic(spark, sf_dir):
+    from ..plans.crawl import build_crawl_delta, initial_crawl_state
+    from ..sources.corpus import generate_spark
+
+    prev = _corpus(spark)
+    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
+    _, state = initial_crawl_state(prev, semantic=True)
+    delta, _, manifest = build_crawl_delta(curr, state)
+    return delta.agg(
+        F.lit(manifest["crawl_files"]).cast("long").alias("crawl_files"),
+        F.lit(manifest["carried_dup_or_stable"]).cast("long").alias("carried_dup_or_stable"),
+        F.lit(manifest["fresh_files"]).cast("long").alias("fresh_files"),
+        F.lit(manifest["removed_clone_dup"]).cast("long").alias("removed_clone_dup"),
+        F.lit(manifest["removed_semantic_dup"]).cast("long").alias("removed_semantic_dup"),
+        F.lit(manifest["removed_quality_filter"]).cast("long").alias("removed_quality_filter"),
+        F.lit(manifest["delta_released"]).cast("long").alias("delta_released"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
+    )
+
+
+from .registry import QUERIES as _REG  # noqa: E402
+
+_REG["crawl_delta_manifest_semantic"].oracle = _crawl_delta_semantic_oracle()

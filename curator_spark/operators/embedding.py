@@ -694,13 +694,24 @@ def ann_over_generated(spark, sf_dir):
     )
 
 
-def semdedup_capped_duck(src: str, key_expr: str, text_col: str = "content") -> str:
+def semdedup_capped_duck(
+    src: str, key_expr: str, text_col: str = "content", prefix: str = "sem_"
+) -> str:
     """The shared prefix of every doc-level SemDeDup oracle: CTE chain
-    (sem_-prefixed) ending in ``sem_capped (_sid, bucket, pq)`` — chunk,
-    feature-hash, quantize, sum-pool per STRING key, hyperplane-LSH
-    cells, BUCKET_CAP truncation. Spliced by :func:`semdedup_dropped_duck`
-    (drop-later-key policy) and the incremental oracle (first-seen-wins
-    over new-involving pairs)."""
+    ending in ``{prefix}capped (_sid, bucket, pq)`` — chunk, feature-hash,
+    quantize, sum-pool per STRING key, hyperplane-LSH cells, BUCKET_CAP
+    truncation. Spliced by :func:`semdedup_dropped_duck` (drop-later-key
+    policy) and the incremental oracles (first-seen-wins over
+    new-involving pairs). ``prefix`` renames every CTE so one WITH block
+    can splice the chain over TWO tables (e.g. a bootstrap corpus and the
+    current crawl base); the chain's CTE names all start with ``sem_``
+    and nothing else in it does, so the rename is a plain substitution
+    (asserted byte-identical at the default by the gate oracles)."""
+    out = _semdedup_capped_duck_body(src, key_expr, text_col)
+    return out if prefix == "sem_" else out.replace("sem_", prefix)
+
+
+def _semdedup_capped_duck_body(src: str, key_expr: str, text_col: str) -> str:
     return f"""sem_w AS (
   SELECT {key_expr} AS _sid,
          list_filter(str_split_regex({text_col}, '[ \\t\\n]+'), x -> x != '') AS ws
@@ -715,8 +726,13 @@ sem_nch AS (
   FROM sem_w
 ),
 sem_ch AS (
+  -- hash every word ONCE up front (hb = feature bucket); the per-bucket
+  -- count below then scans the small int list instead of re-running md5
+  -- DIM times per word — same values, ~DIM x fewer digest evaluations
   SELECT _sid, chunk_idx,
-         ws[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}] AS cw
+         list_transform(
+           ws[chunk_idx * {CHUNK_S} + 1 : chunk_idx * {CHUNK_S} + {CHUNK_W}],
+           w2 -> ('0x' || substr(md5(w2), 1, 8))::BIGINT % {DIM}) AS chb
   FROM (SELECT _sid, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM sem_nch)
 ),
 sem_cvq AS (
@@ -727,8 +743,7 @@ sem_cvq AS (
   FROM (
     SELECT _sid,
            list_transform(range(0, {DIM}),
-             b -> cast(len(list_filter(cw,
-                  w2 -> ('0x' || substr(md5(w2), 1, 8))::BIGINT % {DIM} = b)) AS BIGINT)
+             b -> cast(len(list_filter(chb, h -> h = b)) AS BIGINT)
            ) AS counts
     FROM sem_ch)
 ),
@@ -741,7 +756,7 @@ sem_vecs AS (
   SELECT _sid, list(ps ORDER BY j) AS pv, cast(sum(ps * ps) AS BIGINT) AS p_l2
   FROM sem_pooled GROUP BY _sid
 ),
-sem_quant AS (
+sem_quant AS MATERIALIZED (
   SELECT _sid,
          list_transform(pv, s2 -> cast(floor(1000000 * s2 / sqrt(cast(p_l2 AS DOUBLE))) AS BIGINT)) AS pq
   FROM sem_vecs WHERE p_l2 > 0
@@ -761,17 +776,20 @@ sem_buckets AS (
   SELECT _sid, string_agg(bit, '' ORDER BY p) AS bucket FROM sem_sigs GROUP BY _sid
 ),
 sem_withb AS (SELECT q._sid, b.bucket, q.pq FROM sem_buckets b JOIN sem_quant q USING (_sid)),
-sem_capped AS (SELECT * FROM sem_withb
-           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY _sid) <= {BUCKET_CAP})"""
+sem_capped AS MATERIALIZED (SELECT * FROM sem_withb
+           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY _sid) <= {BUCKET_CAP})"""  # noqa: E501
 
 
-def semdedup_dropped_duck(src: str, key_expr: str, text_col: str = "content") -> str:
+def semdedup_dropped_duck(
+    src: str, key_expr: str, text_col: str = "content", prefix: str = "sem_"
+) -> str:
     """DuckDB replay of :func:`semantic_doc_dedup_filter` over ANY table:
     the sem_capped chain plus ``sem_dropped (drop_id VARCHAR)`` — capped
     in-cell exact cosine, drop-later-key. One definition serves the
     standalone dedup_semantic_docs oracle and the composed release
-    oracles."""
-    return f"""{semdedup_capped_duck(src, key_expr, text_col)},
+    oracles. ``prefix`` renames the whole chain (see
+    :func:`semdedup_capped_duck`)."""
+    out = f"""{_semdedup_capped_duck_body(src, key_expr, text_col)},
 sem_dropped AS (
   SELECT DISTINCT b._sid AS drop_id
   FROM sem_capped a JOIN sem_capped b ON a.bucket = b.bucket AND a._sid < b._sid
@@ -779,6 +797,7 @@ sem_dropped AS (
         (sqrt({_DOT_DUCK.format(a='a.pq', b='a.pq')}) *
          sqrt({_DOT_DUCK.format(a='b.pq', b='b.pq')})) >= {_SEM_THRESHOLD}
 )"""
+    return out if prefix == "sem_" else out.replace("sem_", prefix)
 
 
 _Q_SEM_DOCS_ORACLE = f"""
@@ -914,11 +933,16 @@ def incremental_semantic_pairs(
     key_cols,
     text_col: str = "content",
     threshold: float = _SEM_THRESHOLD,
+    fresh_vindex=None,
 ):
     """Confirmed near-dup pairs involving >= 1 key that is NEW in ``curr``
     relative to the committed ``prev_vindex`` (vector_bucket_index of the
     previous corpus), with the first-seen-wins drop attribution applied:
-    returns (drop_sid, kept_sid, kept_is_new)."""
+    returns (drop_sid, kept_sid, kept_is_new).
+
+    ``fresh_vindex``: optional precomputed (_sid, bucket, pq) rows for the
+    ADDED keys (e.g. a CrawlRun vecs stage's committed table) so a resumed
+    run never re-embeds; computed in-plan when None."""
     key_cols = list(key_cols)
     sid = F.concat_ws("|", *key_cols)
     curr_sids = curr.select(sid.alias("_sid"))
@@ -927,14 +951,14 @@ def incremental_semantic_pairs(
     carried = prev_vindex.join(curr_sids, "_sid", "left_semi").withColumn(
         "is_new", F.lit(0)
     )
-    added = (
-        curr.withColumn("_sid", sid)
-        .join(prev_vindex.select("_sid"), "_sid", "left_anti")
-        .drop("_sid")
-    )
-    fresh = vector_bucket_index(added, key_cols, text_col=text_col).withColumn(
-        "is_new", F.lit(1)
-    )
+    if fresh_vindex is None:
+        added = (
+            curr.withColumn("_sid", sid)
+            .join(prev_vindex.select("_sid"), "_sid", "left_anti")
+            .drop("_sid")
+        )
+        fresh_vindex = vector_bucket_index(added, key_cols, text_col=text_col)
+    fresh = fresh_vindex.withColumn("is_new", F.lit(1))
     # carried ∪ fresh == vector_bucket_index(curr) exactly (vectors are a
     # pure function of content), so the cap is the same deterministic
     # truncate a full recompute would apply

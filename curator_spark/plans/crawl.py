@@ -5,7 +5,9 @@ instead of re-releasing the union of all crawls, each crawl ships a DELTA
 committed state tables; previous crawls' CONTENT is never rescanned.
 
 State carried between crawls (on a real deployment: Iceberg tables keyed
-by crawl id — here plain DataFrames / committed parquet stages):
+by crawl id — here parquet tables published by :func:`save_state` with an
+atomic marker and reloaded by :func:`load_state`, so each crawl is its
+own spark-submit job; no DataFrame lineage crosses job boundaries):
 
   digest_index  (digest, canonical)  — every content digest ever SEEN
                                        (post exact dedup, independent of
@@ -13,6 +15,8 @@ by crawl id — here plain DataFrames / committed parquet stages):
   band_index    (fid, band_key)      — MinHash band rows of the current
                                        kept corpus (clone-dedup state)
   kept_commits  (commit)             — the current post-dedup corpus ids
+  vector_index  (_sid, bucket, pq)   — bucketed pooled doc vectors of the
+                                       kept corpus (semantic runs only)
 
 Per-crawl delta chain (first-seen-wins at every level — an earlier crawl
 always beats a later one for the same / near-dup content):
@@ -23,10 +27,24 @@ always beats a later one for the same / near-dup content):
              (expired by presence) + fresh bands; confirmed pairs that
              involve >=1 fresh file drop the fresh side of stable-fresh
              pairs and the later commit of fresh-fresh pairs
-  3. filter: annotate (langid + ppl + rules + scrub) ONLY the fresh
-             clone survivors; keep + split = the crawl's delta release
-  4. state:  append fresh digests, carry+extend the band index, extend
-             kept_commits — all bounded by |fresh|, not |corpus|
+  3. sem:    (semantic runs) embed ONLY the clone survivors; candidate
+             cells = carried vector rows (expired by presence) + fresh
+             vectors; confirmed cosine pairs involving >=1 fresh doc
+             drop the fresh side of stable-fresh pairs and the later
+             key of fresh-fresh pairs
+  4. filter: annotate (langid + ppl + rules + scrub) ONLY the fresh
+             survivors; keep + split = the crawl's delta release
+  5. state:  append fresh digests, carry+extend the band and vector
+             indexes, extend kept_commits — all bounded by |fresh|,
+             not |corpus|
+
+Crawl 0 needs no special bootstrap: it is a delta against
+:func:`empty_crawl_state` (every incremental stage degenerates to its
+full counterpart on an empty index — asserted by
+test_crawl_bootstrap_is_delta_over_empty_state), so the deployment shape
+is ONE resumable CrawlRun job per crawl, chained through
+save_state/load_state (``python -m curator_spark --crawl-id N
+--state-in ... --state-out ...``).
 
 Stage shapes at 10^12 files: (1) is one digest anti-join + one
 partial-aggregatable hash-aggregate; (2) reuses repo_ops's capped band
@@ -58,17 +76,109 @@ from .release import KEY_COLS, _split_col
 
 @dataclass
 class CrawlState:
-    """The committed cross-crawl curation state (see module docstring)."""
+    """The committed cross-crawl curation state (see module docstring).
+    ``vector_index`` (uncapped bucketed pooled doc vectors of the kept
+    corpus) is present only when the chain runs with the semantic layer;
+    it is the semantic-dedup analog of ``band_index``."""
 
     digest_index: DataFrame  # (digest, canonical)
     band_index: DataFrame  # (fid, band_key)
     kept_commits: DataFrame  # (commit)
+    vector_index: DataFrame | None = None  # (_sid, bucket, pq)
 
 
-def initial_crawl_state(corpus: DataFrame) -> tuple[DataFrame, CrawlState]:
-    """Bootstrap: crawl 0 is a full run — exact dedup (min-commit wins)
-    then cross-repo clone dedup — returning (post-dedup corpus, state).
-    The caller releases crawl 0 through the normal quality pipeline."""
+_STATE_SCHEMAS = {
+    "digest_index": "digest string, canonical string",
+    "band_index": "fid string, band_key string",
+    "kept_commits": "commit string",
+    "vector_index": "_sid string, bucket string, pq array<bigint>",
+}
+
+
+def empty_crawl_state(spark, semantic: bool = False) -> CrawlState:
+    """The zero state — crawl 0 IS a delta against it, because every
+    incremental stage degenerates to its full counterpart on an empty
+    index: exact first-seen-wins -> within-crawl min-commit dedup; the
+    carried-band join -> full banding with all-fresh pairs dropping the
+    later commit (clone_dedup_filter's policy); the carried-vector join
+    -> full SemDeDup dropping the later key (semantic_doc_dedup_filter's
+    policy). Asserted by test_crawl_bootstrap_is_delta_over_empty_state;
+    it makes one resumable CrawlRun-per-crawl the ONLY deployment shape
+    (no separate bootstrap job)."""
+    return CrawlState(
+        digest_index=spark.createDataFrame([], _STATE_SCHEMAS["digest_index"]),
+        band_index=spark.createDataFrame([], _STATE_SCHEMAS["band_index"]),
+        kept_commits=spark.createDataFrame([], _STATE_SCHEMAS["kept_commits"]),
+        vector_index=(
+            spark.createDataFrame([], _STATE_SCHEMAS["vector_index"])
+            if semantic
+            else None
+        ),
+    )
+
+
+def save_state(state: CrawlState, path: str) -> str:
+    """Commit the carry-forward state as parquet tables under ``path``
+    plus an atomically-published ``_STATE.json`` manifest (table list +
+    row counts) — the handoff between crawl JOBS: the next crawl's
+    spark-submit starts from :func:`load_state`, no DataFrame lineage
+    crosses job boundaries. On a real deployment these are Iceberg
+    tables keyed by crawl id; the marker file is the snapshot commit."""
+    import json
+    import os
+
+    tables = {
+        "digest_index": state.digest_index,
+        "band_index": state.band_index,
+        "kept_commits": state.kept_commits,
+        "vector_index": state.vector_index,
+    }
+    manifest = {"tables": {}}
+    for name, df in tables.items():
+        if df is None:
+            continue
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+        manifest["tables"][name] = df.sparkSession.read.parquet(
+            os.path.join(path, name)
+        ).count()
+    marker = os.path.join(path, "_STATE.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, marker)  # publish: a crash before this leaves no marker
+    return marker
+
+
+def load_state(spark, path: str) -> CrawlState:
+    """Load a committed :func:`save_state` directory; raises if the
+    marker is absent (an unpublished / partially-written state)."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_STATE.json")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"{marker} missing — state at {path} was never published "
+            "(save_state writes it last)"
+        )
+    with open(marker) as f:
+        tables = json.load(f)["tables"]
+    read = {n: spark.read.parquet(os.path.join(path, n)) for n in tables}
+    return CrawlState(
+        digest_index=read["digest_index"],
+        band_index=read["band_index"],
+        kept_commits=read["kept_commits"],
+        vector_index=read.get("vector_index"),
+    )
+
+
+def initial_crawl_state(
+    corpus: DataFrame, semantic: bool = False
+) -> tuple[DataFrame, CrawlState]:
+    """Bootstrap: crawl 0 is a full run — exact dedup (min-commit wins),
+    cross-repo clone dedup, and (when ``semantic``) doc-level SemDeDup —
+    returning (post-dedup corpus, state). The caller releases crawl 0
+    through the normal quality pipeline."""
     from ..operators.repo_ops import (
         band_index,
         clone_dedup_filter,
@@ -86,10 +196,22 @@ def initial_crawl_state(corpus: DataFrame) -> tuple[DataFrame, CrawlState]:
     )
     deduped = deduped.localCheckpoint(eager=False)
     kept = clone_dedup_filter(deduped).localCheckpoint(eager=False)
+    vindex = None
+    if semantic:
+        from ..operators.embedding import (
+            semantic_doc_dedup_filter,
+            vector_bucket_index,
+        )
+
+        kept = semantic_doc_dedup_filter(
+            kept, ["commit"], text_col="content"
+        ).localCheckpoint(eager=False)
+        vindex = vector_bucket_index(kept, ["commit"])
     state = CrawlState(
         digest_index=digest_index(deduped),
         band_index=band_index(kept),
         kept_commits=kept.select("commit"),
+        vector_index=vindex,
     )
     return kept, state
 
@@ -116,10 +238,26 @@ def crawl_delta_frames(curr: DataFrame, state: CrawlState) -> dict:
         .alias("commit")
     ).distinct()
     survivors = fresh.join(clone_dropped, "commit", "left_anti")
+    sem_dropped = None
+    if state.vector_index is not None:
+        from ..operators.embedding import incremental_semantic_pairs
+
+        # semantic base = post-clone current corpus; carried vectors cover
+        # the stable side, only the clone survivors get embedded
+        sem_base = stable.unionByName(survivors.select(*stable.columns))
+        sem_dropped = (
+            incremental_semantic_pairs(
+                sem_base, state.vector_index, ["commit"], text_col="content"
+            )
+            .select(F.col("drop_sid").alias("commit"))
+            .distinct()
+        )
+        survivors = survivors.join(sem_dropped, "commit", "left_anti")
     return {
         "fresh": fresh,
         "cur_base": cur_base,
         "clone_dropped": clone_dropped,
+        "sem_dropped": sem_dropped,
         "survivors": survivors,
     }
 
@@ -143,6 +281,9 @@ def build_crawl_delta(
     n_crawl = curr.count()
     n_fresh = fresh.count()
     n_surv = survivors.count()
+    n_sem = (
+        fr["sem_dropped"].count() if fr["sem_dropped"] is not None else 0
+    )
 
     annotated = annotate(survivors, cfg, scorer_loader=scorer_loader).localCheckpoint(
         eager=False
@@ -164,18 +305,27 @@ def build_crawl_delta(
         curr.select("commit"), "commit", "left_semi"
     )
     kept_commits = still_present.unionByName(survivors.select("commit"))
+    vindex = None
+    if state.vector_index is not None:
+        from ..operators.embedding import vector_bucket_index
+
+        vindex = state.vector_index.join(
+            kept_commits.select(F.col("commit").alias("_sid")), "_sid", "left_semi"
+        ).unionByName(vector_bucket_index(survivors, ["commit"]))
     new_state = CrawlState(
         digest_index=state.digest_index.unionByName(digest_index(fresh)),
         band_index=state.band_index.join(
             kept_commits.select(F.col("commit").alias("fid")), "fid", "left_semi"
         ).unionByName(band_index(survivors)),
         kept_commits=kept_commits,
+        vector_index=vindex,
     )
     manifest = {
         "crawl_files": n_crawl,
         "carried_dup_or_stable": n_crawl - n_fresh,
         "fresh_files": n_fresh,
-        "removed_clone_dup": n_fresh - n_surv,
+        "removed_clone_dup": n_fresh - n_surv - n_sem,
+        "removed_semantic_dup": n_sem,
         "removed_quality_filter": n_surv - n_delta,
         "delta_released": n_delta,
     }
@@ -214,6 +364,7 @@ class CrawlRun:
         n_batches: int | None = 4,
         catalog=None,
         scorer_loader=None,
+        semantic_dedup: bool = False,
     ) -> None:
         from ..engine.checkpoint import ResumableStage
         from ..engine.fingerprint import run_fingerprint
@@ -238,6 +389,32 @@ class CrawlRun:
                     "bucket_cap": _CAP, "policy": "first-seen-wins"},
             n_batches=1, catalog=self.catalog,
         )
+        if semantic_dedup:
+            from ..operators.embedding import _N_PLANES, _SEM_THRESHOLD
+            from .embed_run import _geometry_token
+
+            # vecs: per-key embedding of the fresh clone survivors — the
+            # committed vector-index DELTA the next crawl carries; the
+            # geometry/embedder identity rides the config (a change
+            # re-embeds, as in ReleaseRun's embed stage)
+            self.vecs_stage = ResumableStage(
+                f"{p}vecs", KEY_COLS, work_dir,
+                config={"embedder": "default-featurehash-sql",
+                        "geometry": _geometry_token(), "pool": "sum-l2-q1e6"},
+                n_batches=n_batches, catalog=self.catalog,
+            )
+            # semdelta: global — the carried-index pair join crosses the
+            # corpus; consumes the vecs stage's committed table
+            self.semdelta_stage = ResumableStage(
+                f"{p}semdelta", KEY_COLS, work_dir,
+                config={"method": "carried-vindex-lsh-cosine",
+                        "threshold": _SEM_THRESHOLD, "n_planes": _N_PLANES,
+                        "bucket_cap": _CAP, "policy": "first-seen-wins"},
+                n_batches=1, catalog=self.catalog,
+            )
+        else:
+            self.vecs_stage = None
+            self.semdelta_stage = None
         self.bands_stage = ResumableStage(
             f"{p}bands", KEY_COLS, work_dir,
             config={"method": "minhash-band-index"},
@@ -258,8 +435,13 @@ class CrawlRun:
             n_batches=n_batches, catalog=self.catalog,
         )
         self.stages = [
-            self.fresh_stage, self.clone_stage, self.bands_stage,
-            self.annotate_stage, self.finalize_stage,
+            s
+            for s in (
+                self.fresh_stage, self.clone_stage,
+                self.vecs_stage, self.semdelta_stage,
+                self.bands_stage, self.annotate_stage, self.finalize_stage,
+            )
+            if s is not None
         ]
         self.run_hash = run_fingerprint(work_dir, [s.fingerprint for s in self.stages])
         for s in self.stages:
@@ -278,6 +460,11 @@ class CrawlRun:
             incremental_clone_pairs,
         )
 
+        if self.vecs_stage is not None and state.vector_index is None:
+            raise ValueError(
+                "semantic_dedup=True needs a CrawlState with a vector_index "
+                "(bootstrap with initial_crawl_state(semantic=True))"
+            )
         # identity tokens BEFORE localCheckpoint: checkpointing severs the
         # lineage input_identity reads (an RDD scan prints no sources)
         ix_token = input_identity(state.digest_index)
@@ -328,6 +515,47 @@ class CrawlRun:
         ran["clonedelta"] = r.batches_run
         survivors = self.clone_stage.output(spark)
 
+        if self.vecs_stage is not None:
+            from ..operators.embedding import (
+                incremental_semantic_pairs,
+                vector_bucket_index,
+            )
+
+            # vecs: embed ONLY the fresh clone survivors, per-batch (the
+            # vector is a pure per-doc function of content, and the stage
+            # shards by KEY_COLS, so every doc pools within one batch)
+            r = self.vecs_stage.run(
+                spark, survivors,
+                lambda df: vector_bucket_index(df, ["commit"]),
+                fail_after_batches=fail_after_batches,
+            )
+            ran["vecs"] = r.batches_run
+            fresh_v = self.vecs_stage.output(spark)
+            vix_token = input_identity(state.vector_index)
+
+            def _sem_transform(df: DataFrame) -> DataFrame:
+                sem_base = stable.unionByName(df.select(*stable.columns))
+                dropped = (
+                    incremental_semantic_pairs(
+                        sem_base, state.vector_index, ["commit"],
+                        fresh_vindex=fresh_v,
+                    )
+                    .select(F.col("drop_sid").alias("commit"))
+                    .distinct()
+                )
+                return df.join(dropped, "commit", "left_anti")
+
+            r = self.semdelta_stage.run(
+                spark, survivors, _sem_transform,
+                fail_after_batches=fail_after_batches,
+                input_token=(
+                    f"{input_identity(survivors)}|vix:{vix_token}"
+                    f"|vecs:{input_identity(fresh_v)}|stable:{stable_token}"
+                ),
+            )
+            ran["semdelta"] = r.batches_run
+            survivors = self.semdelta_stage.output(spark)
+
         r = self.bands_stage.run(
             spark, survivors, band_index,
             fail_after_batches=fail_after_batches,
@@ -365,17 +593,36 @@ class CrawlRun:
     def next_state(self, spark, curr: DataFrame, state: CrawlState) -> CrawlState:
         """The next crawl's state, from COMMITTED tables only: the fresh
         stage's output supplies the digest-index delta, the bands stage
-        the band-index delta; carried rows are expired by presence."""
+        the band-index delta, the vecs stage (semantic runs) the
+        vector-index delta; carried rows are expired by presence."""
         from ..operators.repo_ops import digest_index
 
         fresh = self.fresh_stage.output(spark)
-        survivors = self.clone_stage.output(spark)
+        survivors = (
+            self.semdelta_stage if self.semdelta_stage is not None
+            else self.clone_stage
+        ).output(spark)
         still = state.kept_commits.join(curr.select("commit"), "commit", "left_semi")
         kept_commits = still.unionByName(survivors.select("commit"))
+        vindex = None
+        if self.vecs_stage is not None:
+            # vecs covers the CLONE survivors; restrict to the semantic
+            # survivors (vectors are pure per-doc functions of content, so
+            # this filter == embedding the final survivors directly)
+            vindex = state.vector_index.join(
+                kept_commits.select(F.col("commit").alias("_sid")), "_sid", "left_semi"
+            ).unionByName(
+                self.vecs_stage.output(spark).join(
+                    survivors.select(F.col("commit").alias("_sid")),
+                    "_sid",
+                    "left_semi",
+                )
+            )
         return CrawlState(
             digest_index=state.digest_index.unionByName(digest_index(fresh)),
             band_index=state.band_index.join(
                 kept_commits.select(F.col("commit").alias("fid")), "fid", "left_semi"
             ).unionByName(self.bands_stage.output(spark)),
             kept_commits=kept_commits,
+            vector_index=vindex,
         )

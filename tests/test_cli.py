@@ -99,3 +99,51 @@ def test_cli_train_langid(spark, corpus_df, tmp_path, capsys):
     m2 = {"langs": ["a"], "priors": [1], "weights": {"x": [3]}}
     assert _loader_key(nb_scorer_loader(m1)) != _loader_key(nb_scorer_loader(m2))
     assert _loader_key(nb_scorer_loader(m1)) == _loader_key(nb_scorer_loader(m1))
+
+
+def test_cli_crawl_mode_two_crawls(spark, tmp_path, capsys):
+    """--crawl-id chains two crawl jobs through save_state/load_state:
+    crawl 0 bootstraps over the empty state, crawl 1 releases only its
+    delta; released commits are disjoint, and re-invoking a committed
+    crawl is a metadata probe (zero batches)."""
+    from curator_spark.__main__ import main
+    from curator_spark.sources.corpus import generate_spark
+
+    def _snap(name, start):
+        p = str(tmp_path / name)
+        generate_spark(spark, 400, seed=42, partitions=4, start=start).write.parquet(p)
+        return p
+
+    c0, c1 = _snap("c0", 0), _snap("c1", 100)
+
+    def _run(argv):
+        rc = main(argv)
+        assert rc == 0
+        return json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+
+    s0 = _run([
+        "--input", c0, "--work-dir", str(tmp_path / "w0"), "--n-batches", "2",
+        "--crawl-id", "0", "--state-out", str(tmp_path / "state0"),
+        "--output", str(tmp_path / "d0"),
+    ])
+    s1 = _run([
+        "--input", c1, "--work-dir", str(tmp_path / "w1"), "--n-batches", "2",
+        "--crawl-id", "1", "--state-in", str(tmp_path / "state0"),
+        "--state-out", str(tmp_path / "state1"),
+        "--output", str(tmp_path / "d1"),
+    ])
+    assert s0["delta_rows"] > 0 and s1["delta_rows"] > 0
+    d0 = {r.commit for r in spark.read.parquet(str(tmp_path / "d0")).collect()}
+    d1 = {r.commit for r in spark.read.parquet(str(tmp_path / "d1")).collect()}
+    assert d0.isdisjoint(d1)
+    # stable overlap means crawl 1's delta is much smaller than a full run
+    assert s1["delta_rows"] < s0["delta_rows"]
+
+    again = _run([
+        "--input", c1, "--work-dir", str(tmp_path / "w1"), "--n-batches", "2",
+        "--crawl-id", "1", "--state-in", str(tmp_path / "state0"),
+        "--state-out", str(tmp_path / "state1b"),
+    ])
+    assert all(v == 0 for v in again["batches_run"].values()), again

@@ -137,3 +137,136 @@ def test_crawl_run_kill_resume_matches_single_session(spark, tmp_path):
     assert {r.commit for r in s1.kept_commits.collect()} == {
         r.commit for r in s1_ref.kept_commits.collect()
     }
+
+
+def test_crawl_semantic_carry_forward_equals_recompute(spark, tmp_path):
+    """With the semantic layer on: the carried vector index after a delta
+    must equal a fresh embedding of the current kept corpus, and the
+    committed semantic CrawlRun must survive kills and converge to the
+    single-session build_crawl_delta result bit for bit."""
+    from curator_spark.operators.embedding import vector_bucket_index
+
+    a = _crawl(spark, tmp_path, "a", 0)
+    b = _crawl(spark, tmp_path, "b", 150)
+    _, s0 = initial_crawl_state(a, semantic=True)
+    assert s0.vector_index is not None
+
+    delta_ref, s1_ref, m = build_crawl_delta(b, s0)
+    assert m["removed_semantic_dup"] >= 0
+    assert m["delta_released"] > 0
+
+    def _vset(df):
+        return {(r._sid, r.bucket, tuple(r.pq)) for r in df.collect()}
+
+    kept_rows = b.join(s1_ref.kept_commits, "commit", "left_semi")
+    assert _vset(s1_ref.vector_index) == _vset(
+        vector_bucket_index(kept_rows, ["commit"])
+    )
+
+    run = CrawlRun(
+        str(tmp_path / "w"), crawl_id=1, n_batches=3, semantic_dedup=True
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 60, "no convergence — a batch is being re-run forever"
+        try:
+            run.run(spark, b, s0, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    assert attempts >= 6  # kills really happened across the 7-stage chain
+
+    assert _delta_set(run.delta(spark)) == _delta_set(delta_ref)
+
+    # a fully-committed semantic crawl is a metadata probe
+    ran = run.run(spark, b, s0)
+    assert all(v == [] for v in ran.values()), ran
+    assert set(ran) == {
+        "fresh", "clonedelta", "vecs", "semdelta",
+        "bands", "annotate", "finalize",
+    }
+
+    # next_state from committed tables == the single-session state
+    s1 = run.next_state(spark, b, s0)
+    assert _vset(s1.vector_index) == _vset(s1_ref.vector_index)
+    assert {r.commit for r in s1.kept_commits.collect()} == {
+        r.commit for r in s1_ref.kept_commits.collect()
+    }
+    assert {tuple(r) for r in s1.band_index.collect()} == {
+        tuple(r) for r in s1_ref.band_index.collect()
+    }
+
+
+def test_crawl_semantic_run_requires_semantic_state(spark, tmp_path):
+    import pytest
+
+    a = _crawl(spark, tmp_path, "sa", 0)
+    _, s0 = initial_crawl_state(a)  # no vector index
+    run = CrawlRun(
+        str(tmp_path / "w2"), crawl_id=1, n_batches=2, semantic_dedup=True
+    )
+    with pytest.raises(ValueError, match="vector_index"):
+        run.run(spark, a, s0)
+
+
+def test_crawl_bootstrap_is_delta_over_empty_state(spark, tmp_path):
+    """Crawl 0 as a delta against empty_crawl_state must equal the
+    dedicated initial_crawl_state bootstrap — state tables AND released
+    rows — with the semantic layer on (the strictest case: all three
+    incremental stages degenerate at once)."""
+    from curator_spark.plans.crawl import empty_crawl_state
+    from curator_spark.plans.quality_pipeline import annotate
+    from curator_spark.plans.release import KEY_COLS, _split_col
+
+    a = _crawl(spark, tmp_path, "a", 0)
+
+    kept_ref, s_ref = initial_crawl_state(a, semantic=True)
+    delta, s_got, m = build_crawl_delta(a, empty_crawl_state(spark, semantic=True))
+    assert m["carried_dup_or_stable"] + m["fresh_files"] == ROWS
+
+    for name in ("digest_index", "band_index", "kept_commits"):
+        got = {tuple(r) for r in getattr(s_got, name).collect()}
+        want = {tuple(r) for r in getattr(s_ref, name).collect()}
+        assert got == want, name
+    got_v = {(r._sid, r.bucket, tuple(r.pq)) for r in s_got.vector_index.collect()}
+    want_v = {(r._sid, r.bucket, tuple(r.pq)) for r in s_ref.vector_index.collect()}
+    assert got_v == want_v
+
+    from curator_spark.functions.rules import DEFAULT_RULES
+
+    ref_release = (
+        annotate(kept_ref, DEFAULT_RULES)
+        .filter("keep")
+        .select(
+            *KEY_COLS, "lang", "lang_pred",
+            F.col("scrubbed_content").alias("content"), "scrubbed_sha256",
+        )
+        .withColumn("split", _split_col())
+    )
+    assert _delta_set(delta) == _delta_set(ref_release)
+
+
+def test_crawl_state_save_load_roundtrip(spark, tmp_path):
+    """save_state -> load_state across a fresh session boundary must be
+    lossless, and the loaded state must drive the next delta identically
+    to the in-memory one."""
+    from curator_spark.plans.crawl import load_state, save_state
+
+    a = _crawl(spark, tmp_path, "a", 0)
+    b = _crawl(spark, tmp_path, "b", 150)
+    _, s0 = initial_crawl_state(a, semantic=True)
+    save_state(s0, str(tmp_path / "state0"))
+    s0l = load_state(spark, str(tmp_path / "state0"))
+
+    d_mem, _, m_mem = build_crawl_delta(b, s0)
+    d_load, _, m_load = build_crawl_delta(b, s0l)
+    assert m_mem == m_load
+    assert _delta_set(d_mem) == _delta_set(d_load)
+
+    # unpublished state (no marker) must refuse to load
+    import pytest
+
+    (tmp_path / "partial").mkdir()
+    with pytest.raises(FileNotFoundError, match="_STATE.json"):
+        load_state(spark, str(tmp_path / "partial"))
