@@ -297,13 +297,10 @@ FROM genk
     "incremental embedding across crawl snapshots: carry stable commits' vectors, embed only added files",
 )
 def embed_incremental(spark, sf_dir):
-    from ..sources.corpus import generate_spark
-    from .repo_ops import _DRIFT_START, _N_ROWS, _corpus
+    from .repo_ops import _corpus, _corpus_w400
 
     prev = _corpus(spark)
-    curr = generate_spark(
-        spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START
-    )
+    curr = _corpus_w400(spark)
     # stands in for the committed vector table of the previous run
     # (EmbeddingRun.output / an Iceberg table on a real deployment)
     prev_vecs = chunk_vectors_of(prev, ["commit"], text_col="content")
@@ -1026,11 +1023,10 @@ WHERE a_new OR b_new
     "incremental doc-level SemDeDup across crawl snapshots: carried vector-bucket index + added-only embedding",
 )
 def semdedup_incremental(spark, sf_dir):
-    from ..sources.corpus import generate_spark
-    from .repo_ops import _DRIFT_START, _N_ROWS, _corpus
+    from .repo_ops import _corpus, _corpus_w400
 
     prev = _corpus(spark)
-    curr = generate_spark(spark, _N_ROWS, seed=42, partitions=8, start=_DRIFT_START)
+    curr = _corpus_w400(spark)
     # stands in for the committed vector-bucket table of the previous crawl
     return incremental_semantic_pairs(
         curr, vector_bucket_index(prev, ["commit"]), ["commit"]
