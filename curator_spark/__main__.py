@@ -109,10 +109,12 @@ def main(argv: list[str] | None = None) -> int:
     n_batches = None if args.n_batches == "auto" else int(args.n_batches)
     spark = get_spark("curator_spark_cli", cores=args.cores)
     corpus = spark.read.parquet(args.input)
-    if args.decontaminate:
+    bench = (
+        spark.read.parquet(args.decontaminate) if args.decontaminate else None
+    )
+    if bench is not None and args.crawl_id is None:
         from .operators.decontaminate import decontaminate_against
 
-        bench = spark.read.parquet(args.decontaminate)
         corpus = decontaminate_against(corpus, bench, text_col="content")
     scorer_loader = None
     if args.fasttext_bin or args.kenlm_model:
@@ -143,12 +145,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.state_in
             else empty_crawl_state(spark, semantic=args.semantic_dedup)
         )
+        # crawl mode probes ONLY the fresh survivors against the benchmark
+        # set, as a committed resumable stage (the up-front whole-corpus
+        # decontam above would re-probe every carried crawl's rows)
         crun = CrawlRun(
             args.work_dir, crawl_id=args.crawl_id, cfg=cfg,
             n_batches=n_batches, scorer_loader=scorer_loader,
             semantic_dedup=args.semantic_dedup,
+            decontaminate=bench is not None,
         )
-        ran = crun.run(spark, corpus, state)
+        ran = crun.run(spark, corpus, state, benchmarks=bench)
         save_state(crun.next_state(spark, corpus, state), args.state_out)
         delta = crun.delta(spark)
         n_delta = delta.count()

@@ -48,26 +48,42 @@ _GOLDEN_W400 = os.path.join(
     "corpus_golden_2000_w400.parquet",
 )
 
-_STATE_CACHE: dict[tuple[str, bool], object] = {}
+_STATE_CACHE: dict[tuple[str, bool, bool], object] = {}
+
+# benchmark stand-in for the decontam manifest: the first N crawl-0 files
+# by commit — deterministic, and (being corpus rows) guaranteed to produce
+# non-trivial gram hits at both the bootstrap and the delta
+_N_BENCH_CRAWL = 6
 
 
-def _bootstrap_state(spark, semantic: bool):
+def _bench(spark):
+    """The synthetic benchmark suite frame (see _N_BENCH_CRAWL)."""
+    return (
+        _corpus(spark).orderBy("commit").limit(_N_BENCH_CRAWL).select("content")
+    )
+
+
+def _bootstrap_state(spark, semantic: bool, decontam: bool = False):
     """The crawl-0 bootstrap state over the fixture corpus, materialized
-    once per application per semantic flag (same rationale as
-    repo_ops._corpus): the state tables are a pure function of the cached
-    corpus, and the two manifest queries measure the DELTA chain, not the
-    re-derivation of the previous crawl's committed tables — on a real
-    deployment those arrive as parquet/Iceberg via plans.crawl.load_state.
-    Every state table is eagerly checkpointed, mirroring the committed
-    handoff."""
+    once per application per (semantic, decontam) flag pair (same
+    rationale as repo_ops._corpus): the state tables are a pure function
+    of the cached corpus, and the manifest queries measure the DELTA
+    chain, not the re-derivation of the previous crawl's committed
+    tables — on a real deployment those arrive as parquet/Iceberg via
+    plans.crawl.load_state. Every state table is eagerly checkpointed,
+    mirroring the committed handoff."""
     from ..plans.crawl import CrawlState, initial_crawl_state
 
-    key = (spark.sparkContext.applicationId, semantic)
+    key = (spark.sparkContext.applicationId, semantic, decontam)
     state = _STATE_CACHE.get(key)
     if state is None:
         if len(_STATE_CACHE) > 8:
             _STATE_CACHE.clear()
-        _, s = initial_crawl_state(_corpus(spark), semantic=semantic)
+        _, s = initial_crawl_state(
+            _corpus(spark),
+            semantic=semantic,
+            benchmarks=_bench(spark) if decontam else None,
+        )
         state = CrawlState(
             digest_index=s.digest_index.localCheckpoint(eager=True),
             band_index=s.band_index.localCheckpoint(eager=True),
@@ -291,6 +307,119 @@ def crawl_delta_manifest_semantic(spark, sf_dir):
     )
 
 
+def _crawl_delta_decontam_oracle() -> str:
+    """From-scratch DuckDB replay of the DECONTAMINATED rolling release:
+    the non-semantic chain plus (a) benchmark-gram decontamination of the
+    crawl-0 bootstrap (post clone dedup) and (b) the fresh-only decontam
+    leg of the delta — only the fresh clone survivors are gram-probed,
+    because the stable side was probed against the SAME benchmark set on
+    its own crawl (stable rows live in prev_kept, which is already
+    post-decontam). A value-hash match proves that fresh-only probing,
+    composed through the carried state, equals decontaminating the whole
+    rolling release from scratch — the property that bounds per-crawl
+    decontam cost by |fresh| instead of |corpus|."""
+    from .decontaminate import decontam_dropped_duck
+
+    bench_sql = (
+        f"(SELECT content FROM prev ORDER BY commit LIMIT {_N_BENCH_CRAWL})"
+    )
+    return f"""
+WITH prev AS (SELECT * FROM {_CORPUS_DUCK}),
+curr AS (SELECT * FROM read_parquet('{_RAW_W400}')),
+prev_ded AS MATERIALIZED (
+  SELECT * FROM prev
+  QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
+),
+pairs0 AS ({clone_pairs_sql("prev_ded")}),
+prev_kept0 AS MATERIALIZED (
+  SELECT * FROM prev_ded
+  WHERE commit NOT IN (SELECT DISTINCT fid_b FROM pairs0)
+),
+{decontam_dropped_duck("prev_kept0", "commit", bench_sql, "content", prefix="d0_")},
+prev_kept AS MATERIALIZED (
+  SELECT * FROM prev_kept0
+  WHERE commit NOT IN (SELECT drop_id FROM d0_dropped)
+),
+previx AS MATERIALIZED (SELECT DISTINCT md5(content) AS digest FROM prev_ded),
+freshk AS MATERIALIZED (
+  SELECT * FROM curr
+  WHERE md5(content) NOT IN (SELECT digest FROM previx)
+  QUALIFY row_number() OVER (PARTITION BY md5(content) ORDER BY commit) = 1
+),
+stable AS MATERIALIZED (
+  SELECT c.* FROM curr c WHERE c.commit IN (SELECT commit FROM prev_kept)
+),
+cur_base AS MATERIALIZED (SELECT * FROM stable UNION ALL SELECT * FROM freshk),
+pairs1 AS ({clone_pairs_sql("cur_base")}),
+newpairs AS (
+  SELECT fid_a, fid_b,
+         fid_b IN (SELECT commit FROM freshk) AS b_new
+  FROM pairs1
+  WHERE fid_a IN (SELECT commit FROM freshk)
+     OR fid_b IN (SELECT commit FROM freshk)
+),
+dropped AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN b_new THEN fid_b ELSE fid_a END AS c FROM newpairs
+),
+surv_c AS MATERIALIZED (SELECT * FROM freshk WHERE commit NOT IN (SELECT c FROM dropped)),
+{decontam_dropped_duck("surv_c", "commit", bench_sql, "content", prefix="d1_")},
+surv AS MATERIALIZED (
+  SELECT * FROM surv_c WHERE commit NOT IN (SELECT drop_id FROM d1_dropped)
+),
+kept AS MATERIALIZED (
+  SELECT s.repo, s.path, s.commit, g.scrubbed_sha256
+  FROM surv s JOIN read_parquet('{_GOLDEN_W400}') g ON s.commit = g.commit
+),
+split AS (
+  SELECT *,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT (SELECT count(*) FROM curr) AS crawl_files,
+       (SELECT count(*) FROM curr) - (SELECT count(*) FROM freshk) AS carried_dup_or_stable,
+       (SELECT count(*) FROM freshk) AS fresh_files,
+       (SELECT count(*) FROM freshk) - (SELECT count(*) FROM surv_c) AS removed_clone_dup,
+       (SELECT count(*) FROM surv_c) - (SELECT count(*) FROM surv) AS removed_decontaminated,
+       (SELECT count(*) FROM surv) - (SELECT count(*) FROM kept) AS removed_quality_filter,
+       (SELECT count(*) FROM kept) AS delta_released,
+       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
+FROM split
+"""
+
+
+@register(
+    "crawl_delta_manifest_decontam",
+    None,  # assigned below (lazy: needs decontaminate's duck chain builder)
+    "incremental crawl delta with decontamination (fresh-only benchmark gram probe over carried state) as a 1-row bit-exact manifest",
+)
+def crawl_delta_manifest_decontam(spark, sf_dir):
+    from ..plans.crawl import build_crawl_delta
+
+    curr = _corpus_w400(spark)
+    bench = _bench(spark)
+    state = _bootstrap_state(spark, semantic=False, decontam=True)
+    delta, _, manifest = build_crawl_delta(curr, state, benchmarks=bench)
+    return delta.agg(
+        F.lit(manifest["crawl_files"]).cast("long").alias("crawl_files"),
+        F.lit(manifest["carried_dup_or_stable"]).cast("long").alias("carried_dup_or_stable"),
+        F.lit(manifest["fresh_files"]).cast("long").alias("fresh_files"),
+        F.lit(manifest["removed_clone_dup"]).cast("long").alias("removed_clone_dup"),
+        F.lit(manifest["removed_decontaminated"]).cast("long").alias("removed_decontaminated"),
+        F.lit(manifest["removed_quality_filter"]).cast("long").alias("removed_quality_filter"),
+        F.lit(manifest["delta_released"]).cast("long").alias("delta_released"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
+    )
+
+
 from .registry import QUERIES as _REG  # noqa: E402
 
 _REG["crawl_delta_manifest_semantic"].oracle = _crawl_delta_semantic_oracle()
+_REG["crawl_delta_manifest_decontam"].oracle = _crawl_delta_decontam_oracle()

@@ -78,6 +78,47 @@ _GRAMS_DUCK = (
     f" i -> {_DUCK_CONCAT}))"
 )
 
+def words_duck(text_col: str) -> str:
+    """DuckDB twin of :func:`words_expr` for any text column."""
+    return f"list_filter(str_split_regex({text_col}, '[ \\t\\n]+'), w -> w != '')"
+
+
+def decontam_dropped_duck(
+    src: str, key_expr: str, bench_src: str, text_col: str, prefix: str = "dc_"
+) -> str:
+    """DuckDB replay of :func:`decontaminate_against` over ANY pair of
+    tables: CTE chain ending in ``{prefix}dropped (drop_id)`` — the keys
+    of ``src`` rows sharing at least one word {_N}-gram with any
+    ``bench_src`` row. Spliced into the composed crawl/release oracles;
+    ``prefix`` renames the chain so one WITH block can apply it twice."""
+    out = f"""dc_bg AS MATERIALIZED (
+  SELECT DISTINCT unnest({_GRAMS_DUCK}) AS g
+  FROM (SELECT {words_duck(text_col)} AS w FROM {bench_src})
+),
+dc_dropped AS MATERIALIZED (
+  SELECT DISTINCT _did AS drop_id FROM (
+    SELECT _did, unnest({_GRAMS_DUCK}) AS g
+    FROM (SELECT {key_expr} AS _did, {words_duck(text_col)} AS w FROM {src})
+  ) cg JOIN dc_bg USING (g)
+)"""
+    return out if prefix == "dc_" else out.replace("dc_", prefix)
+
+
+def bench_identity(benchmarks, text_col: str = "content") -> str:
+    """Content-derived identity of a benchmark frame: one bounded
+    aggregate on the (small) benchmark side, mixed into resumable-stage
+    input tokens so a benchmark swap can never silently reuse a stale
+    committed decontam table. sum over DECIMAL(38,0): order-independent,
+    no ANSI long-overflow hazard, and — unlike bit_xor — duplicate rows
+    do NOT cancel (under XOR {{A,B,B}} and {{A,C,C}} collide at equal
+    counts)."""
+    row = benchmarks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum(cast(xxhash64({text_col}) as decimal(38,0)))").alias("h"),
+    ).collect()[0]
+    return f"n={row['n']},h={row['h']}"
+
+
 _Q_DECON_ORACLE = f"""
 WITH grams AS (
   SELECT doc_id, unnest({_GRAMS_DUCK}) AS g

@@ -173,12 +173,18 @@ def load_state(spark, path: str) -> CrawlState:
 
 
 def initial_crawl_state(
-    corpus: DataFrame, semantic: bool = False
+    corpus: DataFrame,
+    semantic: bool = False,
+    benchmarks: DataFrame | None = None,
 ) -> tuple[DataFrame, CrawlState]:
     """Bootstrap: crawl 0 is a full run — exact dedup (min-commit wins),
-    cross-repo clone dedup, and (when ``semantic``) doc-level SemDeDup —
-    returning (post-dedup corpus, state). The caller releases crawl 0
-    through the normal quality pipeline."""
+    cross-repo clone dedup, (when ``semantic``) doc-level SemDeDup, and
+    (when ``benchmarks`` given) decontamination — returning (post-dedup
+    corpus, state). The caller releases crawl 0 through the normal
+    quality pipeline. Decontaminated docs are excluded from the carried
+    kept state entirely: they are never released, and a future near-dup
+    of one is decontam-checked on its own crawl (it shares the same
+    benchmark grams), so the exclusion is self-consistent."""
     from ..operators.repo_ops import (
         band_index,
         clone_dedup_filter,
@@ -206,6 +212,13 @@ def initial_crawl_state(
         kept = semantic_doc_dedup_filter(
             kept, ["commit"], text_col="content"
         ).localCheckpoint(eager=False)
+    if benchmarks is not None:
+        from ..operators.decontaminate import decontaminate_against
+
+        kept = decontaminate_against(
+            kept, benchmarks, text_col="content"
+        ).localCheckpoint(eager=False)
+    if semantic:
         vindex = vector_bucket_index(kept, ["commit"])
     state = CrawlState(
         digest_index=digest_index(deduped),
@@ -216,13 +229,19 @@ def initial_crawl_state(
     return kept, state
 
 
-def crawl_delta_frames(curr: DataFrame, state: CrawlState) -> dict:
+def crawl_delta_frames(
+    curr: DataFrame, state: CrawlState, benchmarks: DataFrame | None = None
+) -> dict:
     """The delta chain as named frames (pre-annotation), so both
     :func:`build_crawl_delta` and the resumable CrawlRun stage transforms
     consume one definition. Returns dict with ``fresh`` (post exact),
     ``clone_dropped`` (fresh fids dropped by clone policy), ``survivors``
     (fresh rows entering the quality filter), ``cur_base`` (the full
-    post-exact-dedup current corpus: stable kept + fresh)."""
+    post-exact-dedup current corpus: stable kept + fresh). ``benchmarks``
+    adds the decontamination leg: only the FRESH survivors are gram-probed
+    (the stable side was checked on its own crawl and the benchmark set's
+    identity rides the stage fingerprint, so a bench swap re-runs it) —
+    the per-crawl decontam cost is bounded by |fresh|, not |corpus|."""
     from ..operators.repo_ops import incremental_clone_pairs, incremental_exact_keep
 
     fresh_keep = incremental_exact_keep(curr, state.digest_index)
@@ -253,11 +272,21 @@ def crawl_delta_frames(curr: DataFrame, state: CrawlState) -> dict:
             .distinct()
         )
         survivors = survivors.join(sem_dropped, "commit", "left_anti")
+    decon_dropped = None
+    if benchmarks is not None:
+        from ..operators.decontaminate import decontaminate_against
+
+        clean = decontaminate_against(survivors, benchmarks, text_col="content")
+        decon_dropped = survivors.select("commit").join(
+            clean.select("commit"), "commit", "left_anti"
+        )
+        survivors = clean
     return {
         "fresh": fresh,
         "cur_base": cur_base,
         "clone_dropped": clone_dropped,
         "sem_dropped": sem_dropped,
+        "decon_dropped": decon_dropped,
         "survivors": survivors,
     }
 
@@ -267,6 +296,7 @@ def build_crawl_delta(
     state: CrawlState,
     cfg: RuleConfig = DEFAULT_RULES,
     scorer_loader=None,
+    benchmarks: DataFrame | None = None,
 ) -> tuple[DataFrame, CrawlState, dict]:
     """Process one crawl against the committed state; returns
     (delta release with ``split``, next state, manifest dict). Every
@@ -274,7 +304,7 @@ def build_crawl_delta(
     scales with the cumulative corpus except the two index joins."""
     from ..operators.repo_ops import band_index, digest_index
 
-    fr = crawl_delta_frames(curr, state)
+    fr = crawl_delta_frames(curr, state, benchmarks=benchmarks)
     fresh = fr["fresh"].localCheckpoint(eager=False)
     survivors = fr["survivors"].localCheckpoint(eager=False)
 
@@ -283,6 +313,9 @@ def build_crawl_delta(
     n_surv = survivors.count()
     n_sem = (
         fr["sem_dropped"].count() if fr["sem_dropped"] is not None else 0
+    )
+    n_decon = (
+        fr["decon_dropped"].count() if fr["decon_dropped"] is not None else 0
     )
 
     annotated = annotate(survivors, cfg, scorer_loader=scorer_loader).localCheckpoint(
@@ -324,8 +357,9 @@ def build_crawl_delta(
         "crawl_files": n_crawl,
         "carried_dup_or_stable": n_crawl - n_fresh,
         "fresh_files": n_fresh,
-        "removed_clone_dup": n_fresh - n_surv - n_sem,
+        "removed_clone_dup": n_fresh - n_surv - n_sem - n_decon,
         "removed_semantic_dup": n_sem,
+        "removed_decontaminated": n_decon,
         "removed_quality_filter": n_surv - n_delta,
         "delta_released": n_delta,
     }
@@ -349,6 +383,11 @@ class CrawlRun:
                 swap invalidates committed batches)
         -> clonedelta (global: the band join crosses the corpus; input
                 token binds band-index + stable-corpus identities)
+        -> decontam   (optional, global: one benchmark-gram build probes
+                all fresh survivors; the benchmark set's content identity
+                rides the INPUT token — resolved at run(), where the frame
+                exists — so a bench swap invalidates committed batches
+                in-place, exactly ReleaseRun's decontam contract)
         -> bands      (n_batches, per-row banding of the survivors —
                 the committed band-index DELTA the next crawl carries)
         -> annotate   (n_batches, the 1:1 quality-pipeline map over
@@ -365,6 +404,7 @@ class CrawlRun:
         catalog=None,
         scorer_loader=None,
         semantic_dedup: bool = False,
+        decontaminate: bool = False,
     ) -> None:
         from ..engine.checkpoint import ResumableStage
         from ..engine.fingerprint import run_fingerprint
@@ -415,6 +455,15 @@ class CrawlRun:
         else:
             self.vecs_stage = None
             self.semdelta_stage = None
+        self.decon_stage = (
+            ResumableStage(
+                f"{p}decontam", KEY_COLS, work_dir,
+                config={"method": "ngram-probe"},
+                n_batches=1, catalog=self.catalog,
+            )
+            if decontaminate
+            else None
+        )
         self.bands_stage = ResumableStage(
             f"{p}bands", KEY_COLS, work_dir,
             config={"method": "minhash-band-index"},
@@ -438,7 +487,7 @@ class CrawlRun:
             s
             for s in (
                 self.fresh_stage, self.clone_stage,
-                self.vecs_stage, self.semdelta_stage,
+                self.vecs_stage, self.semdelta_stage, self.decon_stage,
                 self.bands_stage, self.annotate_stage, self.finalize_stage,
             )
             if s is not None
@@ -452,6 +501,7 @@ class CrawlRun:
         spark,
         curr: DataFrame,
         state: CrawlState,
+        benchmarks: DataFrame | None = None,
         fail_after_batches: int | None = None,
     ) -> dict:
         from ..engine.fingerprint import input_identity
@@ -465,6 +515,8 @@ class CrawlRun:
                 "semantic_dedup=True needs a CrawlState with a vector_index "
                 "(bootstrap with initial_crawl_state(semantic=True))"
             )
+        if self.decon_stage is not None and benchmarks is None:
+            raise ValueError("decontaminate=True needs a benchmarks frame")
         # identity tokens BEFORE localCheckpoint: checkpointing severs the
         # lineage input_identity reads (an RDD scan prints no sources)
         ix_token = input_identity(state.digest_index)
@@ -556,6 +608,22 @@ class CrawlRun:
             ran["semdelta"] = r.batches_run
             survivors = self.semdelta_stage.output(spark)
 
+        if self.decon_stage is not None:
+            from ..operators.decontaminate import (
+                bench_identity,
+                decontaminate_against,
+            )
+
+            bench_id = bench_identity(benchmarks)
+            r = self.decon_stage.run(
+                spark, survivors,
+                lambda df: decontaminate_against(df, benchmarks, text_col="content"),
+                fail_after_batches=fail_after_batches,
+                input_token=f"{input_identity(survivors)}|bench:{bench_id}",
+            )
+            ran["decontam"] = r.batches_run
+            survivors = self.decon_stage.output(spark)
+
         r = self.bands_stage.run(
             spark, survivors, band_index,
             fail_after_batches=fail_after_batches,
@@ -598,10 +666,12 @@ class CrawlRun:
         from ..operators.repo_ops import digest_index
 
         fresh = self.fresh_stage.output(spark)
-        survivors = (
-            self.semdelta_stage if self.semdelta_stage is not None
-            else self.clone_stage
-        ).output(spark)
+        last_dedup = next(
+            s
+            for s in (self.decon_stage, self.semdelta_stage, self.clone_stage)
+            if s is not None
+        )
+        survivors = last_dedup.output(spark)
         still = state.kept_commits.join(curr.select("commit"), "commit", "left_semi")
         kept_commits = still.unionByName(survivors.select("commit"))
         vindex = None

@@ -427,20 +427,9 @@ class ReleaseRun:
             if self._bench_token is not None:
                 bench_id = self._bench_token
             else:
-                # content-derived identity: one bounded aggregate on the
-                # (small) benchmark side — different benchmarks can never
-                # silently reuse a stale committed decontam table.
-                # sum over DECIMAL(38,0): order-independent, no ANSI
-                # long-overflow hazard (a raw bigint sum overflows), and —
-                # unlike bit_xor — duplicate rows do NOT cancel: under XOR
-                # {A,B,B} and {A,C,C} collide at equal counts
-                row = benchmarks.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.expr(
-                        "sum(cast(xxhash64(content) as decimal(38,0)))"
-                    ).alias("h"),
-                ).collect()[0]
-                bench_id = f"n={row['n']},h={row['h']}"
+                from ..operators.decontaminate import bench_identity
+
+                bench_id = bench_identity(benchmarks)
             r = self.decontam_stage.run(
                 spark, cur,
                 lambda df: decontaminate_against(df, benchmarks, text_col="content"),

@@ -270,3 +270,110 @@ def test_crawl_state_save_load_roundtrip(spark, tmp_path):
     (tmp_path / "partial").mkdir()
     with pytest.raises(FileNotFoundError, match="_STATE.json"):
         load_state(spark, str(tmp_path / "partial"))
+
+
+def test_crawl_decontam_released_is_clean(spark, tmp_path):
+    """With a benchmarks frame: neither the bootstrap's kept corpus nor
+    any delta release may share a single word n-gram with the benchmark
+    suite (checked on the RAW content the probe ran over), the manifest's
+    removed_decontaminated must account exactly for the survivors lost to
+    the probe, and the carried kept state must exclude decontaminated
+    docs."""
+    from curator_spark.operators.decontaminate import grams_expr
+
+    a = _crawl(spark, tmp_path, "a", 0)
+    b = _crawl(spark, tmp_path, "b", 150)
+    bench = a.orderBy("commit").limit(5).select("content").localCheckpoint(
+        eager=True
+    )
+    bench_grams = {
+        r.g
+        for r in bench.select(
+            F.explode(F.expr(grams_expr("content"))).alias("g")
+        ).collect()
+    }
+    assert bench_grams, "benchmark fixture produced no grams"
+
+    def _grams_of(df):
+        return {
+            r.g
+            for r in df.select(
+                F.explode(F.expr(grams_expr("content"))).alias("g")
+            ).collect()
+        }
+
+    kept0, s0 = initial_crawl_state(a, benchmarks=bench)
+    assert _grams_of(kept0).isdisjoint(bench_grams)
+    # the bench docs themselves (corpus rows) were decontaminated away
+    assert kept0.count() < a.count()
+
+    delta, s1, m = build_crawl_delta(b, s0, benchmarks=bench)
+    assert m["removed_decontaminated"] >= 0
+    assert (
+        m["fresh_files"]
+        == m["removed_clone_dup"] + m["removed_decontaminated"]
+        + m["removed_quality_filter"] + m["delta_released"]
+    )
+    # released delta is clean on the RAW content the probe saw
+    raw_released = b.join(delta.select("commit"), "commit", "left_semi")
+    assert _grams_of(raw_released).isdisjoint(bench_grams)
+    # carried kept state is clean too
+    raw_kept = b.join(s1.kept_commits, "commit", "left_semi")
+    assert _grams_of(raw_kept).isdisjoint(bench_grams)
+
+
+def test_crawl_run_decontam_kill_resume_and_bench_swap(spark, tmp_path):
+    """CrawlRun(decontaminate=True) must survive kills and converge to
+    build_crawl_delta's result; a benchmark-set swap must invalidate the
+    committed decontam stage (its identity rides the input token) while
+    the upstream fresh/clone stages stay committed."""
+    a = _crawl(spark, tmp_path, "a", 0)
+    b = _crawl(spark, tmp_path, "b", 150)
+    bench = a.orderBy("commit").limit(5).select("content").localCheckpoint(
+        eager=True
+    )
+    _, s0 = initial_crawl_state(a, benchmarks=bench)
+
+    run = CrawlRun(str(tmp_path / "w"), crawl_id=1, n_batches=3, decontaminate=True)
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 40, "no convergence — a batch is being re-run forever"
+        try:
+            run.run(spark, b, s0, benchmarks=bench, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    assert attempts >= 5
+
+    delta_ref, s1_ref, m_ref = build_crawl_delta(b, s0, benchmarks=bench)
+    assert _delta_set(run.delta(spark)) == _delta_set(delta_ref)
+
+    # fully committed -> pure metadata probe
+    ran = run.run(spark, b, s0, benchmarks=bench)
+    assert all(v == [] for v in ran.values()), ran
+
+    # next_state from committed tables == single-session state
+    s1 = run.next_state(spark, b, s0)
+    assert {r.commit for r in s1.kept_commits.collect()} == {
+        r.commit for r in s1_ref.kept_commits.collect()
+    }
+    assert {tuple(r) for r in s1.band_index.collect()} == {
+        tuple(r) for r in s1_ref.band_index.collect()
+    }
+
+    # benchmark swap: decontam (and downstream) re-run, fresh/clone don't
+    bench2 = a.orderBy("commit").limit(9).select("content").localCheckpoint(
+        eager=True
+    )
+    run2 = CrawlRun(str(tmp_path / "w"), crawl_id=1, n_batches=3, decontaminate=True)
+    ran2 = run2.run(spark, b, s0, benchmarks=bench2)
+    assert ran2["fresh"] == [] and ran2["clonedelta"] == []
+    assert ran2["decontam"] != []
+
+    # missing benchmarks frame is a hard error
+    import pytest
+
+    run3 = CrawlRun(str(tmp_path / "w3"), crawl_id=1, decontaminate=True)
+    with pytest.raises(ValueError, match="benchmarks"):
+        run3.run(spark, b, s0)
