@@ -377,3 +377,96 @@ def test_crawl_run_decontam_kill_resume_and_bench_swap(spark, tmp_path):
     run3 = CrawlRun(str(tmp_path / "w3"), crawl_id=1, decontaminate=True)
     with pytest.raises(ValueError, match="benchmarks"):
         run3.run(spark, b, s0)
+
+
+def test_crawl_semantic_plus_decontam_chain(spark, tmp_path):
+    """ALL layers composed: semantic dedup AND decontamination through a
+    three-crawl chain. The committed CrawlRun (8-stage) must survive
+    kills and converge to build_crawl_delta; the carried vector index
+    must equal a fresh embedding of the current kept corpus (which is
+    post-decontam — decon runs BEFORE the state deltas are cut); every
+    release and the carried kept state must stay gram-clean."""
+    from curator_spark.operators.decontaminate import grams_expr
+    from curator_spark.operators.embedding import vector_bucket_index
+
+    a = _crawl(spark, tmp_path, "a", 0)
+    b = _crawl(spark, tmp_path, "b", 150)
+    c = _crawl(spark, tmp_path, "c", 300)
+    bench = a.orderBy("commit").limit(5).select("content").localCheckpoint(
+        eager=True
+    )
+    bench_grams = {
+        r.g
+        for r in bench.select(
+            F.explode(F.expr(grams_expr("content"))).alias("g")
+        ).collect()
+    }
+
+    def _vset(df):
+        return {(r._sid, r.bucket, tuple(r.pq)) for r in df.collect()}
+
+    kept0, s0 = initial_crawl_state(a, semantic=True, benchmarks=bench)
+    assert s0.vector_index is not None
+    # bootstrap vector index == fresh embedding of the post-decontam kept
+    # corpus (docs too short to chunk legitimately carry no vector rows)
+    assert _vset(s0.vector_index) == _vset(vector_bucket_index(kept0, ["commit"]))
+    assert {r._sid for r in s0.vector_index.select("_sid").distinct().collect()} <= {
+        r.commit for r in s0.kept_commits.collect()
+    }
+
+    delta_ref, s1_ref, m1 = build_crawl_delta(b, s0, benchmarks=bench)
+
+    run = CrawlRun(
+        str(tmp_path / "w"), crawl_id=1, n_batches=3,
+        semantic_dedup=True, decontaminate=True,
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 70, "no convergence — a batch is being re-run forever"
+        try:
+            run.run(spark, b, s0, benchmarks=bench, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    assert attempts >= 7  # kills really happened across the 8-stage chain
+
+    assert _delta_set(run.delta(spark)) == _delta_set(delta_ref)
+    ran = run.run(spark, b, s0, benchmarks=bench)
+    assert set(ran) == {
+        "fresh", "clonedelta", "vecs", "semdelta", "decontam",
+        "bands", "annotate", "finalize",
+    }
+    assert all(v == [] for v in ran.values()), ran
+
+    s1 = run.next_state(spark, b, s0)
+    assert _vset(s1.vector_index) == _vset(s1_ref.vector_index)
+    # carried vindex == fresh embedding of the current (post-decon) kept set
+    kept_rows = b.join(s1.kept_commits, "commit", "left_semi")
+    assert _vset(s1.vector_index) == _vset(
+        vector_bucket_index(kept_rows, ["commit"])
+    )
+
+    # chain a third crawl off the committed state; everything stays clean
+    delta2, s2, m2 = build_crawl_delta(c, s1, benchmarks=bench)
+
+    def _grams_of(df):
+        return {
+            r.g
+            for r in df.select(
+                F.explode(F.expr(grams_expr("content"))).alias("g")
+            ).collect()
+        }
+
+    for released, src in ((delta_ref, b), (delta2, c)):
+        raw = src.join(released.select("commit"), "commit", "left_semi")
+        assert _grams_of(raw).isdisjoint(bench_grams)
+    assert _grams_of(c.join(s2.kept_commits, "commit", "left_semi")).isdisjoint(
+        bench_grams
+    )
+    assert (
+        m2["fresh_files"]
+        == m2["removed_clone_dup"] + m2["removed_semantic_dup"]
+        + m2["removed_decontaminated"] + m2["removed_quality_filter"]
+        + m2["delta_released"]
+    )
