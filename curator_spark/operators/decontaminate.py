@@ -267,3 +267,20 @@ def decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+def grams_py(text: str, n: int = _N) -> set:
+    """Python twin of :func:`grams_expr` (same split, same guard, same
+    space-joined distinct n-grams) — the per-doc probe the STREAMING
+    decontam path runs against a broadcast benchmark gram set, where a
+    doc-level stream-static anti-join is inexpressible without a stateful
+    streaming aggregation (the gram explode multiplies rows; collapsing
+    them back per doc inside a micro-batch would need state). Parity with
+    the SQL form is asserted by test_streaming's batch-vs-stream check
+    and the hypothesis fuzz in test_decontaminate_bloom."""
+    import re
+
+    ws = [w for w in re.split(r"[ \t\n]+", text) if w]
+    if len(ws) < n:
+        return set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}

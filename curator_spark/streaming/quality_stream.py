@@ -134,3 +134,59 @@ def stream_event_metrics(
             "total",
         )
     )
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    source_dir: str,
+    benchmarks: DataFrame,
+    text_col: str = "content",
+    n: int = 8,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming decontamination: readStream(corpus parquet) -> drop every
+    doc sharing any word n-gram with the STATIC benchmark suite — the
+    continuous-ingestion analog of operators.decontaminate. Returns the
+    clean stream with the batch operator's exact semantics (parity
+    tested batch-vs-stream on the same files).
+
+    Design: a doc-level stream-static LEFT ANTI join is inexpressible
+    here — the probe key is the n-gram, so the stream side would have to
+    explode (one row per gram) and then collapse back to docs, and that
+    collapse is a stateful streaming aggregation (state store, output
+    modes, watermark) for what is logically a per-row predicate. Instead
+    the benchmark gram set — tiny relative to the corpus, the same
+    assumption the batch broadcast path makes — is collected ONCE at
+    stream definition and broadcast; an Arrow-batched mapInPandas probes
+    each doc's grams against it map-side. Zero shuffle, zero state, and
+    micro-batch size never affects the result. For gram sets beyond
+    executor memory the batch bloom path's bitmap would slot in as the
+    prefilter; the exact-confirm set bound is documented, not hidden."""
+    from ..operators.decontaminate import grams_expr, grams_py
+
+    bench_grams = frozenset(
+        r.g
+        for r in benchmarks.select(
+            F.explode(F.expr(grams_expr(text_col, n))).alias("g")
+        )
+        .distinct()
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(bench_grams)
+
+    src = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def probe(batches):
+        bg = bc.value
+        for pdf in batches:
+            mask = [
+                not (grams_py(t, n) & bg) if t is not None else True
+                for t in pdf[text_col]
+            ]
+            yield pdf[mask]
+
+    return src.mapInPandas(probe, schema=CORPUS_SCHEMA)

@@ -76,3 +76,38 @@ def test_bloom_bitmap_has_no_false_negatives(spark, corpus_df):
         p = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
         hit &= ((bitmap[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1)) == 1
     assert hit.all()
+
+
+def test_grams_py_matches_sql_fuzz(spark):
+    """grams_py (the streaming probe's Python twin) must produce exactly
+    grams_expr's gram set for adversarial texts: mixed whitespace runs,
+    leading/trailing separators, short docs under the n-gram width,
+    unicode, empties. One Spark job over all cases."""
+    import random
+
+    from curator_spark.operators.decontaminate import grams_expr, grams_py
+
+    rng = random.Random(42)
+    alphabet = ["foo", "bar", "x", "λ", "0", "a_b", "c.d", "--"]
+    seps = [" ", "  ", "\t", "\n", " \t\n "]
+    cases = ["", " ", "\t\n", "one two"]
+    for _ in range(60):
+        k = rng.randint(0, 14)
+        words = [rng.choice(alphabet) for _ in range(k)]
+        s = rng.choice(["", rng.choice(seps)]) + rng.choice(seps).join(words)
+        s += rng.choice(["", rng.choice(seps)])
+        cases.append(s)
+    for n in (2, 8):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "i long, content string"
+        )
+        got = {
+            (r.i, r.g)
+            for r in df.select(
+                "i", F.explode(F.expr(grams_expr("content", n))).alias("g")
+            ).collect()
+        }
+        want = {
+            (i, g) for i, t in enumerate(cases) for g in sorted(grams_py(t, n))
+        }
+        assert got == want, f"n={n}"

@@ -197,3 +197,42 @@ def test_stream_embed_documents_matches_batch(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_stream_decontaminate_matches_batch(spark, corpus_path, corpus_df, tmp_path):
+    """The streamed broadcast-gram probe must keep EXACTLY the rows the
+    batch decontaminate_against keeps on the same files, regardless of
+    micro-batch boundaries (probe is per-row; maxFilesPerTrigger=2 forces
+    several batches)."""
+    from curator_spark.operators.decontaminate import decontaminate_against
+    from curator_spark.streaming.quality_stream import stream_decontaminate
+
+    bench = (
+        corpus_df.orderBy("commit").limit(4).select("content")
+        .localCheckpoint(eager=True)
+    )
+    out = stream_decontaminate(
+        spark, corpus_path, bench, max_files_per_trigger=2
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_decon_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decon"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.commit for r in spark.sql("SELECT commit FROM stream_decon_out").collect()
+    }
+    want = {
+        r.commit
+        for r in decontaminate_against(corpus_df, bench, text_col="content")
+        .select("commit")
+        .collect()
+    }
+    assert got == want
+    assert len(want) < corpus_df.count()  # the probe really dropped rows
