@@ -284,3 +284,84 @@ def grams_py(text: str, n: int = _N) -> set:
     if len(ws) < n:
         return set()
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def decontaminate_bench_delta(
+    kept,
+    old_bench,
+    added_bench,
+    text_col: str = "content",
+    key_cols: list[str] | None = None,
+    n: int = _N,
+):
+    """Incremental decontamination when the benchmark SUITE grows: given a
+    corpus already clean w.r.t. ``old_bench``, drop only the docs hitting
+    grams of ``added_bench`` that old_bench did not already cover. Exactly
+    equal to re-running :func:`decontaminate_against` with the grown suite
+    from scratch — a doc survives the full probe iff it hits no old gram
+    (given: it is in ``kept``) and no added gram (this probe); old grams
+    re-appearing in added_bench are subtracted so the broadcast set is the
+    true delta. The scale win is on the BENCH side: suites grow by a few
+    documents a month, so the broadcast set is the tiny gram delta and
+    prior drops stay committed — re-probing the kept corpus is one
+    map-side broadcast join, never a recompute of earlier decisions.
+    Reference anchor: cache-hit reuse of committed work,
+    base_request_processor.py:145-198, lifted to the benchmark axis."""
+    key_cols = key_cols or ["repo", "path", "commit"]
+    ge = grams_expr(text_col, n)
+    old_g = old_bench.select(F.explode(F.expr(ge)).alias("g")).distinct()
+    add_g = (
+        added_bench.select(F.explode(F.expr(ge)).alias("g"))
+        .distinct()
+        .join(old_g, "g", "left_anti")
+    )
+    flagged = (
+        kept.select(*key_cols, F.explode(F.expr(ge)).alias("g"))
+        .join(F.broadcast(add_g), "g")
+        .select(*key_cols)
+        .distinct()
+    )
+    return kept.join(flagged, key_cols, "left_anti")
+
+
+# incremental decontam over the documents table: suite grows from the
+# first _N_BENCH docs to the first _N_BENCH_GROWN; the oracle re-runs the
+# FULL decontam against the grown suite from scratch — equality is the
+# carry-forward proof (prior drops + added-gram-only probe == full probe)
+_N_BENCH_GROWN = _N_BENCH + 3
+
+_Q_DECON_INC_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_GRAMS_DUCK}) AS g
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_N_BENCH_GROWN}),
+dropped AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench USING (g)
+  WHERE gr.doc_id >= {_N_BENCH_GROWN}
+)
+SELECT doc_id FROM documents
+WHERE doc_id >= {_N_BENCH_GROWN} AND doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register(
+    "decontam_incremental",
+    _Q_DECON_INC_ORACLE,
+    "incremental decontamination under benchmark-suite growth (added-gram delta probe == full re-probe)",
+)
+def decontam_incremental(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    old_bench = d.filter(F.col("doc_id") < _N_BENCH).select("text")
+    added = d.filter(
+        (F.col("doc_id") >= _N_BENCH) & (F.col("doc_id") < _N_BENCH_GROWN)
+    ).select("text")
+    corpus = d.filter(F.col("doc_id") >= _N_BENCH_GROWN)
+    kept_old = decontaminate_against(
+        corpus, old_bench, text_col="text", key_cols=["doc_id"]
+    )
+    return decontaminate_bench_delta(
+        kept_old, old_bench, added, text_col="text", key_cols=["doc_id"]
+    ).select("doc_id")

@@ -111,3 +111,34 @@ def test_grams_py_matches_sql_fuzz(spark):
             (i, g) for i, t in enumerate(cases) for g in sorted(grams_py(t, n))
         }
         assert got == want, f"n={n}"
+
+
+def test_bench_delta_equals_full_reprobe(spark, corpus_df):
+    """decontaminate_bench_delta over an already-clean corpus must equal
+    re-running the full probe with the grown suite from scratch; an added
+    set fully covered by the old suite's grams must drop nothing."""
+    from curator_spark.operators.decontaminate import (
+        decontaminate_against,
+        decontaminate_bench_delta,
+    )
+
+    old_bench = corpus_df.orderBy("commit").limit(4).select("content")
+    added = (
+        corpus_df.orderBy("commit")
+        .limit(7)
+        .subtract(corpus_df.orderBy("commit").limit(4))
+        .select("content")
+    )
+    grown = old_bench.unionByName(added)
+
+    kept_old = decontaminate_against(corpus_df, old_bench, text_col="content")
+    inc = decontaminate_bench_delta(kept_old, old_bench, added)
+    full = decontaminate_against(corpus_df, grown, text_col="content")
+    assert {r.commit for r in inc.select("commit").collect()} == {
+        r.commit for r in full.select("commit").collect()
+    }
+    assert inc.count() < kept_old.count()  # the delta really dropped docs
+
+    # added ⊆ old (same docs re-submitted): delta probe is a no-op
+    noop = decontaminate_bench_delta(kept_old, old_bench, old_bench)
+    assert noop.count() == kept_old.count()
