@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "crawl_delta_manifest_semantic",
     "semdedup_incremental",
     "dedup_semantic_docs",
+    "crawl_delta_manifest_decontam",
+    "decontam_incremental",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
