@@ -1,0 +1,104 @@
+"""Incremental-crawl cost evidence: the per-crawl delta must cost
+O(|fresh|), not O(|corpus|). Measures the SAME crawl snapshot processed
+two ways against the same committed state:
+
+  full  — non-incremental alternative: re-release the whole current
+          corpus from scratch (build_crawl_delta over the EMPTY state —
+          the bootstrap-as-delta path, every stage over all rows)
+  delta — build_crawl_delta over the committed crawl-0 state (exact
+          anti-join vs digest index, clone/annotate over fresh only)
+
+Both passes are interleaved (full, delta, full, delta, ...) and scored by
+median, because this host has severe time-varying CPU steal. The state
+tables are eagerly checkpointed BEFORE timing — they are the previous
+crawl job's committed output, not part of the delta's cost.
+
+Env: CURATOR_CRAWL_ROWS (total crawl size, default 100_000),
+CURATOR_CRAWL_FRESH_FRACTION (window shift, default 0.1),
+CURATOR_CRAWL_TRIALS (default 3), SPARK_GRAFT_CPUS.
+Prints one JSON line; writes BENCH_CRAWL.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from curator_spark.plans.crawl import (
+        CrawlState,
+        build_crawl_delta,
+        empty_crawl_state,
+        initial_crawl_state,
+    )
+    from curator_spark.session import get_spark
+    from curator_spark.sources.corpus import generate_spark
+
+    rows = int(os.environ.get("CURATOR_CRAWL_ROWS", "100000"))
+    frac = float(os.environ.get("CURATOR_CRAWL_FRESH_FRACTION", "0.1"))
+    trials = int(os.environ.get("CURATOR_CRAWL_TRIALS", "3"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench_crawl", cores=cores)
+
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    shift = int(rows * frac)
+    for name, start in (("c0", 0), ("c1", shift)):
+        generate_spark(
+            spark, rows, seed=42, partitions=cores, start=start
+        ).write.mode("overwrite").parquet(os.path.join(tmp, name))
+    c0 = spark.read.parquet(os.path.join(tmp, "c0"))
+    c1 = spark.read.parquet(os.path.join(tmp, "c1"))
+
+    # the previous crawl's committed state — built and materialized
+    # OUTSIDE the timed region (a real deployment loads it as parquet)
+    _, s0 = initial_crawl_state(c0)
+    s0 = CrawlState(
+        digest_index=s0.digest_index.localCheckpoint(eager=True),
+        band_index=s0.band_index.localCheckpoint(eager=True),
+        kept_commits=s0.kept_commits.localCheckpoint(eager=True),
+    )
+
+    def timed(state) -> tuple[float, dict]:
+        t0 = time.monotonic()
+        _, _, manifest = build_crawl_delta(c1, state)
+        return time.monotonic() - t0, manifest
+
+    t_full: list[float] = []
+    t_delta: list[float] = []
+    m_delta: dict = {}
+    for _ in range(trials):
+        t, _ = timed(empty_crawl_state(spark))
+        t_full.append(round(t, 3))
+        t, m_delta = timed(s0)
+        t_delta.append(round(t, 3))
+
+    full_med = statistics.median(t_full)
+    delta_med = statistics.median(t_delta)
+    out = {
+        "metric": "incremental crawl delta vs full re-release (same snapshot, committed state)",
+        "rows": rows,
+        "fresh_files": m_delta["fresh_files"],
+        "fresh_fraction_actual": round(m_delta["fresh_files"] / rows, 4),
+        "t_full_s": t_full,
+        "t_delta_s": t_delta,
+        "t_full_median_s": full_med,
+        "t_delta_median_s": delta_med,
+        "speedup": round(full_med / delta_med, 2),
+        "delta_manifest": m_delta,
+        "cores": cores,
+    }
+    with open(os.path.join(REPO, "BENCH_CRAWL.json"), "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
