@@ -277,7 +277,7 @@ def grams_py(text: str, n: int = _N) -> set:
     streaming aggregation (the gram explode multiplies rows; collapsing
     them back per doc inside a micro-batch would need state). Parity with
     the SQL form is asserted by test_streaming's batch-vs-stream check
-    and the hypothesis fuzz in test_decontaminate_bloom."""
+    and the seeded fuzz in test_decontaminate_bloom."""
     import re
 
     ws = [w for w in re.split(r"[ \t\n]+", text) if w]
