@@ -676,9 +676,10 @@ class CrawlRun:
         kept_commits = still.unionByName(survivors.select("commit"))
         vindex = None
         if self.vecs_stage is not None:
-            # vecs covers the CLONE survivors; restrict to the semantic
-            # survivors (vectors are pure per-doc functions of content, so
-            # this filter == embedding the final survivors directly)
+            # vecs covers the CLONE survivors; restrict to the final
+            # (post-semantic, post-decontam) survivors — vectors are pure
+            # per-doc functions of content, so this filter == embedding
+            # the final survivors directly
             vindex = state.vector_index.join(
                 kept_commits.select(F.col("commit").alias("_sid")), "_sid", "left_semi"
             ).unionByName(
