@@ -147,3 +147,48 @@ def test_cli_crawl_mode_two_crawls(spark, tmp_path, capsys):
         "--state-out", str(tmp_path / "state1b"),
     ])
     assert all(v == 0 for v in again["batches_run"].values()), again
+
+
+def test_cli_crawl_mode_with_decontaminate(spark, tmp_path, capsys):
+    """In crawl mode, --decontaminate routes through CrawlRun's committed
+    fresh-only stage (batches_run includes 'decontam') and the released
+    delta shares no word 8-gram with the benchmark parquet."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.__main__ import main
+    from curator_spark.operators.decontaminate import grams_expr
+    from curator_spark.sources.corpus import generate_spark
+
+    c0 = str(tmp_path / "c0")
+    corpus = generate_spark(spark, 400, seed=42, partitions=4, start=0)
+    corpus.write.parquet(c0)
+    bench_p = str(tmp_path / "bench")
+    corpus.orderBy("commit").limit(4).select("content").write.parquet(bench_p)
+
+    rc = main([
+        "--input", c0, "--work-dir", str(tmp_path / "w"), "--n-batches", "2",
+        "--crawl-id", "0", "--state-out", str(tmp_path / "state0"),
+        "--output", str(tmp_path / "d0"), "--decontaminate", bench_p,
+    ])
+    assert rc == 0
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert "decontam" in stats["batches_run"]
+    assert stats["delta_rows"] > 0
+
+    bench_grams = {
+        r.g
+        for r in spark.read.parquet(bench_p)
+        .select(F.explode(F.expr(grams_expr("content"))).alias("g"))
+        .collect()
+    }
+    released = spark.read.parquet(str(tmp_path / "d0"))
+    raw = corpus.join(released.select("commit"), "commit", "left_semi")
+    got = {
+        r.g
+        for r in raw.select(
+            F.explode(F.expr(grams_expr("content"))).alias("g")
+        ).collect()
+    }
+    assert got.isdisjoint(bench_grams)
