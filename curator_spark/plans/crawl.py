@@ -230,22 +230,34 @@ def initial_crawl_state(
 
 
 def crawl_delta_frames(
-    curr: DataFrame, state: CrawlState, benchmarks: DataFrame | None = None
+    curr: DataFrame,
+    state: CrawlState,
+    benchmarks: DataFrame | None = None,
+    stage_cb=None,
 ) -> dict:
     """The delta chain as named frames (pre-annotation), so both
     :func:`build_crawl_delta` and the resumable CrawlRun stage transforms
     consume one definition. Returns dict with ``fresh`` (post exact),
-    ``clone_dropped`` (fresh fids dropped by clone policy), ``survivors``
-    (fresh rows entering the quality filter), ``cur_base`` (the full
+    ``clone_dropped`` (fresh fids dropped by clone policy), the staged
+    survivor frames ``surv_clone`` / ``surv_sem`` / ``survivors`` (the
+    post-clone, post-semantic, and final fresh survivors — later stages
+    alias earlier objects when a layer is off, so ``is``-identity tells
+    a caller which stages actually ran), and ``cur_base`` (the full
     post-exact-dedup current corpus: stable kept + fresh). ``benchmarks``
     adds the decontamination leg: only the FRESH survivors are gram-probed
     (the stable side was checked on its own crawl and the benchmark set's
     identity rides the stage fingerprint, so a bench swap re-runs it) —
-    the per-crawl decontam cost is bounded by |fresh|, not |corpus|."""
+    the per-crawl decontam cost is bounded by |fresh|, not |corpus|.
+    ``stage_cb`` (default identity) wraps each stage boundary —
+    build_crawl_delta passes a lazy localCheckpoint so each stage
+    computes ONCE and every downstream subtree (the next stage, the
+    per-stage counts, the state deltas) reads the materialized node
+    instead of re-deriving the chain."""
     from ..operators.repo_ops import incremental_clone_pairs, incremental_exact_keep
 
+    cb = stage_cb if stage_cb is not None else (lambda df: df)
     fresh_keep = incremental_exact_keep(curr, state.digest_index)
-    fresh = curr.join(fresh_keep.select("commit"), "commit", "left_semi")
+    fresh = cb(curr.join(fresh_keep.select("commit"), "commit", "left_semi"))
     stable = curr.join(state.kept_commits, "commit", "left_semi")
     cur_base = stable.unionByName(fresh)
     pairs = incremental_clone_pairs(cur_base, state.band_index)
@@ -256,7 +268,8 @@ def crawl_delta_frames(
         .otherwise(F.col("fid_a"))
         .alias("commit")
     ).distinct()
-    survivors = fresh.join(clone_dropped, "commit", "left_anti")
+    surv_clone = cb(fresh.join(clone_dropped, "commit", "left_anti"))
+    survivors = surv_clone
     sem_dropped = None
     if state.vector_index is not None:
         from ..operators.embedding import incremental_semantic_pairs
@@ -271,7 +284,8 @@ def crawl_delta_frames(
             .select(F.col("drop_sid").alias("commit"))
             .distinct()
         )
-        survivors = survivors.join(sem_dropped, "commit", "left_anti")
+        survivors = cb(survivors.join(sem_dropped, "commit", "left_anti"))
+    surv_sem = survivors
     decon_dropped = None
     if benchmarks is not None:
         from ..operators.decontaminate import decontaminate_against
@@ -280,12 +294,14 @@ def crawl_delta_frames(
         decon_dropped = survivors.select("commit").join(
             clean.select("commit"), "commit", "left_anti"
         )
-        survivors = clean
+        survivors = cb(clean)
     return {
         "fresh": fresh,
         "cur_base": cur_base,
         "clone_dropped": clone_dropped,
+        "surv_clone": surv_clone,
         "sem_dropped": sem_dropped,
+        "surv_sem": surv_sem,
         "decon_dropped": decon_dropped,
         "survivors": survivors,
     }
@@ -301,22 +317,34 @@ def build_crawl_delta(
     """Process one crawl against the committed state; returns
     (delta release with ``split``, next state, manifest dict). Every
     count in the manifest is over |crawl| or |fresh| rows — nothing
-    scales with the cumulative corpus except the two index joins."""
+    scales with the cumulative corpus except the two index joins.
+    Per-stage removal counts are DIFFERENCES of the staged survivor
+    counts (each stage lazily checkpointed and counted once, in chain
+    order, so every count after the first reads cached parents) — never
+    counts of the dropped-frame subtrees, which would re-evaluate the
+    whole clone/semantic chain once per stage."""
     from ..operators.repo_ops import band_index, digest_index
 
-    fr = crawl_delta_frames(curr, state, benchmarks=benchmarks)
-    fresh = fr["fresh"].localCheckpoint(eager=False)
-    survivors = fr["survivors"].localCheckpoint(eager=False)
+    fr = crawl_delta_frames(
+        curr, state, benchmarks=benchmarks,
+        stage_cb=lambda df: df.localCheckpoint(eager=False),
+    )
+    fresh = fr["fresh"]
+    survivors = fr["survivors"]
 
     n_crawl = curr.count()
     n_fresh = fresh.count()
-    n_surv = survivors.count()
-    n_sem = (
-        fr["sem_dropped"].count() if fr["sem_dropped"] is not None else 0
+    n_clone_surv = fr["surv_clone"].count()
+    n_sem_surv = (
+        fr["surv_sem"].count()
+        if fr["surv_sem"] is not fr["surv_clone"]
+        else n_clone_surv
     )
-    n_decon = (
-        fr["decon_dropped"].count() if fr["decon_dropped"] is not None else 0
+    n_surv = (
+        survivors.count() if survivors is not fr["surv_sem"] else n_sem_surv
     )
+    n_sem = n_clone_surv - n_sem_surv
+    n_decon = n_sem_surv - n_surv
 
     annotated = annotate(survivors, cfg, scorer_loader=scorer_loader).localCheckpoint(
         eager=False
@@ -357,7 +385,7 @@ def build_crawl_delta(
         "crawl_files": n_crawl,
         "carried_dup_or_stable": n_crawl - n_fresh,
         "fresh_files": n_fresh,
-        "removed_clone_dup": n_fresh - n_surv - n_sem - n_decon,
+        "removed_clone_dup": n_fresh - n_clone_surv,
         "removed_semantic_dup": n_sem,
         "removed_decontaminated": n_decon,
         "removed_quality_filter": n_surv - n_delta,
