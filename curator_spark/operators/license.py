@@ -1,0 +1,223 @@
+"""License detection + repo-level propagation — the code-corpus staple
+(The Stack / StarCoder pipelines gate training data on permissive
+licenses before any quality filtering): detect a license from each
+file's header text, aggregate a repo-level license by majority vote, let
+files without their own header inherit the repo's license, and filter on
+the effective license.
+
+Scale shape at 10^12 files: detection is a per-row CASE of substring
+probes (whole-stage codegen, zero shuffle); propagation is one
+groupBy(repo, license) count + a per-repo window over the tiny
+(repo, license) aggregate — nothing shuffles the content. The repo vote
+is deterministic under ties (count DESC, then license ASC).
+
+The synthetic corpus carries no license text, so the queries synthesize
+headers deterministically INSIDE the query (the bench-fixture idiom used
+across this registry): an md5-bucket slice of rows — chars 17-24 of
+md5(repo|path|commit), DISJOINT from the split (chars 9-16) and
+downsample (chars 1-8) windows so license assignment never correlates
+with those slices — gets one of three verbatim header lines prepended,
+and BOTH engines run the same synthesis + detection + vote from scratch,
+so the value-hash equality covers the whole chain, not just the easy
+aggregation.
+
+Reference anchor: per-row prompt/metadata derivation feeding a filtering
+decision (prompt.py:59-71, llm.py prompt hooks); the propagation step is
+Spark-native (window over a pre-aggregated frame), no reference analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+# verbatim header phrases; detection CASE order is the tie-break when a
+# file somehow contains several (first match wins in BOTH engines)
+_HEADERS = [
+    (
+        "mit",
+        "Permission is hereby granted, free of charge, to any person "
+        "obtaining a copy of this software",
+    ),
+    (
+        "apache-2.0",
+        "Licensed under the Apache License, Version 2.0 (the License)",
+    ),
+    (
+        "gpl-3.0",
+        "This program is free software: you can redistribute it and/or "
+        "modify it under the terms of the GNU General Public License",
+    ),
+]
+_PERMISSIVE = ("mit", "apache-2.0", "unknown")
+
+# md5 window chars 17-24 — disjoint from downsample (1-8) and split (9-16)
+_LIC_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat_ws('|', repo, path, commit)), 17, 8),"
+    " 16, 10) as bigint) % 100"
+)
+_LIC_BUCKET_DUCK = (
+    "('0x' || substr(md5(repo || '|' || path || '|' || commit), 17, 8))"
+    "::BIGINT % 100"
+)
+
+
+def _header_case(bucket_expr: str) -> str:
+    """Bucket -> header text (same SQL in Spark and DuckDB): <18 MIT,
+    <28 Apache, <34 GPL, else no header."""
+    m, a, g = (t for _, t in _HEADERS)
+    return (
+        f"CASE WHEN {bucket_expr} < 18 THEN '{m}' "
+        f"WHEN {bucket_expr} < 28 THEN '{a}' "
+        f"WHEN {bucket_expr} < 34 THEN '{g}' ELSE NULL END"
+    )
+
+
+def _detect_case(content_expr: str, engine: str) -> str:
+    """First-match license detection over a content expression.
+    ``engine`` picks the substring-probe spelling (Spark ``instr`` /
+    DuckDB ``position .. in``); the probed phrases are identical."""
+    arms = []
+    for name, text in _HEADERS:
+        probe = (
+            f"instr({content_expr}, '{text}') > 0"
+            if engine == "spark"
+            else f"position('{text}' in {content_expr}) > 0"
+        )
+        arms.append(f"WHEN {probe} THEN '{name}'")
+    return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+
+def licensed_corpus(df):
+    """The fixture corpus with synthesized headers (see module doc):
+    returns df with ``content`` rewritten and ``file_license`` detected."""
+    hdr = _header_case(_LIC_BUCKET_SPARK)
+    out = df.withColumn(
+        "content",
+        F.expr(
+            f"CASE WHEN ({hdr}) IS NOT NULL THEN concat({hdr}, '\\n', content)"
+            " ELSE content END"
+        ),
+    )
+    return out.withColumn("file_license", F.expr(_detect_case("content", "spark")))
+
+
+def repo_license_vote(detected):
+    """(repo, repo_license) by majority vote over files WITH a detected
+    license; ties break to the lexicographically smallest license; repos
+    with no detected file vote 'unknown'. One count aggregate + one
+    window over the (repo, license) counts — never touches content."""
+    from pyspark.sql import Window
+
+    counts = (
+        detected.filter(F.col("file_license").isNotNull())
+        .groupBy("repo", "file_license")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("repo").orderBy(F.desc("n"), F.asc("file_license"))
+    winners = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("repo", F.col("file_license").alias("repo_license"))
+    )
+    return (
+        detected.select("repo")
+        .distinct()
+        .join(winners, "repo", "left")
+        .withColumn("repo_license", F.coalesce("repo_license", F.lit("unknown")))
+    )
+
+
+_LIC_CTES_DUCK = f"""
+lic AS (
+  SELECT *,
+         CASE WHEN ({_header_case(_LIC_BUCKET_DUCK)}) IS NOT NULL
+              THEN ({_header_case(_LIC_BUCKET_DUCK)}) || chr(10) || content
+              ELSE content END AS lcontent
+  FROM {_CORPUS_DUCK}
+),
+det AS (
+  SELECT repo, path, commit,
+         {_detect_case('lcontent', 'duck')} AS file_license
+  FROM lic
+),
+vote AS (
+  SELECT repo, file_license AS repo_license
+  FROM (
+    SELECT repo, file_license, count(*) AS n
+    FROM det WHERE file_license IS NOT NULL
+    GROUP BY repo, file_license
+  )
+  QUALIFY row_number() OVER (PARTITION BY repo ORDER BY n DESC, file_license ASC) = 1
+),
+repos AS (
+  SELECT r.repo, coalesce(v.repo_license, 'unknown') AS repo_license
+  FROM (SELECT DISTINCT repo FROM det) r LEFT JOIN vote v ON r.repo = v.repo
+)"""
+
+_Q_LIC_PROPAGATE = f"""
+WITH {_LIC_CTES_DUCK}
+SELECT r.repo, r.repo_license,
+       count(*) AS n_files,
+       cast(sum(CASE WHEN d.file_license IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_header
+FROM det d JOIN repos r ON d.repo = r.repo
+GROUP BY r.repo, r.repo_license
+"""
+
+
+@register(
+    "license_propagate",
+    _Q_LIC_PROPAGATE,
+    "license detection + repo-level majority-vote propagation (The Stack-style) over synthesized headers",
+)
+def license_propagate(spark, sf_dir):
+    det = licensed_corpus(_corpus(spark))
+    repos = repo_license_vote(det)
+    return (
+        det.join(repos, "repo")
+        .groupBy("repo", "repo_license")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(
+                F.when(F.col("file_license").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_with_header"),
+        )
+    )
+
+
+_Q_LIC_FILTER = f"""
+WITH {_LIC_CTES_DUCK},
+eff AS (
+  SELECT d.repo, d.path, d.commit,
+         coalesce(d.file_license, r.repo_license) AS effective_license
+  FROM det d JOIN repos r ON d.repo = r.repo
+)
+SELECT effective_license,
+       count(*) AS n_files,
+       cast(sum(CASE WHEN effective_license IN ('mit', 'apache-2.0', 'unknown')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM eff
+GROUP BY effective_license
+"""
+
+
+@register(
+    "license_filter",
+    _Q_LIC_FILTER,
+    "effective-license filter manifest (file header overrides repo vote; permissive+unknown kept)",
+)
+def license_filter(spark, sf_dir):
+    det = licensed_corpus(_corpus(spark))
+    repos = repo_license_vote(det)
+    eff = det.join(repos, "repo").withColumn(
+        "effective_license", F.coalesce("file_license", "repo_license")
+    )
+    return eff.groupBy("effective_license").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(
+            F.when(F.col("effective_license").isin(*_PERMISSIVE), 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+    )

@@ -1,0 +1,62 @@
+"""License detection + repo propagation (operators/license.py): the
+synthesized header slice must really fire, file headers must override the
+repo vote, headerless files must inherit it, the vote must be
+deterministic under ties, and only permissive+unknown count as kept."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from curator_spark.operators.license import (
+    _PERMISSIVE,
+    licensed_corpus,
+    repo_license_vote,
+)
+from curator_spark.sources.corpus import generate_spark
+
+
+def test_license_detection_and_propagation(spark):
+    det = licensed_corpus(generate_spark(spark, 2000, seed=42, partitions=8))
+    by_lic = {
+        r.file_license: r.n
+        for r in det.groupBy("file_license").agg(F.count("*").alias("n")).collect()
+    }
+    # the 34% bucket slice fires for all three licenses, most files bare
+    assert set(by_lic) == {"mit", "apache-2.0", "gpl-3.0", None}
+    assert by_lic[None] > sum(v for k, v in by_lic.items() if k)
+    assert all(by_lic[k] > 0 for k in ("mit", "apache-2.0", "gpl-3.0"))
+
+    repos = repo_license_vote(det)
+    assert repos.count() == det.select("repo").distinct().count()
+    # vote is a pure function -> rerun is identical (determinism incl. ties)
+    assert {tuple(r) for r in repos.collect()} == {
+        tuple(r) for r in repo_license_vote(det).collect()
+    }
+
+    eff = det.join(repos, "repo").withColumn(
+        "effective_license", F.coalesce("file_license", "repo_license")
+    )
+    # headered files keep their own license even against the repo vote
+    overridden = eff.filter(
+        F.col("file_license").isNotNull()
+        & (F.col("file_license") != F.col("repo_license"))
+    )
+    assert overridden.count() > 0
+    assert (
+        overridden.filter(
+            F.col("effective_license") != F.col("file_license")
+        ).count()
+        == 0
+    )
+    # headerless files inherit the repo vote
+    assert (
+        eff.filter(
+            F.col("file_license").isNull()
+            & (F.col("effective_license") != F.col("repo_license"))
+        ).count()
+        == 0
+    )
+    # the permissive gate excludes gpl-3.0 effective files
+    kept = eff.filter(F.col("effective_license").isin(*_PERMISSIVE))
+    assert kept.count() < eff.count()
+    assert kept.filter(F.col("effective_license") == "gpl-3.0").count() == 0
