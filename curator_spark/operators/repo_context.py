@@ -1,0 +1,91 @@
+"""Repo-context packing — StarCoder2-style training-example prep: a
+repository's files are concatenated IN PATH ORDER into bounded context
+windows, so the model sees whole-repo context instead of shuffled lone
+files. Window assignment is the two-phase prefix-sum idiom (the same
+shape as assembly.py's sequence packing): an exclusive running sum of
+per-file sizes within each repo, win_id = floor(prefix / budget) — one
+window function + one (repo, win_id) aggregation; the packed text never
+shuffles more than once and per-group state is bounded by the window
+budget + one overshoot file (ids need not be dense; an oversized file
+simply owns its window).
+
+Skew: the fixture monorepo holds ~30% of all rows, but the groupBy key
+is (repo, win_id), so the hot repo fans out across as many reducers as
+it has windows; only the path-order window sort sees the whole repo in
+one sort partition — Spark's sort-based window spills, and at 10^12
+files the same plan runs as a range-partitioned sort on (repo, path).
+
+The oracle replays the identical prefix-sum + ordered string_agg in
+DuckDB and compares md5 of every packed window — value-hash equality
+covers ordering, separator placement, and window boundaries bit for bit.
+
+Reference anchor: batch assembly of per-row prompts into request files
+(base_request_processor.py:452-489) — lifted from "rows into request
+batches" to "files into repo-context windows".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+_CTX_BUDGET = 16384  # chars per context window
+_FILE_SEP = "\n===FILE===\n"
+
+
+def repo_context_pack(df, budget: int = _CTX_BUDGET):
+    """(repo, win_id, n_files, n_chars, packed) windows of ``df``
+    (repo, path, commit, content) — files in (path, commit) order,
+    ``packed`` = 'path\\ncontent' joined by the file separator."""
+    w = (
+        Window.partitionBy("repo")
+        .orderBy("path", "commit")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = df.withColumn("sz", F.length("content")).withColumn(
+        "win_id",
+        F.floor((F.sum("sz").over(w) - F.col("sz")) / budget).cast("long"),
+    )
+    return sized.groupBy("repo", "win_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("sz").cast("long").alias("n_chars"),
+        F.expr(
+            "md5(array_join(transform("
+            "array_sort(collect_list(struct(path, commit, content))),"
+            f" x -> concat(x.path, '\\n', x.content)), '{_FILE_SEP}'))"
+        ).alias("packed_md5"),
+    )
+
+
+_Q_REPO_CONTEXT = f"""
+WITH f AS (
+  SELECT repo, path, commit, content, length(content) AS sz
+  FROM {_CORPUS_DUCK}
+),
+c AS (
+  SELECT *,
+         sum(sz) OVER (PARTITION BY repo ORDER BY path, commit
+                       ROWS UNBOUNDED PRECEDING) - sz AS pre
+  FROM f
+)
+SELECT repo,
+       cast(floor(pre / {_CTX_BUDGET}) AS BIGINT) AS win_id,
+       count(*) AS n_files,
+       cast(sum(sz) AS BIGINT) AS n_chars,
+       md5(string_agg(path || chr(10) || content, '{_FILE_SEP}'
+                      ORDER BY path, commit)) AS packed_md5
+FROM c
+GROUP BY repo, win_id
+"""
+
+
+@register(
+    "repo_context_pack",
+    _Q_REPO_CONTEXT,
+    "repo-context window packing (path-ordered files, prefix-sum window assignment, md5-verified packed text)",
+)
+def repo_context_pack_query(spark, sf_dir):
+    return repo_context_pack(_corpus(spark))

@@ -1,0 +1,60 @@
+"""Repo-context packing (operators/repo_context.py): every file lands in
+exactly one window, windows respect the char budget up to one overshoot
+file, path order is preserved inside the packed text, and the monorepo
+hot key fans out across many windows."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from curator_spark.operators.repo_context import (
+    _CTX_BUDGET,
+    _FILE_SEP,
+    repo_context_pack,
+)
+from curator_spark.sources.corpus import MONOREPO, generate_spark
+
+
+def test_repo_context_pack_invariants(spark):
+    df = generate_spark(spark, 2000, seed=42, partitions=8)
+    packed = repo_context_pack(df)
+
+    # conservation: every file in exactly one window
+    assert (
+        packed.agg(F.sum("n_files")).collect()[0][0] == df.count()
+    )
+    assert (
+        packed.agg(F.sum("n_chars")).collect()[0][0]
+        == df.agg(F.sum(F.length("content"))).collect()[0][0]
+    )
+
+    # budget: a window exceeds it only by its LAST file's overshoot
+    max_file = df.agg(F.max(F.length("content"))).collect()[0][0]
+    too_big = packed.filter(F.col("n_chars") >= _CTX_BUDGET + max_file)
+    assert too_big.count() == 0
+
+    # the monorepo fans out over many windows (skew handled by win_id key)
+    mono_wins = packed.filter(F.col("repo") == MONOREPO).count()
+    assert mono_wins > 10
+
+    # packed_md5 equals a driver-side re-pack of one window in path order
+    row = (
+        packed.filter((F.col("repo") == MONOREPO) & (F.col("win_id") == 0))
+        .collect()[0]
+    )
+    files = (
+        df.filter(F.col("repo") == MONOREPO)
+        .select("path", "commit", "content", F.length("content").alias("sz"))
+        .orderBy("path", "commit")
+        .collect()
+    )
+    acc, pre, got = [], 0, None
+    for r in files:
+        if pre // _CTX_BUDGET == 0:
+            acc.append(f"{r.path}\n{r.content}")
+        pre += r.sz
+    got = hashlib.md5(_FILE_SEP.join(acc).encode()).hexdigest()
+    assert got == row.packed_md5
+    assert len(acc) == row.n_files
