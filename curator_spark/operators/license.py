@@ -221,3 +221,26 @@ def license_filter(spark, sf_dir):
             F.when(F.col("effective_license").isin(*_PERMISSIVE), 1).otherwise(0)
         ).cast("long").alias("n_kept"),
     )
+
+
+def detect_licenses(df, text_col: str = "content"):
+    """Per-row header detection on RAW content (no synthesis) — the form
+    the release pipeline consumes; pure codegen CASE, zero shuffle."""
+    return df.withColumn("file_license", F.expr(_detect_case(text_col, "spark")))
+
+
+def permissive_release_filter(df):
+    """The Stack-style license gate for the release chain: detect file
+    headers, majority-vote a repo license, give headerless files the repo
+    vote, keep permissive + unknown (a file's OWN header always wins, so
+    one GPL file inside an MIT repo is dropped, not laundered). The vote
+    join is against the tiny (repo, license) winners frame — AQE
+    broadcasts it at any realistic repo count. Returns the kept rows with
+    the helper columns dropped (schema-stable for downstream stages)."""
+    det = detect_licenses(df)
+    repos = repo_license_vote(det)
+    return (
+        det.join(repos, "repo")
+        .filter(F.coalesce("file_license", "repo_license").isin(*_PERMISSIVE))
+        .drop("file_license", "repo_license")
+    )

@@ -285,6 +285,7 @@ class ReleaseRun:
         scorer_loader=None,
         semantic_dedup: bool = False,
         embedder_loader=None,
+        license_filter: bool = False,
     ) -> None:
         """``benchmarks_token``: optional explicit version label for the
         benchmark set. When omitted, run() derives an identity from the
@@ -307,6 +308,19 @@ class ReleaseRun:
         self.decontaminate = decontaminate
         self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
 
+        # license gate FIRST (The Stack's ordering: cut non-permissive
+        # rows before any expensive stage); global (n_batches=1) because
+        # the repo majority vote must see every file of a repo
+        self.license_stage = (
+            ResumableStage(
+                "rel-license", KEY_COLS, work_dir,
+                config={"method": "header-detect+repo-vote",
+                        "keep": ["mit", "apache-2.0", "unknown"]},
+                n_batches=1, catalog=self.catalog,
+            )
+            if license_filter
+            else None
+        )
         self.dedup_stage = ResumableStage(
             "rel-dedup", ["content"], work_dir,
             config={"method": "exact-sha256-min-key"},
@@ -358,6 +372,7 @@ class ReleaseRun:
         self.stages = [
             s
             for s in (
+                self.license_stage,
                 self.dedup_stage, self.clone_stage,
                 self.embed_stage, self.semdedup_stage,
                 self.decontam_stage,
@@ -397,8 +412,18 @@ class ReleaseRun:
         from .runner import QualityFilterRun
 
         ran = {}
+        cur = corpus
+        if self.license_stage is not None:
+            from ..operators.license import permissive_release_filter
+
+            r = self.license_stage.run(
+                spark, cur, permissive_release_filter,
+                fail_after_batches=fail_after_batches,
+            )
+            ran["license"] = r.batches_run
+            cur = self.license_stage.output(spark)
         r = self.dedup_stage.run(
-            spark, corpus, QualityFilterRun._dedup_transform,
+            spark, cur, QualityFilterRun._dedup_transform,
             fail_after_batches=fail_after_batches,
         )
         ran["dedup"] = r.batches_run
@@ -460,6 +485,11 @@ class ReleaseRun:
         """build_release's manifest, derived from the COMMITTED stage
         tables (cheap scans of materialized parquet, no recomputation)."""
         n0 = corpus.count()
+        nl = (
+            self.license_stage.output(spark).count()
+            if self.license_stage is not None
+            else n0
+        )
         n1 = self.dedup_stage.output(spark).count()
         n2 = self.clone_stage.output(spark).count()
         n2s = (
@@ -475,9 +505,9 @@ class ReleaseRun:
         annotated = self.annotate_stage.output(spark)
         n4 = annotated.filter("keep").count()
         n5 = self.output(spark).count()
-        return {
+        out = {
             "input_files": n0,
-            "removed_exact_dup": n0 - n1,
+            "removed_exact_dup": nl - n1,
             "removed_clone_dup": n1 - n2,
             "removed_semantic_dup": n2 - n2s,
             "removed_decontaminated": n2s - n3,
@@ -486,3 +516,8 @@ class ReleaseRun:
             "released_files": n5,
             "datacard": build_datacard(annotated),
         }
+        if self.license_stage is not None:
+            # only licensed runs carry the key, so license-less manifests
+            # stay dict-equal to build_release's (test_release_resume)
+            out["removed_nonpermissive_license"] = n0 - nl
+        return out

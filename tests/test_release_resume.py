@@ -154,3 +154,71 @@ def test_release_run_decontaminate_stage(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="benchmarks"):
         run2.run(spark, corpus)
+
+
+def test_release_run_license_gate_kill_resume(spark, tmp_path):
+    """ReleaseRun(license_filter=True) over a header-bearing corpus: the
+    gate drops exactly the GPL-effective files BEFORE dedup, survives
+    kills bit-identically, and the manifest accounts for the new stage."""
+    from curator_spark.operators.license import (
+        _PERMISSIVE,
+        licensed_corpus,
+        repo_license_vote,
+    )
+
+    base = licensed_corpus(_corpus(spark, tmp_path))
+    p = str(tmp_path / "lic.parquet")
+    base.drop("file_license").write.parquet(p)
+    corpus = spark.read.parquet(p)
+
+    # expected gate survivors, computed independently
+    det = licensed_corpus(_corpus(spark, tmp_path))  # same synthesis
+    repos = repo_license_vote(det)
+    want_kept = {
+        r.commit
+        for r in det.join(repos, "repo")
+        .filter(F.coalesce("file_license", "repo_license").isin(*_PERMISSIVE))
+        .select("commit")
+        .collect()
+    }
+    assert 0 < len(want_kept) < corpus.count()
+
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, license_filter=True
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 50
+        try:
+            run.run(spark, corpus, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    assert attempts >= 5
+
+    got_kept = {
+        r.commit for r in run.license_stage.output(spark).select("commit").collect()
+    }
+    assert got_kept == want_kept
+
+    # single-session reference: same chain on the pre-filtered corpus
+    ref_run = ReleaseRun(
+        str(tmp_path / "w2"), rates_ppm=RATES, n_batches=3, license_filter=True
+    )
+    ref_run.run(spark, corpus)
+    assert _released_set(run.output(spark)) == _released_set(ref_run.output(spark))
+
+    m = run.manifest(spark, corpus)
+    assert m["removed_nonpermissive_license"] == corpus.count() - len(want_kept)
+    assert (
+        m["input_files"]
+        == m["removed_nonpermissive_license"] + m["removed_exact_dup"]
+        + m["removed_clone_dup"] + m["removed_semantic_dup"]
+        + m["removed_decontaminated"] + m["removed_quality_filter"]
+        + m["removed_mixture_downsample"] + m["released_files"]
+    )
+
+    # fully committed -> metadata probe, license stage included
+    ran = run.run(spark, corpus)
+    assert "license" in ran and all(v == [] for v in ran.values())
