@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "dedup_semantic_docs",
     "crawl_delta_manifest_decontam",
     "decontam_incremental",
+    "license_propagate",
+    "license_filter",
+    "repo_context_pack",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
