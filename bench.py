@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "license_propagate",
     "license_filter",
     "repo_context_pack",
+    "fim_transform",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

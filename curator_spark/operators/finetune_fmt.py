@@ -92,3 +92,85 @@ def finetune_format(spark, sf_dir):
     return format_training_examples(conv).select(
         "doc_id", "num_messages", "n_input_tokens", "n_target_tokens", "chat_sha256"
     )
+
+
+# ---------------------------------------------------------------------------
+# FIM (fill-in-the-middle) transform — StarCoder-style code-corpus prep:
+# for a deterministic ~50% of docs, split content into (prefix, middle,
+# suffix) at two md5-derived points and re-emit in PSM order
+# '<fim_prefix>P<fim_suffix>S<fim_middle>M' so the model learns infilling;
+# the rest pass through unchanged. Pure per-row substring arithmetic —
+# whole-stage codegen, zero shuffle, map-only at any scale. All split
+# randomness derives from md5(commit) (chars 1-2 gate, 3-6 and 7-10 the
+# two cut fractions), so both engines reproduce the exact byte stream;
+# the oracle md5s the transformed text per row.
+# Reference anchor: deterministic per-row prompt rewriting before
+# submission (prompt.py:59-71); FIM itself is public StarCoder/code-LLM
+# data-prep practice.
+# ---------------------------------------------------------------------------
+
+def _fim_sql(content: str, commit: str, engine: str) -> str:
+    """The transformed-text expression, identical semantics in Spark and
+    DuckDB (1-based substr, character units, least/greatest cut order)."""
+    if engine == "spark":
+        hx = f"md5({commit})"
+        def conv(start, ln):
+            return f"cast(conv(substring({hx}, {start}, {ln}), 16, 10) as bigint)"
+    else:
+        hx = f"md5({commit})"
+        def conv(start, ln):
+            return f"('0x' || substr({hx}, {start}, {ln}))::BIGINT"
+    gate = f"({conv(1, 2)} % 100) < 50"
+    l_ = f"length({content})"
+    c1 = f"(1 + cast(floor(({conv(3, 4)} % 10000) / 10000.0 * {l_}) as bigint))"
+    c2 = f"(1 + cast(floor(({conv(7, 4)} % 10000) / 10000.0 * {l_}) as bigint))"
+    i, j = f"least({c1}, {c2})", f"greatest({c1}, {c2})"
+    sub = "substring" if engine == "spark" else "substr"
+    pre = f"{sub}({content}, 1, {i} - 1)"
+    mid = f"{sub}({content}, {i}, {j} - {i})"
+    suf = f"{sub}({content}, {j})"
+    psm = (
+        f"concat('<fim_prefix>', {pre}, '<fim_suffix>', {suf},"
+        f" '<fim_middle>', {mid})"
+        if engine == "spark"
+        else f"'<fim_prefix>' || {pre} || '<fim_suffix>' || {suf}"
+        f" || '<fim_middle>' || {mid}"
+    )
+    return f"CASE WHEN {gate} THEN {psm} ELSE {content} END", gate
+
+
+def fim_transform(df: DataFrame, content_col: str = "content",
+                  key_col: str = "commit") -> DataFrame:
+    """Adds ``fim`` (bool: transformed?) and ``fim_text`` columns."""
+    text, gate = _fim_sql(content_col, key_col, "spark")
+    return df.withColumn("fim", F.expr(gate)).withColumn("fim_text", F.expr(text))
+
+
+def _fim_oracle() -> str:
+    from .repo_ops import _CORPUS_DUCK
+
+    text, gate = _fim_sql("content", "commit", "duck")
+    return f"""
+SELECT commit,
+       {gate} AS fim,
+       cast(length({text}) AS BIGINT) AS n_chars,
+       md5({text}) AS fim_md5
+FROM {_CORPUS_DUCK}
+"""
+
+
+@register(
+    "fim_transform",
+    _fim_oracle(),
+    "fill-in-the-middle (PSM) transform over the code corpus, md5-verified per row",
+)
+def fim_transform_query(spark, sf_dir):
+    from .repo_ops import _corpus
+
+    out = fim_transform(_corpus(spark))
+    return out.select(
+        "commit",
+        "fim",
+        F.length("fim_text").cast("long").alias("n_chars"),
+        F.md5("fim_text").alias("fim_md5"),
+    )

@@ -217,3 +217,29 @@ def test_decontaminate_flags_benchmark_overlap(spark, tmp_path):
         .df().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_fim_transform_reassembles(spark):
+    """FIM PSM output must reassemble to the original bytes (split is
+    lossless), roughly half the docs transform, and untransformed rows
+    pass through identically."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.operators.finetune_fmt import fim_transform
+    from curator_spark.sources.corpus import generate_spark
+
+    df = generate_spark(spark, 1000, seed=42, partitions=4)
+    out = fim_transform(df).select("commit", "content", "fim", "fim_text")
+    n_fim = out.filter("fim").count()
+    assert 350 < n_fim < 650  # md5 gate ~50%
+
+    rows = out.collect()
+    for r in rows:
+        if not r.fim:
+            assert r.fim_text == r.content
+            continue
+        assert r.fim_text.startswith("<fim_prefix>")
+        body = r.fim_text[len("<fim_prefix>"):]
+        pre, rest = body.split("<fim_suffix>", 1)
+        suf, mid = rest.split("<fim_middle>", 1)
+        assert pre + mid + suf == r.content
