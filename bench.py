@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "license_filter",
     "repo_context_pack",
     "fim_transform",
+    "repo_context_fim",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -36,7 +36,7 @@ _CTX_BUDGET = 16384  # chars per context window
 _FILE_SEP = "\n===FILE===\n"
 
 
-def repo_context_pack(df, budget: int = _CTX_BUDGET):
+def repo_context_windows(df, budget: int = _CTX_BUDGET):
     """(repo, win_id, n_files, n_chars, packed) windows of ``df``
     (repo, path, commit, content) — files in (path, commit) order,
     ``packed`` = 'path\\ncontent' joined by the file separator."""
@@ -53,10 +53,19 @@ def repo_context_pack(df, budget: int = _CTX_BUDGET):
         F.count(F.lit(1)).alias("n_files"),
         F.sum("sz").cast("long").alias("n_chars"),
         F.expr(
-            "md5(array_join(transform("
+            "array_join(transform("
             "array_sort(collect_list(struct(path, commit, content))),"
-            f" x -> concat(x.path, '\\n', x.content)), '{_FILE_SEP}'))"
-        ).alias("packed_md5"),
+            f" x -> concat(x.path, '\\n', x.content)), '{_FILE_SEP}')"
+        ).alias("packed"),
+    )
+
+
+def repo_context_pack(df, budget: int = _CTX_BUDGET):
+    """:func:`repo_context_windows` with ``packed`` reduced to its md5
+    (the gate-friendly form — the packed text itself can be megabytes)."""
+    return repo_context_windows(df, budget).select(
+        "repo", "win_id", "n_files", "n_chars",
+        F.md5("packed").alias("packed_md5"),
     )
 
 
@@ -89,3 +98,69 @@ GROUP BY repo, win_id
 )
 def repo_context_pack_query(spark, sf_dir):
     return repo_context_pack(_corpus(spark))
+
+
+# ---------------------------------------------------------------------------
+# The composed StarCoder2 data-prep final: repo-context windows, THEN the
+# fill-in-the-middle transform applied per window (FIM over whole-repo
+# contexts, not lone files — the order the StarCoder2 pipeline uses). The
+# FIM gate/cuts derive from md5(repo|win_id), so both engines reproduce
+# the exact byte stream; the oracle replays pack+FIM end to end in DuckDB
+# and md5s every transformed window.
+# ---------------------------------------------------------------------------
+
+_WIN_KEY_SPARK = "concat(repo, '|', cast(win_id as string))"
+_WIN_KEY_DUCK = "repo || '|' || cast(win_id AS VARCHAR)"
+
+
+def _repo_context_fim_oracle() -> str:
+    from .finetune_fmt import _fim_sql
+
+    text, gate = _fim_sql("packed", _WIN_KEY_DUCK, "duck")
+    return f"""
+WITH f AS (
+  SELECT repo, path, commit, content, length(content) AS sz
+  FROM {_CORPUS_DUCK}
+),
+c AS (
+  SELECT *,
+         sum(sz) OVER (PARTITION BY repo ORDER BY path, commit
+                       ROWS UNBOUNDED PRECEDING) - sz AS pre
+  FROM f
+),
+w AS (
+  SELECT repo,
+         cast(floor(pre / {_CTX_BUDGET}) AS BIGINT) AS win_id,
+         string_agg(path || chr(10) || content, '{_FILE_SEP}'
+                    ORDER BY path, commit) AS packed
+  FROM c
+  GROUP BY repo, win_id
+)
+SELECT repo, win_id,
+       {gate} AS fim,
+       cast(length({text}) AS BIGINT) AS n_chars,
+       md5({text}) AS fim_md5
+FROM w
+"""
+
+
+@register(
+    "repo_context_fim",
+    None,  # assigned below (lazy: needs finetune_fmt's fim builder)
+    "repo-context windows then per-window FIM (the composed StarCoder2 data-prep final), md5-verified",
+)
+def repo_context_fim(spark, sf_dir):
+    from .finetune_fmt import fim_transform
+
+    wins = repo_context_windows(_corpus(spark))
+    out = fim_transform(wins, content_col="packed", key_col=_WIN_KEY_SPARK)
+    return out.select(
+        "repo", "win_id", "fim",
+        F.length("fim_text").cast("long").alias("n_chars"),
+        F.md5("fim_text").alias("fim_md5"),
+    )
+
+
+from .registry import QUERIES as _REG  # noqa: E402
+
+_REG["repo_context_fim"].oracle = _repo_context_fim_oracle()
