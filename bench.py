@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "repo_context_pack",
     "fim_transform",
     "repo_context_fim",
+    "opt_out_filter",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -1,0 +1,99 @@
+"""Repo opt-out filtering — The Stack's compliance staple: repository
+owners can request exclusion from training data, and the pipeline must
+drop EVERY file of an opted-out repo before any other processing (the
+list is honored first so no derived artifact — dedup survivor, embedding,
+pack window — ever contains opted-out content).
+
+Scale shape at 10^12 files: the opt-out list is tiny (thousands of repo
+names) next to the corpus, so the filter is ONE broadcast left-anti join
+on ``repo`` — map-side, zero shuffle of the corpus. The list is an
+EXTERNAL input in production; for the oracle-gated fixture query it is
+synthesized deterministically from a dedicated md5 window (chars 25-32 of
+``md5(repo)`` — disjoint from the downsample (1-8), split (9-16), and
+license-header (17-24) slices, so opting out never correlates with those
+assignments). The monorepo hot key is NOT in the slice, so the filter
+exercises the common case (small repos drop, skew key survives).
+
+Reference anchor: completed-id anti-filtering on resume
+(base_request_processor.py:103-143) — the same "exclude by key against a
+small authoritative list" shape, lifted from request ids to repos.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+_OPT_PCT = 7  # share of the repo-name hash space that opted out (fixture)
+
+# md5 window chars 25-32 — disjoint from downsample (1-8), split (9-16),
+# and license-header synthesis (17-24)
+_OPT_BUCKET_SPARK = "cast(conv(substring(md5(repo), 25, 8), 16, 10) as bigint) % 100"
+_OPT_BUCKET_DUCK = "('0x' || substr(md5(repo), 25, 8))::BIGINT % 100"
+
+
+def synth_opt_out_repos(df):
+    """The fixture opt-out list: distinct repos whose md5 slice falls in
+    the opt-out window. Production passes a real (repo) frame instead."""
+    return (
+        df.select("repo")
+        .distinct()
+        .filter(F.expr(f"({_OPT_BUCKET_SPARK}) < {_OPT_PCT}"))
+    )
+
+
+def opt_out_release_filter(df, opt_repos):
+    """Drop every file of an opted-out repo: broadcast left-anti join on
+    the (small, distinct) repo list — map-side, corpus never shuffles."""
+    return df.join(
+        F.broadcast(opt_repos.select("repo").distinct()), "repo", "left_anti"
+    )
+
+
+def opt_out_identity(opt_repos) -> str:
+    """Content-derived identity of an opt-out list (bounded aggregate on
+    the small side), mixed into the release stage's input token so a list
+    swap invalidates committed output instead of silently reusing it."""
+    from .decontaminate import bench_identity
+
+    return bench_identity(opt_repos, text_col="repo")
+
+
+_Q_OPT_OUT = f"""
+WITH opt AS (
+  SELECT DISTINCT repo FROM {_CORPUS_DUCK}
+  WHERE ({_OPT_BUCKET_DUCK}) < {_OPT_PCT}
+),
+kept AS (
+  SELECT * FROM {_CORPUS_DUCK}
+  WHERE repo NOT IN (SELECT repo FROM opt)
+)
+SELECT lang,
+       count(*) AS n_files,
+       cast(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       cast(sum(('0x' || substr(md5(content), 1, 12))::BIGINT) AS BIGINT)
+         AS content_sum
+FROM kept
+GROUP BY lang
+"""
+
+
+@register(
+    "opt_out_filter",
+    _Q_OPT_OUT,
+    "repo opt-out compliance filter (broadcast anti-join vs the opted-out repo list), per-lang survivor accounting",
+)
+def opt_out_filter(spark, sf_dir):
+    corpus = _corpus(spark)
+    kept = opt_out_release_filter(corpus, synth_opt_out_repos(corpus))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("repo").cast("long").alias("n_repos"),
+        # order-insensitive survivor-content fingerprint: the value hash
+        # then covers WHICH rows survived, not just how many
+        F.sum(
+            F.conv(F.substring(F.md5("content"), 1, 12), 16, 10).cast("bigint")
+        ).alias("content_sum"),
+    )

@@ -286,6 +286,7 @@ class ReleaseRun:
         semantic_dedup: bool = False,
         embedder_loader=None,
         license_filter: bool = False,
+        opt_out: bool = False,
     ) -> None:
         """``benchmarks_token``: optional explicit version label for the
         benchmark set. When omitted, run() derives an identity from the
@@ -308,7 +309,22 @@ class ReleaseRun:
         self.decontaminate = decontaminate
         self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
 
-        # license gate FIRST (The Stack's ordering: cut non-permissive
+        # opt-out gate FIRST of all (compliance: no derived artifact may
+        # contain opted-out content); per-row given the broadcast list, so
+        # it batches like any row-local stage. The opt-out LIST identity
+        # rides the stage's input token (resolved at run(), mirror of the
+        # decontam benchmark-identity design) so a list swap invalidates
+        # committed output in-place.
+        self.optout_stage = (
+            ResumableStage(
+                "rel-optout", KEY_COLS, work_dir,
+                config={"method": "repo-broadcast-anti-join"},
+                n_batches=n_batches, catalog=self.catalog,
+            )
+            if opt_out
+            else None
+        )
+        # license gate next (The Stack's ordering: cut non-permissive
         # rows before any expensive stage); global (n_batches=1) because
         # the repo majority vote must see every file of a repo
         self.license_stage = (
@@ -372,6 +388,7 @@ class ReleaseRun:
         self.stages = [
             s
             for s in (
+                self.optout_stage,
                 self.license_stage,
                 self.dedup_stage, self.clone_stage,
                 self.embed_stage, self.semdedup_stage,
@@ -404,15 +421,31 @@ class ReleaseRun:
         corpus: DataFrame,
         benchmarks: DataFrame | None = None,
         fail_after_batches: int | None = None,
+        opt_out_repos: DataFrame | None = None,
     ) -> dict:
         """Execute (or resume) the chain; returns per-stage batches_run.
         Raises StageInterrupted mid-run under fail injection — call again
         to resume. ``benchmarks`` is required when the run was constructed
-        with decontaminate=True."""
+        with decontaminate=True; ``opt_out_repos`` when opt_out=True."""
         from .runner import QualityFilterRun
 
         ran = {}
         cur = corpus
+        if self.optout_stage is not None:
+            if opt_out_repos is None:
+                raise ValueError("opt_out=True needs an opt_out_repos frame")
+            from ..engine.fingerprint import input_identity
+            from ..operators.optout import opt_out_identity, opt_out_release_filter
+
+            opt_id = opt_out_identity(opt_out_repos)
+            r = self.optout_stage.run(
+                spark, cur,
+                lambda df: opt_out_release_filter(df, opt_out_repos),
+                fail_after_batches=fail_after_batches,
+                input_token=f"{input_identity(cur)}|optout:{opt_id}",
+            )
+            ran["optout"] = r.batches_run
+            cur = self.optout_stage.output(spark)
         if self.license_stage is not None:
             from ..operators.license import permissive_release_filter
 
@@ -485,10 +518,15 @@ class ReleaseRun:
         """build_release's manifest, derived from the COMMITTED stage
         tables (cheap scans of materialized parquet, no recomputation)."""
         n0 = corpus.count()
+        noo = (
+            self.optout_stage.output(spark).count()
+            if self.optout_stage is not None
+            else n0
+        )
         nl = (
             self.license_stage.output(spark).count()
             if self.license_stage is not None
-            else n0
+            else noo
         )
         n1 = self.dedup_stage.output(spark).count()
         n2 = self.clone_stage.output(spark).count()
@@ -516,8 +554,11 @@ class ReleaseRun:
             "released_files": n5,
             "datacard": build_datacard(annotated),
         }
+        if self.optout_stage is not None:
+            # only opt-out runs carry the key (same dict-equality rule)
+            out["removed_opted_out"] = n0 - noo
         if self.license_stage is not None:
             # only licensed runs carry the key, so license-less manifests
             # stay dict-equal to build_release's (test_release_resume)
-            out["removed_nonpermissive_license"] = n0 - nl
+            out["removed_nonpermissive_license"] = noo - nl
         return out

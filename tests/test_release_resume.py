@@ -156,6 +156,78 @@ def test_release_run_decontaminate_stage(spark, tmp_path):
         run2.run(spark, corpus)
 
 
+def test_release_run_opt_out_gate_kill_resume(spark, tmp_path):
+    """ReleaseRun(opt_out=True): the compliance gate drops every file of
+    the opted-out repos FIRST, survives kills bit-identically, the
+    manifest accounts for the stage, a list swap invalidates committed
+    output, and a missing list is an explicit error."""
+    from curator_spark.operators.optout import opt_out_release_filter
+
+    corpus = _corpus(spark, tmp_path)
+    all_repos = sorted(r.repo for r in corpus.select("repo").distinct().collect())
+    opt1 = spark.createDataFrame([(r,) for r in all_repos[:3]], "repo string")
+    opt2 = spark.createDataFrame([(r,) for r in all_repos[3:5]], "repo string")
+
+    want_kept = {
+        r.commit
+        for r in opt_out_release_filter(corpus, opt1).select("commit").collect()
+    }
+    assert 0 < len(want_kept) < corpus.count()
+
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, opt_out=True
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 50
+        try:
+            run.run(spark, corpus, opt_out_repos=opt1, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    assert attempts >= 5
+
+    got_kept = {
+        r.commit for r in run.optout_stage.output(spark).select("commit").collect()
+    }
+    assert got_kept == want_kept
+
+    ref_run = ReleaseRun(
+        str(tmp_path / "w2"), rates_ppm=RATES, n_batches=3, opt_out=True
+    )
+    ref_run.run(spark, corpus, opt_out_repos=opt1)
+    assert _released_set(run.output(spark)) == _released_set(ref_run.output(spark))
+
+    m = run.manifest(spark, corpus)
+    assert m["removed_opted_out"] == corpus.count() - len(want_kept)
+    assert (
+        m["input_files"]
+        == m["removed_opted_out"] + m["removed_exact_dup"]
+        + m["removed_clone_dup"] + m["removed_semantic_dup"]
+        + m["removed_decontaminated"] + m["removed_quality_filter"]
+        + m["removed_mixture_downsample"] + m["released_files"]
+    )
+
+    # identical list: everything skips (pure metadata probe)
+    ran = run.run(spark, corpus, opt_out_repos=opt1)
+    assert "optout" in ran and all(v == [] for v in ran.values())
+    # swapped list: the gate (and downstream) re-runs, never silent reuse
+    ran2 = run.run(spark, corpus, opt_out_repos=opt2)
+    assert ran2["optout"] != []
+    kept2 = {
+        r.commit for r in run.optout_stage.output(spark).select("commit").collect()
+    }
+    want2 = {
+        r.commit
+        for r in opt_out_release_filter(corpus, opt2).select("commit").collect()
+    }
+    assert kept2 == want2
+
+    with pytest.raises(ValueError, match="opt_out_repos"):
+        ReleaseRun(str(tmp_path / "w3"), n_batches=2, opt_out=True).run(spark, corpus)
+
+
 def test_release_run_license_gate_kill_resume(spark, tmp_path):
     """ReleaseRun(license_filter=True) over a header-bearing corpus: the
     gate drops exactly the GPL-effective files BEFORE dedup, survives
