@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "fim_transform",
     "repo_context_fim",
     "opt_out_filter",
+    "contamination_report",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

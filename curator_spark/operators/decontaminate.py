@@ -365,3 +365,81 @@ def decontam_incremental(spark, sf_dir):
     return decontaminate_bench_delta(
         kept_old, old_bench, added, text_col="text", key_cols=["doc_id"]
     ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Contamination REPORT — the eval-integrity artifact a team reads before
+# trusting benchmark numbers: for every benchmark document, how many corpus
+# documents share at least one n-gram with it and how many of its distinct
+# grams leak. Institutionalized as a gate query (like ann_recall_report /
+# nb_quality_report) so a regression in decontamination coverage becomes
+# gate-visible instead of living in ad-hoc notebook checks.
+#
+# Scale shape: the bench side stays a broadcast (bench_id, gram) frame —
+# tiny; the corpus gram stream joins it map-side, and the only shuffle is
+# the per-bench_id distinct aggregation, whose key domain is the benchmark
+# suite (thousands of rows at most). Bench docs exclude THEMSELVES from the
+# corpus side, otherwise every row trivially reports self-contamination.
+# Zero-hit bench docs still appear (left join from the bench doc list) —
+# a report that silently drops clean rows hides the denominator.
+# ---------------------------------------------------------------------------
+_Q_CONTAM_REPORT = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_GRAMS_DUCK}) AS g
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < {_N_BENCH}),
+hits AS (
+  SELECT b.bench_id,
+         count(DISTINCT gr.doc_id) AS n_docs_hit,
+         count(DISTINCT b.g) AS n_grams_hit
+  FROM grams gr JOIN bench b USING (g)
+  WHERE gr.doc_id >= {_N_BENCH}
+  GROUP BY b.bench_id
+)
+SELECT d.doc_id AS bench_id,
+       coalesce(h.n_docs_hit, 0) AS n_docs_hit,
+       coalesce(h.n_grams_hit, 0) AS n_grams_hit,
+       coalesce(g.n_grams, 0) AS n_bench_grams
+FROM (SELECT doc_id FROM documents WHERE doc_id < {_N_BENCH}) d
+LEFT JOIN hits h ON d.doc_id = h.bench_id
+LEFT JOIN (SELECT bench_id, count(*) AS n_grams FROM bench GROUP BY 1) g
+  ON d.doc_id = g.bench_id
+"""
+
+
+@register(
+    "contamination_report",
+    _Q_CONTAM_REPORT,
+    "per-benchmark-doc contamination report (docs hit, grams leaked, gram denominator; zero-hit rows kept)",
+)
+def contamination_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = d.select("doc_id", F.explode(F.expr(grams_expr("text"))).alias("g"))
+    bench = grams.filter(F.col("doc_id") < _N_BENCH).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    hits = (
+        grams.filter(F.col("doc_id") >= _N_BENCH)
+        .join(F.broadcast(bench), "g")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_hit"),
+            F.countDistinct("g").alias("n_grams_hit"),
+        )
+    )
+    denom = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench_grams"))
+    return (
+        d.filter(F.col("doc_id") < _N_BENCH)
+        .select(F.col("doc_id").alias("bench_id"))
+        .join(hits, "bench_id", "left")
+        .join(denom, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+            F.coalesce("n_grams_hit", F.lit(0)).cast("long").alias("n_grams_hit"),
+            F.coalesce("n_bench_grams", F.lit(0)).cast("long").alias("n_bench_grams"),
+        )
+    )
