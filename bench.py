@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "repo_context_fim",
     "opt_out_filter",
     "contamination_report",
+    "code_prep_pipeline",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -1,0 +1,211 @@
+"""The composed CODE-corpus prep pipeline as ONE oracle-verified query —
+the full StarCoder2-shaped chain a code-LLM team runs end to end:
+
+    license gate (header detect + repo vote, permissive keep)
+      -> exact dedup (first-key survivor per content group)
+      -> heuristic quality filter (ALL SEVEN cheap rules: length,
+         line-length, alnum/digit ratios, repetition, boilerplate)
+      -> PII/secret scrub (content rewritten in place)
+      -> repo-context window packing (path-ordered prefix-sum windows)
+      -> per-window fill-in-the-middle transform
+
+The DuckDB oracle replays every stage from the raw corpus — license
+synthesis + detection + vote, the QUALIFY dedup, a from-scratch SQL
+rendering of the cheap-rule metrics (mirroring
+functions/rules.py::text_metrics_batch value for value), the scrub chain
+(functions/scrub.scrub_sql_chain), the prefix-sum pack, and the FIM cuts
+— and compares md5 of every transformed window. This is the widest
+pure-SQL composition in the registry: a row leaking past any gate, a
+drifted metric, a scrub divergence, or an off-by-one in a window boundary
+all land in the value hash.
+
+Unlike release_manifest (which anchors its quality stage on the
+pre-materialized golden because perplexity is not SQL-expressible), this
+chain uses the CHEAP rules only, so the oracle is self-contained SQL —
+the model-rule stages are covered by corpus_quality_pipeline/
+release_manifest; this query covers everything AROUND them composing.
+
+Scale shape: the corpus shuffles exactly twice (once on sha2(content)
+for dedup, once on the repo sort feeding pack — the pack aggregation
+reuses that sort); license vote and FIM are broadcast-join/per-row; the
+scrub is the pipeline's one Arrow-batched stage. Reference anchor: the
+chained block pipeline (blocks/raft.py:214-229) and per-stage filtering
+(base_request_processor.py:103-143), re-expressed as one declarative
+DataFrame chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.rules import DEFAULT_RULES
+from ..plans.quality_pipeline import BOILER_LITERALS
+from ..functions.scrub import scrub_sql_chain
+from .finetune_fmt import _fim_sql, fim_transform
+from .license import _PERMISSIVE, licensed_corpus, repo_license_vote
+from .registry import register
+from .repo_context import (
+    _CTX_BUDGET,
+    _FILE_SEP,
+    _WIN_KEY_DUCK,
+    _WIN_KEY_SPARK,
+    repo_context_windows,
+)
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+_CFG = DEFAULT_RULES
+
+# DuckDB rendering of the cheap-rule metrics over a column named
+# ``content`` — value-for-value twin of functions/rules.py::
+# text_metrics_batch (and of quality_pipeline.rule_metric_cols, whose
+# translate()/sorted-adjacent physical forms compute the same numbers).
+# The whitespace class is rules.WS_CLASS verbatim; both regex engines
+# (Java and RE2) read the same escapes.
+_WORDS = "list_filter(str_split_regex(content, '[ \\t\\n\\r\\f\\x0B]+'), w -> w != '')"
+_BOILER_DUCK = " OR ".join(
+    f"position('{lit}' in lower(content)) > 0" for lit in BOILER_LITERALS
+)
+_METRICS_DUCK = f"""
+    SELECT repo, path, commit, content,
+           length(content) AS n_chars,
+           coalesce(list_max(list_transform(str_split(content, chr(10)),
+                                            l -> length(l))), 0) AS max_line_len,
+           length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) * 1.0
+             / greatest(length(content), 1) AS alnum_ratio,
+           length(regexp_replace(content, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(content), 1) AS digit_ratio,
+           len({_WORDS}) AS word_count,
+           len(list_distinct({_WORDS})) * 1.0 / greatest(len({_WORDS}), 1)
+             AS distinct_word_ratio,
+           ({_BOILER_DUCK}) AS has_boilerplate
+"""
+
+# keep-predicate: NO cheap rule fires (rule directions per rule_fired_cols)
+_KEEP_DUCK = f"""n_chars >= {_CFG.min_chars} AND n_chars <= {_CFG.max_chars}
+    AND max_line_len <= {_CFG.max_line_len}
+    AND alnum_ratio >= {_CFG.min_alnum_ratio}
+    AND digit_ratio <= {_CFG.max_digit_ratio}
+    AND NOT (word_count >= {_CFG.repetition_min_words}
+             AND distinct_word_ratio < {_CFG.min_distinct_word_ratio})
+    AND NOT has_boilerplate"""
+
+
+def _code_prep_oracle() -> str:
+    from .license import _LIC_BUCKET_DUCK, _detect_case, _header_case
+
+    hdr = _header_case(_LIC_BUCKET_DUCK)
+    fim_text, fim_gate = _fim_sql("packed", _WIN_KEY_DUCK, "duck")
+    return f"""
+WITH lic AS (
+  SELECT repo, path, commit,
+         CASE WHEN ({hdr}) IS NOT NULL THEN ({hdr}) || chr(10) || content
+              ELSE content END AS content
+  FROM {_CORPUS_DUCK}
+),
+det AS (
+  SELECT *, {_detect_case('content', 'duck')} AS file_license FROM lic
+),
+vote AS (
+  SELECT repo, file_license AS repo_license
+  FROM (
+    SELECT repo, file_license, count(*) AS n
+    FROM det WHERE file_license IS NOT NULL
+    GROUP BY repo, file_license
+  )
+  QUALIFY row_number() OVER (PARTITION BY repo ORDER BY n DESC, file_license ASC) = 1
+),
+repos AS (
+  SELECT r.repo, coalesce(v.repo_license, 'unknown') AS repo_license
+  FROM (SELECT DISTINCT repo FROM det) r LEFT JOIN vote v ON r.repo = v.repo
+),
+gated AS (
+  SELECT d.repo, d.path, d.commit, d.content
+  FROM det d JOIN repos r ON d.repo = r.repo
+  WHERE coalesce(d.file_license, r.repo_license) IN {_PERMISSIVE!r}
+),
+ded AS (
+  SELECT * FROM gated
+  QUALIFY row_number() OVER (PARTITION BY content ORDER BY repo, path, commit) = 1
+),
+q AS (
+  SELECT repo, path, commit, content FROM ({_METRICS_DUCK} FROM ded)
+  WHERE {_KEEP_DUCK}
+),
+scr AS (
+  SELECT repo, path, commit, {scrub_sql_chain('content')} AS content FROM q
+),
+c AS (
+  SELECT *, length(content) AS sz,
+         sum(length(content)) OVER (PARTITION BY repo ORDER BY path, commit
+                                    ROWS UNBOUNDED PRECEDING)
+           - length(content) AS pre
+  FROM scr
+),
+w AS (
+  SELECT repo,
+         cast(floor(pre / {_CTX_BUDGET}) AS BIGINT) AS win_id,
+         count(*) AS n_files,
+         string_agg(path || chr(10) || content, '{_FILE_SEP}'
+                    ORDER BY path, commit) AS packed
+  FROM c
+  GROUP BY repo, win_id
+)
+SELECT repo, win_id, n_files,
+       {fim_gate} AS fim,
+       cast(length({fim_text}) AS BIGINT) AS n_chars,
+       md5({fim_text}) AS fim_md5
+FROM w
+"""
+
+
+def cheap_keep_filter(df, cfg=_CFG):
+    """Keep rows where NO cheap rule fires — all seven heuristic rules
+    (JVM + the two "python-twin" rules, every one a codegen expression
+    here). Shared by the composed query and callers that want The Stack's
+    heuristic gate without the model stages."""
+    from ..plans.quality_pipeline import (
+        CHEAP_RULES,
+        reduce_or,
+        rule_fired_cols,
+        rule_metric_cols,
+    )
+
+    metrics = rule_metric_cols(F.col("content"))
+    staged = df
+    for name in (
+        "n_chars", "max_line_len", "alnum_ratio", "digit_ratio",
+        "word_count", "distinct_word_ratio", "has_boilerplate",
+    ):
+        staged = staged.withColumn(name, metrics[name])
+    fired = rule_fired_cols(cfg)
+    return staged.filter(~reduce_or([fired[r] for r in CHEAP_RULES])).select(
+        *df.columns
+    )
+
+
+@register(
+    "code_prep_pipeline",
+    _code_prep_oracle(),
+    "composed code-corpus prep: license gate -> exact dedup -> cheap-rule filter -> scrub -> repo-context pack -> FIM, md5-verified windows",
+)
+def code_prep_pipeline(spark, sf_dir):
+    from ..plans.quality_pipeline import scrub_content
+    from ..plans.release import _exact_dedup
+
+    det = licensed_corpus(_corpus(spark))
+    repos = repo_license_vote(det)
+    gated = (
+        det.join(repos, "repo")
+        .filter(F.coalesce("file_license", "repo_license").isin(*_PERMISSIVE))
+        .select("repo", "path", "commit", "content")
+    )
+    ded = _exact_dedup(gated)
+    kept = cheap_keep_filter(ded)
+    scr = kept.withColumn("content", scrub_content(F.col("content")))
+    wins = repo_context_windows(scr)
+    out = fim_transform(wins, content_col="packed", key_col=_WIN_KEY_SPARK)
+    return out.select(
+        "repo", "win_id", "n_files", "fim",
+        F.length("fim_text").cast("long").alias("n_chars"),
+        F.md5("fim_text").alias("fim_md5"),
+    )

@@ -1,0 +1,75 @@
+"""code_prep_pipeline — the composed license->dedup->cheap-rules->scrub->
+pack->FIM chain. The end-to-end value hash is covered by the oracle gate;
+these tests pin the pieces the hash can't localize: the cheap-rule filter's
+per-row parity with the pandas truth, and stage monotonicity."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from curator_spark.functions.rules import text_metrics_batch, evaluate_rules_batch
+from curator_spark.operators.code_prep import cheap_keep_filter
+from curator_spark.plans.quality_pipeline import CHEAP_RULES
+from curator_spark.sources.corpus import generate_spark
+
+
+def test_cheap_keep_filter_matches_pandas_truth(spark):
+    """cheap_keep_filter (all-codegen) keeps EXACTLY the rows where no
+    cheap rule fires per functions/rules.py — the same vectorized truth
+    the golden pipeline is validated against, restricted to the
+    non-model rules."""
+    df = generate_spark(spark, 300, seed=11, partitions=4)
+    pdf = df.toPandas()
+    m = text_metrics_batch(pdf["content"])
+    # neutral model columns: lang_pred never 'unknown', ppl never over
+    verdict = evaluate_rules_batch(
+        m, pd.Series(["python"] * len(pdf)), pd.Series([0.0] * len(pdf))
+    )
+    fired_cheap = verdict["drop_reasons"].map(
+        lambda rs: any(r in CHEAP_RULES for r in rs)
+    )
+    want = set(pdf.loc[~fired_cheap.to_numpy(), "commit"])
+
+    got = {r.commit for r in cheap_keep_filter(df).select("commit").collect()}
+    assert got == want
+    assert 0 < len(got) < len(pdf)
+
+
+def test_cheap_keep_filter_schema_stable(spark):
+    df = generate_spark(spark, 50, seed=3, partitions=2)
+    assert cheap_keep_filter(df).columns == df.columns
+
+
+def test_code_prep_stage_monotonicity(spark):
+    """Each stage only removes rows; the packed windows cover exactly the
+    scrubbed survivors (sum of n_files == survivor count)."""
+    from curator_spark.operators.code_prep import code_prep_pipeline
+    from curator_spark.operators.license import (
+        _PERMISSIVE,
+        licensed_corpus,
+        repo_license_vote,
+    )
+    from curator_spark.operators.repo_ops import _corpus
+    from curator_spark.plans.release import _exact_dedup
+
+    det = licensed_corpus(_corpus(spark))
+    n_lic = det.count()
+    repos = repo_license_vote(det)
+    gated = (
+        det.join(repos, "repo")
+        .filter(F.coalesce("file_license", "repo_license").isin(*_PERMISSIVE))
+        .select("repo", "path", "commit", "content")
+    )
+    n_gated = gated.count()
+    ded = _exact_dedup(gated)
+    n_ded = ded.count()
+    n_kept = cheap_keep_filter(ded).count()
+    assert n_lic >= n_gated >= n_ded >= n_kept > 0
+
+    wins = code_prep_pipeline(spark, None)
+    agg = wins.agg(
+        F.sum("n_files").alias("files"), F.count(F.lit(1)).alias("wins")
+    ).collect()[0]
+    assert agg.files == n_kept
+    assert 0 < agg.wins <= n_kept
