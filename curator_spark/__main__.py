@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         "as a resumable embed+semdedup stage pair",
     )
     p.add_argument(
+        "--opt-out", default=None,
+        help="parquet of opted-out repos (column: repo); every file of a "
+        "listed repo is dropped before any other stage (compliance gate — "
+        "no derived artifact may contain opted-out content). In crawl mode "
+        "the list applies to each crawl's input, so pass the CURRENT list "
+        "on every crawl.",
+    )
+    p.add_argument(
         "--decontaminate",
         default=None,
         help="parquet of benchmark docs (content column): drop corpus rows "
@@ -109,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
     n_batches = None if args.n_batches == "auto" else int(args.n_batches)
     spark = get_spark("curator_spark_cli", cores=args.cores)
     corpus = spark.read.parquet(args.input)
+    if args.opt_out:
+        from .operators.optout import opt_out_release_filter
+
+        corpus = opt_out_release_filter(corpus, spark.read.parquet(args.opt_out))
     bench = (
         spark.read.parquet(args.decontaminate) if args.decontaminate else None
     )

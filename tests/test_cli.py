@@ -192,3 +192,45 @@ def test_cli_crawl_mode_with_decontaminate(spark, tmp_path, capsys):
         ).collect()
     }
     assert got.isdisjoint(bench_grams)
+
+
+def test_cli_opt_out(spark, corpus_df, tmp_path, capsys):
+    """--opt-out drops every file of the listed repos before any stage:
+    no output row carries an opted-out repo, and the kept count equals a
+    run over the pre-filtered corpus."""
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    repos = sorted(r.repo for r in corpus_df.select("repo").distinct().collect())
+    opted = repos[:2]
+    opt_p = str(tmp_path / "optout")
+    spark.createDataFrame([(r,) for r in opted], "repo string").write.parquet(opt_p)
+
+    rc = main(
+        [
+            "--input", inp,
+            "--work-dir", str(tmp_path / "run"),
+            "--output", str(tmp_path / "out"),
+            "--opt-out", opt_p,
+            "--n-batches", "2",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.filter(out.repo.isin(opted)).count() == 0
+
+    # reference: same run over the pre-filtered corpus
+    pre = corpus_df.filter(~corpus_df.repo.isin(opted))
+    pre_p = str(tmp_path / "pre")
+    pre.write.parquet(pre_p)
+    rc = main(
+        [
+            "--input", pre_p,
+            "--work-dir", str(tmp_path / "run2"),
+            "--n-batches", "2",
+        ]
+    )
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["kept_rows"] == out.count()
