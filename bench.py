@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "opt_out_filter",
     "contamination_report",
     "code_prep_pipeline",
+    "bpe_pair_counts",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -1,0 +1,64 @@
+"""Tokenizer-induction prep — the corpus statistic a BPE trainer's first
+merge is chosen from: global counts of adjacent character pairs. Training
+a tokenizer is part of the data-prep loop for a code model (the corpus
+decides the vocab), and the heavy part is exactly this distributed count;
+the merge loop itself is driver-side arithmetic over the tiny pair table.
+
+Scale shape at 100 TB: the explode produces ~one row per corpus byte, but
+partial (map-side) aggregation collapses each task's stream to the pair
+DOMAIN — bounded by charset² (a few thousand for source code), not by
+data size — so the shuffle moves a few kB per task no matter how big the
+scan is. The top-K is a TakeOrderedAndProject over the aggregated pair
+table (no global sort materialization). Guard: sequence(1, n) RAMPS
+DOWNWARD for n < 1 in Spark, so the pair positions are gated by a CASE on
+length < 2 (the descending-ramp trap documented across this repo).
+
+The ordering (count DESC, pair ASC) is a total order, so the top-K cut is
+deterministic in both engines and the value hash covers it.
+
+Reference anchor: token counting hooks (llm.py token_usage accounting) —
+lifted from per-request usage to corpus-level vocabulary statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+_TOP_K = 50
+
+_PAIRS_SPARK = (
+    "CASE WHEN length(content) < 2 THEN cast(array() as array<string>)"
+    " ELSE transform(sequence(1, length(content) - 1),"
+    " i -> substring(content, i, 2)) END"
+)
+
+_Q_BPE_PAIRS = f"""
+SELECT pair, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(range(1, length(content)),
+                               i -> substr(content, i, 2))) AS pair
+  FROM {_CORPUS_DUCK}
+)
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {_TOP_K}
+"""
+
+
+@register(
+    "bpe_pair_counts",
+    _Q_BPE_PAIRS,
+    "top-K adjacent character-pair counts (the BPE first-merge statistic), map-side-combined",
+)
+def bpe_pair_counts(spark, sf_dir):
+    return (
+        _corpus(spark)
+        .select(F.explode(F.expr(_PAIRS_SPARK)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_TOP_K)
+    )
