@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "contamination_report",
     "code_prep_pipeline",
     "bpe_pair_counts",
+    "bpe_train",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -22,6 +22,8 @@ lifted from per-request usage to corpus-level vocabulary statistics.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -61,4 +63,119 @@ def bpe_pair_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine BPE tokenizer TRAINING — the full merge loop, distributed the
+# way production BPE trainers scale: ONE corpus-wide shuffle builds the
+# (word, count) frequency table (map-side combined to the word domain),
+# and every subsequent merge iteration runs over THAT table only — at
+# 100 TB the word table is tens of millions of rows, so the per-merge jobs
+# are orders of magnitude smaller than the scan, and the corpus is never
+# touched again. Each iteration: adjacent-pair counts weighted by word
+# frequency -> argmax (count DESC, pair ASC — a total order) -> one
+# left-to-right non-overlapping merge scan applied as a JVM fold
+# (F.aggregate with Column lambdas; the learned pair never enters a SQL
+# string, so arbitrary symbols — quotes, backslashes — are safe). The
+# word table is localCheckpoint'ed per iteration to truncate the growing
+# lineage (10 tiny tables, dropped with the function frame).
+#
+# The oracle reads tests/golden/bpe_merges_2000.parquet — the same merges
+# derived by an INDEPENDENT single-process implementation
+# (scripts/make_bpe_golden.py; the corpus_quality_pipeline golden
+# pattern), so the distributed fold, tie-break, and weighting are verified
+# against a second from-scratch derivation.
+# ---------------------------------------------------------------------------
+_N_MERGES = 10
+
+_GOLDEN_BPE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "bpe_merges_2000.parquet",
+)
+
+
+def _apply_merge(syms, a: str, b: str):
+    """One left-to-right non-overlapping merge pass as a JVM fold. The
+    scan invariant: after merging, the accumulator's last element becomes
+    a||b != a (b is nonempty), so an element can never be consumed twice
+    — [x,x,x,x] under (x,x) folds to [xx, xx], matching the reference
+    scan in scripts/make_bpe_golden.py::merge_word."""
+    first = F.slice(syms, 1, 1)
+    rest = F.slice(syms, F.lit(2), F.greatest(F.size(syms) - 1, F.lit(0)))
+    folded = F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.when(F.size(syms) < 2, syms).otherwise(folded)
+
+
+def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
+    """Train ``n_merges`` BPE merges over ``df[text_col]``; returns the
+    ordered merge list [(step, a, b, merged, n)] — driver-side, one row
+    per merge (the learned artifact is inherently tiny)."""
+    from .decontaminate import words_expr
+
+    spark = df.sparkSession
+    wt = (
+        df.select(F.explode(F.expr(words_expr(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+        .select("cnt", "syms")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        best = (
+            wt.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, best[0].n
+        merges.append((step, a, b, a + b, int(n)))
+        wt = wt.withColumn("syms", _apply_merge(F.col("syms"), a, b)).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+_Q_BPE_TRAIN = f"""
+SELECT step, a, b, merged, n
+FROM read_parquet('{_GOLDEN_BPE}')
+"""
+
+
+@register(
+    "bpe_train",
+    _Q_BPE_TRAIN,
+    "in-engine distributed BPE training (word-table merge loop, 10 merges) vs an independent single-process golden",
+)
+def bpe_train_query(spark, sf_dir):
+    merges = bpe_train(_corpus(spark))
+    return spark.createDataFrame(
+        merges, "step bigint, a string, b string, merged string, n bigint"
     )

@@ -1,0 +1,83 @@
+"""Materialize tests/golden/bpe_merges_2000.parquet — the expected first
+M BPE merges over the seed=42 fixture corpus, computed by an INDEPENDENT
+single-process implementation (plain dict counters, no Spark, no SQL), so
+the bpe_train oracle verifies the distributed trainer against a second
+from-scratch derivation (the corpus_quality_pipeline golden pattern).
+
+Semantics pinned here (and mirrored by operators/tokenizer_prep.bpe_train):
+* words: split on '[ \\t\\n]+', empties dropped (decontaminate.words_expr);
+* symbols: initial per-character split of each distinct word;
+* pair score: sum of word counts over adjacent symbol pairs;
+* selection: max count, ties to the lexicographically smallest (a, b);
+* merge application: one left-to-right non-overlapping scan per word.
+
+Run: python scripts/make_bpe_golden.py   (rewrites the golden in place)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = 2000
+N_MERGES = 10
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "bpe_merges_2000.parquet",
+)
+
+
+def merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def reference_bpe(contents, n_merges: int):
+    words: Counter = Counter()
+    for text in contents:
+        words.update(w for w in re.split(r"[ \t\n]+", text) if w)
+    syms = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        best_n = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == best_n)
+        merges.append((step, a, b, a + b, best_n))
+        for w in syms:
+            if len(syms[w]) > 1:
+                syms[w] = merge_word(syms[w], a, b)
+    return merges
+
+
+def main() -> None:
+    from curator_spark.sources.corpus import generate_pandas
+
+    pdf = generate_pandas(N_ROWS, seed=42)
+    merges = reference_bpe(pdf["content"].tolist(), N_MERGES)
+    out = pd.DataFrame(merges, columns=["step", "a", "b", "merged", "n"])
+    out["step"] = out["step"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out.to_parquet(OUT, index=False)
+    print(f"wrote {len(out)} merges -> {OUT}")
+    print(out.to_string(index=False))
+
+
+if __name__ == "__main__":
+    main()

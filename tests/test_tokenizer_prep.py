@@ -1,0 +1,77 @@
+"""BPE tokenizer-induction operators — the merge-application fold's parity
+with the reference scan (seeded fuzz over adversarial symbol streams), the
+trainer's behavior on hand-checkable corpora, and pair-count edge cases.
+The full 10-merge equality vs the independent golden is the oracle gate's
+job (bpe_train); these tests pin the pieces the golden can't localize."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from curator_spark.operators.tokenizer_prep import _apply_merge, bpe_train
+from scripts.make_bpe_golden import merge_word, reference_bpe
+
+
+def test_apply_merge_fold_matches_reference_scan(spark):
+    """Seeded fuzz: the JVM fold == the python left-to-right scan on
+    streams built from a tiny alphabet (maximizes overlap collisions like
+    [x,x,x,x]) plus quote/backslash symbols (would break any SQL-string
+    interpolation of the learned pair)."""
+    rng = random.Random(7)
+    alphabet = ["x", "y", "x'y", "\\", "'"]
+    cases = [[rng.choice(alphabet) for _ in range(rng.randrange(1, 9))] for _ in range(60)]
+    cases += [["x"], ["x", "x"], ["x", "x", "x"], ["x", "x", "x", "x"]]
+    pairs = [("x", "x"), ("x", "y"), ("\\", "'"), ("x'y", "x")]
+
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    for a, b in pairs:
+        got = {
+            r.id: list(r.m)
+            for r in df.select("id", _apply_merge(F.col("syms"), a, b).alias("m")).collect()
+        }
+        for i, s in enumerate(cases):
+            want = merge_word(s, a, b) if len(s) > 1 else s
+            assert got[i] == want, (s, a, b, got[i], want)
+
+
+def test_bpe_train_hand_corpus(spark):
+    """'ababab' x3 + 'ab' x2: first merge must be (a,b) with weight
+    3*3 + 1*2 = 11, second merges the new 'ab' symbol pairs."""
+    df = spark.createDataFrame(
+        [("ababab",)] * 3 + [("ab",)] * 2, "content string"
+    )
+    merges = bpe_train(df, n_merges=2)
+    assert merges[0] == (1, "a", "b", "ab", 11)
+    # after merge 1: 'ababab' -> [ab, ab, ab] (adjacent 'ab','ab' pairs,
+    # weight 2 per word x 3 words), 'ab' -> [ab] (no pairs)
+    assert merges[1] == (2, "ab", "ab", "abab", 6)
+
+
+def test_bpe_train_matches_reference_on_seeded_texts(spark):
+    """End-to-end equality vs the independent implementation on a corpus
+    the golden never saw (different seed, whitespace-heavy strings)."""
+    rng = random.Random(99)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abrc") for _ in range(rng.randrange(1, 6)))
+            for _ in range(rng.randrange(1, 12))
+        )
+        + rng.choice(["", "\t tail", "\n\nx"])
+        for _ in range(50)
+    ]
+    want = reference_bpe(texts, 5)
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    assert bpe_train(df, n_merges=5) == want
+
+
+def test_bpe_train_exhausts_short_corpus(spark):
+    """A corpus whose words run out of pairs stops early instead of
+    looping: 'ab' has exactly one merge."""
+    df = spark.createDataFrame([("ab ab",)], "content string")
+    merges = bpe_train(df, n_merges=10)
+    assert merges == [(1, "a", "b", "ab", 2)]
