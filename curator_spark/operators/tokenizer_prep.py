@@ -31,10 +31,18 @@ from .repo_ops import _CORPUS_DUCK, _corpus
 
 _TOP_K = 50
 
+# split(content, '') chars the string in ONE linear pass and pairs are
+# O(1) array lookups; the naive transform(sequence(...), i ->
+# substring(content, i, 2)) is O(n^2) per document (UTF8String.substring
+# re-scans from the string head on every call — measured 13x slower on
+# 5k-char documents). The transform(array(...))[0] wrapper is the repo's
+# _let idiom: bind the char array once (Spark CSE does not share it into
+# the lambda otherwise).
 _PAIRS_SPARK = (
     "CASE WHEN length(content) < 2 THEN cast(array() as array<string>)"
-    " ELSE transform(sequence(1, length(content) - 1),"
-    " i -> substring(content, i, 2)) END"
+    " ELSE transform(array(split(content, '')),"
+    " cs -> transform(sequence(1, size(cs) - 1),"
+    " i -> concat(cs[i-1], cs[i])))[0] END"
 )
 
 _Q_BPE_PAIRS = f"""
@@ -75,11 +83,21 @@ def bpe_pair_counts(spark, sf_dir):
 # are orders of magnitude smaller than the scan, and the corpus is never
 # touched again. Each iteration: adjacent-pair counts weighted by word
 # frequency -> argmax (count DESC, pair ASC — a total order) -> one
-# left-to-right non-overlapping merge scan applied as a JVM fold
-# (F.aggregate with Column lambdas; the learned pair never enters a SQL
-# string, so arbitrary symbols — quotes, backslashes — are safe). The
-# word table is localCheckpoint'ed per iteration to truncate the growing
-# lineage (10 tiny tables, dropped with the function frame).
+# left-to-right non-overlapping merge pass. Symbol sequences live as
+# SPACE-JOINED STRINGS (words come from a whitespace split, so ' ' can
+# never occur inside a symbol) and the merge is ONE codegen'd
+# regexp_replace — an F.aggregate fold over an array column was the
+# obvious encoding, but Spark evaluates higher-order-function lambdas
+# interpreted (never whole-stage codegen), measured 2x slower end-to-end
+# (28s -> 13.5s at the fixture). The pattern anchors both symbol
+# boundaries with lookarounds ((?<=^| )a b(?= |$)) so a symbol that is a
+# SUFFIX of its left neighbor can't false-match ("yx x" under (x,x)),
+# and because Java lookarounds consume nothing, back-to-back merges over
+# a shared boundary space still fire ("x x x x" -> "xx xx"). Symbols are
+# \Q..\E-quoted (with embedded-\E splitting) and the replacement
+# \\/$-escaped, so regex metacharacters in learned symbols are inert.
+# The word table is localCheckpoint'ed per iteration to truncate the
+# growing lineage (10 tiny tables, dropped with the function frame).
 #
 # The oracle reads tests/golden/bpe_merges_2000.parquet — the same merges
 # derived by an INDEPENDENT single-process implementation
@@ -95,25 +113,35 @@ _GOLDEN_BPE = os.path.join(
 )
 
 
-def _apply_merge(syms, a: str, b: str):
-    """One left-to-right non-overlapping merge pass as a JVM fold. The
-    scan invariant: after merging, the accumulator's last element becomes
-    a||b != a (b is nonempty), so an element can never be consumed twice
-    — [x,x,x,x] under (x,x) folds to [xx, xx], matching the reference
-    scan in scripts/make_bpe_golden.py::merge_word."""
-    first = F.slice(syms, 1, 1)
-    rest = F.slice(syms, F.lit(2), F.greatest(F.size(syms) - 1, F.lit(0)))
-    folded = F.aggregate(
-        rest,
-        first,
-        lambda acc, x: F.when(
-            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
-    return F.when(F.size(syms) < 2, syms).otherwise(folded)
+def _jquote(s: str) -> str:
+    """Java Pattern.quote: wrap in \\Q..\\E, splitting around any literal
+    \\E inside the symbol (the one sequence \\Q-quoting can't contain)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def merge_pattern(a: str, b: str) -> str:
+    """Anchored literal pattern for one BPE merge over a space-joined
+    symbol string. Lookarounds (zero-width) keep the shared boundary
+    space available to the NEXT non-overlapping match, reproducing the
+    left-to-right scan of scripts/make_bpe_golden.py::merge_word exactly
+    (after a match the merged symbol a||b != a since b is nonempty, so a
+    symbol can never be consumed twice — "x x x x" under (x,x) ->
+    "xx xx"); the boundary anchors reject suffix collisions ("yx x"
+    under (x,x) has no match)."""
+    return "(?<=^| )" + _jquote(a) + " " + _jquote(b) + "(?= |$)"
+
+
+def merge_replacement(a: str, b: str) -> str:
+    """The merged symbol, escaped for Java Matcher.replaceAll (backslash
+    and $ are the only active characters in a replacement string)."""
+    return (a + b).replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _apply_merge(s, a: str, b: str):
+    """One left-to-right non-overlapping merge pass over a space-joined
+    symbol string — a single codegen'd regexp_replace (see the module
+    banner for why not an array fold)."""
+    return F.regexp_replace(s, F.lit(merge_pattern(a, b)), F.lit(merge_replacement(a, b)))
 
 
 def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
@@ -122,28 +150,28 @@ def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
     per merge (the learned artifact is inherently tiny)."""
     from .decontaminate import words_expr
 
-    spark = df.sparkSession
     wt = (
         df.select(F.explode(F.expr(words_expr(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "syms",
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-        )
-        .select("cnt", "syms")
+        # initial symbols: the word's characters, space-joined (one
+        # linear split pass; words_expr drops empties so len >= 1)
+        .select("cnt", F.array_join(F.split("w", ""), " ").alias("s"))
         .localCheckpoint(eager=True)
     )
     merges = []
     for step in range(1, n_merges + 1):
         best = (
-            wt.filter(F.size("syms") >= 2)
+            wt.filter(F.col("s").contains(" "))
             .select(
                 "cnt",
                 F.explode(
+                    # _let idiom: bind the split once; cs is tiny (word-
+                    # sized) so the pair structs are O(1) array lookups
                     F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                        "transform(array(split(s, ' ')),"
+                        " cs -> transform(sequence(1, size(cs) - 1),"
+                        " i -> struct(cs[i-1] AS a, cs[i] AS b)))[0]"
                     )
                 ).alias("p"),
             )
@@ -157,7 +185,7 @@ def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
             break
         a, b, n = best[0].a, best[0].b, best[0].n
         merges.append((step, a, b, a + b, int(n)))
-        wt = wt.withColumn("syms", _apply_merge(F.col("syms"), a, b)).localCheckpoint(
+        wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b)).localCheckpoint(
             eager=True
         )
     return merges

@@ -16,23 +16,31 @@ from curator_spark.operators.tokenizer_prep import _apply_merge, bpe_train
 from scripts.make_bpe_golden import merge_word, reference_bpe
 
 
-def test_apply_merge_fold_matches_reference_scan(spark):
-    """Seeded fuzz: the JVM fold == the python left-to-right scan on
-    streams built from a tiny alphabet (maximizes overlap collisions like
-    [x,x,x,x]) plus quote/backslash symbols (would break any SQL-string
-    interpolation of the learned pair)."""
+def test_apply_merge_matches_reference_scan(spark):
+    """Seeded fuzz: the anchored regexp_replace == the python
+    left-to-right scan on streams built from a tiny alphabet (maximizes
+    overlap collisions like [x,x,x,x]), suffix-collision symbols ("yx"
+    vs pair (x,x) — would false-match without the boundary lookbehind),
+    and regex/replacement metacharacters ($1, \\, \\E, quotes, dots,
+    parens — would break any unquoted pattern interpolation)."""
     rng = random.Random(7)
-    alphabet = ["x", "y", "x'y", "\\", "'"]
-    cases = [[rng.choice(alphabet) for _ in range(rng.randrange(1, 9))] for _ in range(60)]
-    cases += [["x"], ["x", "x"], ["x", "x", "x"], ["x", "x", "x", "x"]]
-    pairs = [("x", "x"), ("x", "y"), ("\\", "'"), ("x'y", "x")]
+    alphabet = ["x", "y", "x'y", "\\", "'", "$1", "a.b*", "(", "\\E", "yx", "ab"]
+    cases = [[rng.choice(alphabet) for _ in range(rng.randrange(1, 9))] for _ in range(200)]
+    cases += [
+        ["x"], ["x", "x"], ["x", "x", "x"], ["x", "x", "x", "x"],
+        ["yx", "x", "x"], ["ab", "b", "b"],
+    ]
+    pairs = [
+        ("x", "x"), ("x", "y"), ("\\", "'"), ("x'y", "x"),
+        ("$1", "a.b*"), ("\\E", "x"), ("ab", "b"),
+    ]
 
-    rows = [(i, s) for i, s in enumerate(cases)]
-    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    rows = [(i, " ".join(s)) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, s string")
     for a, b in pairs:
         got = {
-            r.id: list(r.m)
-            for r in df.select("id", _apply_merge(F.col("syms"), a, b).alias("m")).collect()
+            r.id: r.m.split(" ")
+            for r in df.select("id", _apply_merge(F.col("s"), a, b).alias("m")).collect()
         }
         for i, s in enumerate(cases):
             want = merge_word(s, a, b) if len(s) > 1 else s
