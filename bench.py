@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "code_prep_pipeline",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode_docs",
+    "bpe_fertility",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -207,3 +207,139 @@ def bpe_train_query(spark, sf_dir):
     return spark.createDataFrame(
         merges, "step bigint, a string, b string, merged string, n bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer APPLICATION — encode the corpus under a learned merge list
+# (the production shape: train once, apply everywhere; the artifact here
+# is the golden 10-merge table, whose equality to the in-engine trainer
+# is separately gate-verified by bpe_train). Scale shape at 100 TB:
+# stats aggregate over the distinct (doc, word) / (lang, word) domains
+# (map-side combined), and the merge chain is re-applied per distinct
+# row as 10 chained codegen regexp_replace passes — linear per word and
+# ZERO-shuffle, where attaching token counts from a segmented
+# distinct-word table would cost a corpus-wide shuffle join. Documents
+# with zero words survive via explode_outer with coalesced-zero sums.
+#
+# Oracle: tests/golden/bpe_doc_tokens_2000.parquet, the per-document
+# stats derived by the INDEPENDENT single-process implementation
+# (scripts/make_bpe_golden.py::reference_doc_tokens); the fertility
+# oracle AGGREGATES that golden in DuckDB, so the per-language rollup is
+# exercised as real SQL rather than read back verbatim.
+# ---------------------------------------------------------------------------
+_GOLDEN_BPE_DOCS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "bpe_doc_tokens_2000.parquet",
+)
+
+
+def learned_merges(spark):
+    """The pinned 10-merge tokenizer artifact, in application order."""
+    return [
+        (r.a, r.b)
+        for r in spark.read.parquet(_GOLDEN_BPE).orderBy("step").collect()
+    ]
+
+
+def encode_tokens_col(s, merge_pairs):
+    """Apply an ordered merge list to a space-joined symbol string column
+    (chained codegen regexp_replace passes, one per merge)."""
+    for a, b in merge_pairs:
+        s = _apply_merge(s, a, b)
+    return s
+
+
+def bpe_encode_docs(df, merge_pairs, text_col: str = "content"):
+    """Per-document encode stats under ``merge_pairs``: (repo, path,
+    lang, n_words, n_wchars, n_tokens)."""
+    from .decontaminate import words_expr
+
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    per_word = (
+        df.select(
+            "repo",
+            "path",
+            "lang",
+            F.explode_outer(F.expr(words_expr(text_col))).alias("w"),
+        )
+        .groupBy("repo", "path", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "ntok",
+            F.when(F.col("w").isNull(), F.lit(0)).otherwise(
+                F.size(F.split(seg, " "))
+            ),
+        )
+    )
+    zero_if_null = lambda c: F.when(F.col("w").isNull(), F.lit(0)).otherwise(c)
+    return (
+        per_word.groupBy("repo", "path", "lang")
+        .agg(
+            F.sum(zero_if_null(F.col("cnt"))).alias("n_words"),
+            F.sum(zero_if_null(F.length("w") * F.col("cnt"))).alias("n_wchars"),
+            F.sum(F.col("ntok") * F.col("cnt")).alias("n_tokens"),
+        )
+        .orderBy("repo", "path")
+    )
+
+
+_Q_BPE_ENCODE_DOCS = f"""
+SELECT repo, path, lang, n_words, n_wchars, n_tokens
+FROM read_parquet('{_GOLDEN_BPE_DOCS}')
+ORDER BY repo, path
+"""
+
+
+@register(
+    "bpe_encode_docs",
+    _Q_BPE_ENCODE_DOCS,
+    "per-document token counts under the learned BPE merges (distinct (doc,word) domain, zero-shuffle merge chain)",
+)
+def bpe_encode_docs_query(spark, sf_dir):
+    return bpe_encode_docs(_corpus(spark), learned_merges(spark))
+
+
+_Q_BPE_FERTILITY = f"""
+SELECT lang,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_wchars) AS BIGINT) AS n_wchars,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_wchars) * 10000 // sum(n_tokens) AS BIGINT) AS chars_per_token_x1e4
+FROM read_parquet('{_GOLDEN_BPE_DOCS}')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "bpe_fertility",
+    _Q_BPE_FERTILITY,
+    "per-language tokenizer fertility (chars per token, fixed-point) under the learned merges — the data-mix diagnostic",
+)
+def bpe_fertility(spark, sf_dir):
+    from .decontaminate import words_expr
+
+    merge_pairs = learned_merges(spark)
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    wt = (
+        _corpus(spark)
+        .select("lang", F.explode(F.expr(words_expr("content"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("ntok", F.size(F.split(seg, " ")))
+    )
+    return (
+        wt.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.length("w") * F.col("cnt")).alias("n_wchars"),
+            F.sum(F.col("ntok") * F.col("cnt")).alias("n_tokens"),
+        )
+        # fixed-point integer ratio: bit-identical across engines (float
+        # division is formatting-hazardous under the value hash)
+        .withColumn(
+            "chars_per_token_x1e4",
+            F.expr("n_wchars * 10000 DIV n_tokens"),
+        )
+        .orderBy("lang")
+    )

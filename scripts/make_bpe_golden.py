@@ -66,6 +66,50 @@ def reference_bpe(contents, n_merges: int):
     return merges
 
 
+def encode_word(w: str, merges) -> int:
+    """Token count of one word under an ordered merge list — merges
+    applied sequentially from the character split, exactly the state the
+    training loop leaves each word in."""
+    s = list(w)
+    for _, a, b, _, _ in merges:
+        if len(s) > 1:
+            s = merge_word(s, a, b)
+    return len(s)
+
+
+def reference_doc_tokens(rows, merges):
+    """Per-document encode stats under an ordered merge list: rows of
+    (repo, path, lang, n_words, n_wchars, n_tokens). Documents with zero
+    words (empty/whitespace content) are kept with zeros."""
+    cache: dict[str, int] = {}
+
+    def ntok(w: str) -> int:
+        if w not in cache:
+            cache[w] = encode_word(w, merges)
+        return cache[w]
+
+    out = []
+    for r in rows:
+        ws = [w for w in re.split(r"[ \t\n]+", r["content"]) if w]
+        out.append(
+            (
+                r["repo"],
+                r["path"],
+                r["lang"],
+                len(ws),
+                sum(len(w) for w in ws),
+                sum(ntok(w) for w in ws),
+            )
+        )
+    return out
+
+
+OUT_DOCS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "bpe_doc_tokens_2000.parquet",
+)
+
+
 def main() -> None:
     from curator_spark.sources.corpus import generate_pandas
 
@@ -77,6 +121,15 @@ def main() -> None:
     out.to_parquet(OUT, index=False)
     print(f"wrote {len(out)} merges -> {OUT}")
     print(out.to_string(index=False))
+
+    docs = reference_doc_tokens(pdf.to_dict("records"), merges)
+    dout = pd.DataFrame(
+        docs, columns=["repo", "path", "lang", "n_words", "n_wchars", "n_tokens"]
+    )
+    for c in ("n_words", "n_wchars", "n_tokens"):
+        dout[c] = dout[c].astype("int64")
+    dout.to_parquet(OUT_DOCS, index=False)
+    print(f"wrote {len(dout)} doc rows -> {OUT_DOCS}")
 
 
 if __name__ == "__main__":

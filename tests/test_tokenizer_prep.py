@@ -83,3 +83,54 @@ def test_bpe_train_exhausts_short_corpus(spark):
     df = spark.createDataFrame([("ab ab",)], "content string")
     merges = bpe_train(df, n_merges=10)
     assert merges == [(1, "a", "b", "ab", 2)]
+
+
+def test_bpe_encode_docs_matches_reference(spark):
+    """Per-doc encode stats == the independent python implementation on
+    an unseen seeded corpus, including a zero-word document (empty and
+    whitespace-only content must survive with zeros)."""
+    from curator_spark.operators.tokenizer_prep import bpe_encode_docs
+    from scripts.make_bpe_golden import reference_bpe, reference_doc_tokens
+
+    rng = random.Random(123)
+    rows = []
+    for i in range(40):
+        text = " ".join(
+            "".join(rng.choice("abrc(). ") for _ in range(rng.randrange(1, 7))).strip()
+            for _ in range(rng.randrange(0, 10))
+        )
+        rows.append({"repo": f"org/r{i % 5}", "path": f"f{i}.txt", "lang": "x", "content": text})
+    rows.append({"repo": "org/r9", "path": "empty.txt", "lang": "x", "content": ""})
+    rows.append({"repo": "org/r9", "path": "ws.txt", "lang": "x", "content": " \t\n "})
+
+    merges = reference_bpe([r["content"] for r in rows], 5)
+    want = sorted(reference_doc_tokens(rows, merges))
+
+    df = spark.createDataFrame(rows)
+    got = [
+        (r.repo, r.path, r.lang, r.n_words, r.n_wchars, r.n_tokens)
+        for r in bpe_encode_docs(df, [(a, b) for _, a, b, _, _ in merges]).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_fertility_consistent_with_docs(spark):
+    """The per-language rollup equals aggregating the per-doc stats —
+    the same identity the DuckDB oracle exercises, but over the live
+    Spark results instead of the golden."""
+    from collections import defaultdict
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    docs = qs["bpe_encode_docs"](spark, "/root/testdata/sf0.001").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        a = agg[r.lang]
+        a[0] += r.n_words; a[1] += r.n_wchars; a[2] += r.n_tokens
+    fert = qs["bpe_fertility"](spark, "/root/testdata/sf0.001").collect()
+    assert len(fert) == len(agg)
+    for r in fert:
+        w, c, t = agg[r.lang]
+        assert (r.n_words, r.n_wchars, r.n_tokens) == (w, c, t)
+        assert r.chars_per_token_x1e4 == c * 10000 // t
