@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_encode_docs",
     "bpe_fertility",
+    "mixture_token_budget",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -343,3 +343,99 @@ def bpe_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture realization — the data-mix operation a training-run
+# actually wants: "give me AT MOST B_lang tokens of each language", not a
+# document count (docs vary 100x in token mass). Greedy deterministic
+# selection: docs ordered within each language by a content-independent
+# md5 rank (hex chars 25-32 of md5(repo|path) — DISJOINT from the repo's
+# other hash-decision slices: downsample 1-8, split 9-16, license-header
+# synthesis 17-24), kept while the running token total BEFORE the doc is
+# under budget (so the crossing doc is included and every budget is met
+# or exceeded by < one doc).
+#
+# Scale shape: a naive PARTITION BY lang running sum is a 7-partition
+# window — pure skew at 100 TB. This uses the repo's two-phase
+# distributed prefix-sum (sequence_packing's pattern): phase 1 windows
+# over (lang, rank-prefix bucket) — order-preserving because the bucket
+# IS a prefix of the rank — phase 2 exclusive bucket offsets over the
+# tiny (lang, bucket) table, broadcast back. Widen the prefix (16 ->
+# 256 -> 4096 buckets) as the corpus grows; window task size is
+# corpus/lang/buckets. The DuckDB oracle states the same semantics as
+# ONE flat window over the independent per-doc golden.
+# ---------------------------------------------------------------------------
+MIX_TOKEN_BUDGETS = {
+    "c": 80_000,
+    "go": 90_000,
+    "java": 100_000,
+    "javascript": 200_000,
+    "json": 30_000,
+    "markdown": 150_000,
+    "python": 120_000,
+}
+
+_BUDGET_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TOKEN_BUDGETS.items()))
+    + " ELSE 0 END"
+)
+
+_Q_MIX_TOKENS = f"""
+WITH t AS (
+  SELECT repo, path, lang, n_tokens,
+         substr(md5(repo || '|' || path), 25, 8) AS rk
+  FROM read_parquet('{_GOLDEN_BPE_DOCS}')
+),
+c AS (
+  SELECT repo, path, lang, n_tokens, rk,
+         CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY lang ORDER BY rk, repo, path
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS tok_before
+  FROM t
+)
+SELECT repo, path, lang, CAST(n_tokens AS BIGINT) AS n_tokens, tok_before
+FROM c
+WHERE tok_before < {_BUDGET_CASE}
+ORDER BY lang, rk, repo, path
+"""
+
+
+@register(
+    "mixture_token_budget",
+    _Q_MIX_TOKENS,
+    "greedy per-language token-budget mixture (two-phase distributed prefix-sum over md5-ranked docs)",
+)
+def mixture_token_budget(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = bpe_encode_docs(_corpus(spark), learned_merges(spark)).withColumn(
+        "rk", F.substring(F.md5(F.concat_ws("|", "repo", "path")), 25, 8)
+    )
+    # phase 1: running sum within (lang, rank-prefix) buckets
+    d = d.withColumn("bkt", F.substring("rk", 1, 1))
+    w_in = (
+        W.partitionBy("lang", "bkt")
+        .orderBy("rk", "repo", "path")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
+    )
+    # phase 2: exclusive bucket offsets — the (lang, bucket) table is tiny
+    w_b = W.partitionBy("lang").orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("lang", "bkt")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .withColumn("boff", F.coalesce(F.sum("bt").over(w_b), F.lit(0)).cast("long"))
+        .select("lang", "bkt", "boff")
+    )
+    return (
+        c.join(F.broadcast(offs), ["lang", "bkt"])
+        .withColumn("tok_before", (F.col("boff") + F.col("cum_in")).cast("long"))
+        .filter(F.col("tok_before") < F.expr(_BUDGET_CASE))
+        .orderBy("lang", "rk", "repo", "path")
+        .select("repo", "path", "lang", F.col("n_tokens").cast("long").alias("n_tokens"), "tok_before")
+    )

@@ -134,3 +134,35 @@ def test_bpe_fertility_consistent_with_docs(spark):
         w, c, t = agg[r.lang]
         assert (r.n_words, r.n_wchars, r.n_tokens) == (w, c, t)
         assert r.chars_per_token_x1e4 == c * 10000 // t
+
+
+def test_mixture_token_budget_semantics(spark):
+    """For every language the greedy selection either exhausts the
+    language or meets the budget, overshooting by strictly less than the
+    crossing document (tok_before of every kept doc < budget)."""
+    from collections import defaultdict
+
+    import __spark_entry__ as m
+    from curator_spark.operators.tokenizer_prep import MIX_TOKEN_BUDGETS
+
+    qs = m.queries()
+    kept = qs["mixture_token_budget"](spark, "/root/testdata/sf0.001").collect()
+    docs = qs["bpe_encode_docs"](spark, "/root/testdata/sf0.001").collect()
+    lang_total = defaultdict(int)
+    lang_docs = defaultdict(int)
+    for r in docs:
+        lang_total[r.lang] += r.n_tokens
+        lang_docs[r.lang] += 1
+    got_tok = defaultdict(int)
+    got_docs = defaultdict(int)
+    for r in kept:
+        b = MIX_TOKEN_BUDGETS[r.lang]
+        assert r.tok_before < b  # greedy keep predicate
+        got_tok[r.lang] += r.n_tokens
+        got_docs[r.lang] += 1
+    for lang, b in MIX_TOKEN_BUDGETS.items():
+        if lang_total[lang] < b:
+            # budget not reachable: the whole language is kept
+            assert got_docs[lang] == lang_docs[lang]
+        else:
+            assert got_tok[lang] >= b  # budget met (crossing doc included)
