@@ -144,47 +144,62 @@ def _apply_merge(s, a: str, b: str):
     return F.regexp_replace(s, F.lit(merge_pattern(a, b)), F.lit(merge_replacement(a, b)))
 
 
-def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
-    """Train ``n_merges`` BPE merges over ``df[text_col]``; returns the
-    ordered merge list [(step, a, b, merged, n)] — driver-side, one row
-    per merge (the learned artifact is inherently tiny)."""
+def word_table(df, text_col: str = "content"):
+    """The (cnt, s) word-frequency table BPE training iterates over: one
+    corpus-wide shuffle, symbols space-joined from the character split
+    (one linear pass; words_expr drops empties so len >= 1)."""
     from .decontaminate import words_expr
 
-    wt = (
+    return (
         df.select(F.explode(F.expr(words_expr(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # initial symbols: the word's characters, space-joined (one
-        # linear split pass; words_expr drops empties so len >= 1)
         .select("cnt", F.array_join(F.split("w", ""), " ").alias("s"))
-        .localCheckpoint(eager=True)
     )
+
+
+def best_pair(wt):
+    """Argmax adjacent pair of the word table under the total order
+    (count DESC, a ASC, b ASC); None when no word has two symbols left."""
+    best = (
+        wt.filter(F.col("s").contains(" "))
+        .select(
+            "cnt",
+            F.explode(
+                # _let idiom: bind the split once; cs is tiny (word-
+                # sized) so the pair structs are O(1) array lookups
+                F.expr(
+                    "transform(array(split(s, ' ')),"
+                    " cs -> transform(sequence(1, size(cs) - 1),"
+                    " i -> struct(cs[i-1] AS a, cs[i] AS b)))[0]"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .collect()
+    )
+    if not best:
+        return None
+    return best[0].a, best[0].b, int(best[0].n)
+
+
+def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
+    """Train ``n_merges`` BPE merges over ``df[text_col]``; returns the
+    ordered merge list [(step, a, b, merged, n)] — driver-side, one row
+    per merge (the learned artifact is inherently tiny). For the
+    kill-resumable variant (merge log committed per iteration) see
+    plans.bpe_run.BpeTrainRun, which shares these exact pieces."""
+    wt = word_table(df, text_col).localCheckpoint(eager=True)
     merges = []
     for step in range(1, n_merges + 1):
-        best = (
-            wt.filter(F.col("s").contains(" "))
-            .select(
-                "cnt",
-                F.explode(
-                    # _let idiom: bind the split once; cs is tiny (word-
-                    # sized) so the pair structs are O(1) array lookups
-                    F.expr(
-                        "transform(array(split(s, ' ')),"
-                        " cs -> transform(sequence(1, size(cs) - 1),"
-                        " i -> struct(cs[i-1] AS a, cs[i] AS b)))[0]"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        best = best_pair(wt)
+        if best is None:
             break
-        a, b, n = best[0].a, best[0].b, best[0].n
-        merges.append((step, a, b, a + b, int(n)))
+        a, b, n = best
+        merges.append((step, a, b, a + b, n))
         wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b)).localCheckpoint(
             eager=True
         )

@@ -1,0 +1,154 @@
+"""BpeTrainRun — kill-resumable distributed BPE training.
+
+The repo's other resumable plans (QualityFilterRun, EmbeddingRun,
+ReleaseRun) checkpoint DATA-PARALLEL work: the input is sharded and each
+committed batch is independent. BPE training is the opposite shape — a
+SEQUENTIAL iteration where merge k depends on the word-table state after
+merges 1..k-1 — so the commit granule here is one ITERATION: each learned
+merge is published as its own atomically-renamed log entry
+(merge_0001.json, ...), and resume rebuilds the word table from the
+corpus and fast-forwards it by re-applying the committed log (10 chained
+codegen regexp passes — seconds, vs re-running the pair-count argmax jobs
+the log already paid for). A finished run — committed log >= the budget,
+or the DONE marker (pair EXHAUSTION; never written on mere budget
+completion, so a larger budget extends the prefix-stable log instead of
+retraining) — is a pure metadata probe: no Spark job at all.
+
+This is the recompute-state-from-log resume pattern (the committed
+artifact is tiny; the per-iteration Spark work is what's expensive at
+scale — at 100 TB each pair-count argmax is a full pass over a
+tens-of-millions-row word table).
+
+Identity rules match the repo's stage conventions:
+
+* config fingerprint (n_merges, text_col, word-split version) names the
+  run dir — a geometry change trains fresh alongside the old artifact;
+* the input token (engine.fingerprint.input_identity of the corpus) is
+  recorded in an INPUT marker; a token mismatch on a reused dir wipes
+  the committed log and retrains — a corpus swap can never silently
+  reuse merges learned on different data (the bench_identity /
+  _SHARDS_OK hardening, engine/checkpoint.py:163-193).
+
+Reference anchor: iterative driver loops with per-step caching are the
+reference's agent/batch poll loops (base_request_processor.py:103-143);
+the merge log is the analog of its append-only response checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.checkpoint import StageInterrupted
+from ..engine.fingerprint import config_fingerprint, input_identity
+from ..operators.tokenizer_prep import _apply_merge, best_pair, word_table
+
+_WORDS_VERSION = "ws-split-v1"  # [ \t\n]+ word split, char-level symbols
+
+
+class BpeTrainRun:
+    def __init__(
+        self, work_dir: str, n_merges: int = 10, text_col: str = "content"
+    ) -> None:
+        self.n_merges = n_merges
+        self.text_col = text_col
+        # n_merges is deliberately NOT in the fingerprint: merge lists
+        # are prefix-stable (the first k merges of an n-merge train are
+        # the k-merge train), so raising the budget EXTENDS the committed
+        # log instead of retraining from scratch
+        fp = config_fingerprint(
+            "bpe_train",
+            {
+                "text_col": text_col,
+                "words": _WORDS_VERSION,
+            },
+        )
+        self.run_dir = os.path.join(work_dir, f"bpe_train-{fp}")
+
+    # -- commit-log primitives ------------------------------------------------
+    def _merge_path(self, step: int) -> str:
+        return os.path.join(self.run_dir, f"merge_{step:04d}.json")
+
+    def _publish_json(self, path: str, payload: dict) -> None:
+        """Atomic single-file commit: write sibling tmp, os.rename."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.rename(tmp, path)
+
+    def committed_merges(self) -> list[tuple[int, str, str, str, int]]:
+        """The ordered committed merge log (contiguous prefix only: a
+        gap means a torn multi-writer dir — refuse to silently skip)."""
+        out = []
+        step = 1
+        while os.path.exists(self._merge_path(step)):
+            with open(self._merge_path(step)) as f:
+                d = json.load(f)
+            out.append((d["step"], d["a"], d["b"], d["merged"], d["n"]))
+            step += 1
+        return out
+
+    def is_done(self) -> bool:
+        return os.path.exists(os.path.join(self.run_dir, "DONE"))
+
+    def _check_input(self, token: str) -> None:
+        """Record/verify the corpus identity; a mismatch wipes the log
+        (input changed => every committed merge is stale)."""
+        marker = os.path.join(self.run_dir, "INPUT")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if f.read() == token:
+                    return
+            for name in os.listdir(self.run_dir):
+                os.remove(os.path.join(self.run_dir, name))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(token)
+        os.rename(tmp, marker)
+
+    # -- the run ---------------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        fail_after_merges: int | None = None,
+        input_token: str | None = None,
+    ) -> list[tuple[int, str, str, str, int]]:
+        os.makedirs(self.run_dir, exist_ok=True)
+        self._check_input(input_token or input_identity(docs))
+        merges = self.committed_merges()
+        if self.is_done() or len(merges) >= self.n_merges:
+            return merges[: self.n_merges]
+
+        # fast-forward: rebuild the word table and re-apply the committed
+        # log (chained codegen regexps — cheap relative to the argmax
+        # jobs the log already paid for), then keep iterating
+        wt = word_table(docs, self.text_col)
+        for _, a, b, _, _ in merges:
+            wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b))
+        wt = wt.localCheckpoint(eager=True)
+
+        new_committed = 0
+        for step in range(len(merges) + 1, self.n_merges + 1):
+            best = best_pair(wt)
+            if best is None:
+                self._publish_json(os.path.join(self.run_dir, "DONE"), {})
+                return merges
+            a, b, n = best
+            self._publish_json(
+                self._merge_path(step),
+                {"step": step, "a": a, "b": b, "merged": a + b, "n": n},
+            )
+            merges.append((step, a, b, a + b, n))
+            new_committed += 1
+            if fail_after_merges is not None and new_committed >= fail_after_merges:
+                raise StageInterrupted(f"injected kill after {new_committed} merges")
+            wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b)).localCheckpoint(
+                eager=True
+            )
+        # NO DONE marker here: DONE means PAIR EXHAUSTION only. A
+        # budget-complete log must stay extendable by a later larger
+        # budget (prefix stability), which a completion marker would cap.
+        return merges

@@ -1,0 +1,118 @@
+"""BpeTrainRun — the sequential iteration-log resume shape: kill after
+any number of committed merges, resume, and the final merge list must be
+bit-identical to a single-session train; finished runs are metadata
+probes; an input swap wipes the stale log."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.operators.tokenizer_prep import bpe_train
+from curator_spark.plans.bpe_run import BpeTrainRun
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "content string")
+
+
+TEXTS = ["abab rara abra cad abra" for _ in range(3)] + [
+    "banana bandana",
+    "cadabra ab ab",
+    "rab rab rab banana",
+]
+
+
+def test_single_session_matches_bpe_train(spark, tmp_path):
+    docs = _docs(spark, TEXTS)
+    run = BpeTrainRun(str(tmp_path), n_merges=6)
+    got = run.run(spark, docs, input_token="t1")
+    assert got == bpe_train(docs, n_merges=6)
+    assert run.is_done() or len(got) == 6
+
+
+@pytest.mark.parametrize("kill_after", [1, 3])
+def test_kill_resume_bit_identical(spark, tmp_path, kill_after):
+    docs = _docs(spark, TEXTS)
+    want = bpe_train(docs, n_merges=6)
+
+    run = BpeTrainRun(str(tmp_path), n_merges=6)
+    with pytest.raises(StageInterrupted):
+        run.run(spark, docs, fail_after_merges=kill_after, input_token="t1")
+    assert len(run.committed_merges()) == kill_after
+
+    resumed = BpeTrainRun(str(tmp_path), n_merges=6)
+    got = resumed.run(spark, docs, input_token="t1")
+    assert got == want
+
+
+def test_finished_run_is_metadata_probe(spark, tmp_path):
+    docs = _docs(spark, TEXTS)
+    run = BpeTrainRun(str(tmp_path), n_merges=4)
+    want = run.run(spark, docs, input_token="t1")
+
+    # rerun with a POISONED input frame (raise_error on any evaluation):
+    # a finished run must return the committed log without ever running
+    # a Spark job over the corpus
+    from pyspark.sql import functions as F
+
+    poisoned = spark.range(1).select(
+        F.expr("raise_error('finished run evaluated its input')").alias("content")
+    )
+    again = BpeTrainRun(str(tmp_path), n_merges=4).run(
+        spark, poisoned, input_token="t1"
+    )
+    assert again == want
+
+
+def test_input_swap_wipes_stale_log(spark, tmp_path):
+    run = BpeTrainRun(str(tmp_path), n_merges=3)
+    first = run.run(spark, _docs(spark, TEXTS), input_token="corpus-a")
+    assert len(first) == 3
+
+    other = ["zqzq zq zqzq", "qz qz zqzq"]
+    want = bpe_train(_docs(spark, other), n_merges=3)
+    swapped = BpeTrainRun(str(tmp_path), n_merges=3).run(
+        spark, _docs(spark, other), input_token="corpus-b"
+    )
+    assert swapped == want
+    assert swapped != first
+
+
+def test_early_exhaustion_commits_done(spark, tmp_path):
+    docs = _docs(spark, ["ab ab"])
+    run = BpeTrainRun(str(tmp_path), n_merges=10)
+    got = run.run(spark, docs, input_token="t1")
+    assert got == [(1, "a", "b", "ab", 2)]
+    assert run.is_done()
+    # resume after exhaustion: still the same single merge, no retrain
+    again = BpeTrainRun(str(tmp_path), n_merges=10).run(
+        spark, docs, input_token="t1"
+    )
+    assert again == got
+
+
+def test_budget_raise_extends_committed_log(spark, tmp_path):
+    """Merge lists are prefix-stable, so a bigger budget must EXTEND the
+    committed log (same run dir, first 2 merges reused verbatim) rather
+    than retrain."""
+    docs = _docs(spark, TEXTS)
+    a = BpeTrainRun(str(tmp_path), n_merges=2)
+    b = BpeTrainRun(str(tmp_path), n_merges=5)
+    assert a.run_dir == b.run_dir
+    first = a.run(spark, docs, input_token="t1")
+    got = b.run(spark, docs, input_token="t1")
+    assert got == bpe_train(docs, n_merges=5)
+    assert got[:2] == first
+    # and the shrunken budget reads a prefix of the same log, no Spark
+    from pyspark.sql import functions as F
+
+    poisoned = spark.range(1).select(
+        F.expr("raise_error('prefix read evaluated its input')").alias("content")
+    )
+    assert BpeTrainRun(str(tmp_path), n_merges=3).run(
+        spark, poisoned, input_token="t1"
+    ) == got[:3]
+    assert os.path.isdir(a.run_dir)
