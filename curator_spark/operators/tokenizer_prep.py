@@ -454,3 +454,26 @@ def mixture_token_budget(spark, sf_dir):
         .orderBy("lang", "rk", "repo", "path")
         .select("repo", "path", "lang", F.col("n_tokens").cast("long").alias("n_tokens"), "tok_before")
     )
+
+
+# -- python twins for Arrow-side (streaming) encode -------------------------
+def merge_word_py(syms: list[str], a: str, b: str) -> list[str]:
+    """The left-to-right non-overlapping merge scan, python-side — the
+    Arrow/mapInPandas twin of _apply_merge (equality fuzz-tested against
+    the regexp path and pinned by the shared golden)."""
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def encode_word_py(w: str, merge_pairs) -> int:
+    """Token count of one word under an ordered merge list."""
+    s = list(w)
+    for a, b in merge_pairs:
+        if len(s) > 1:
+            s = merge_word_py(s, a, b)
+    return len(s)

@@ -190,3 +190,68 @@ def stream_decontaminate(
             yield pdf[mask]
 
     return src.mapInPandas(probe, schema=CORPUS_SCHEMA)
+
+
+def stream_token_stats(
+    spark: SparkSession,
+    source_dir: str,
+    merge_pairs: list[tuple[str, str]],
+    text_col: str = "content",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming tokenizer application: readStream(corpus parquet) ->
+    per-document (n_words, n_wchars, n_tokens) under a PINNED merge list
+    (train once, apply everywhere — the artifact ships with the stream,
+    the stream never trains). Token counting is a pure per-row function,
+    so this is an Arrow-batched mapInPandas: zero shuffle, zero state
+    store, micro-batch boundaries can't affect the result (parity-tested
+    batch-vs-stream on the same files). The per-task word->tokens dict
+    memoizes across a batch's rows — the streaming analog of the batch
+    path's distinct-(doc,word) domain collapse."""
+    import re as _re
+
+    from ..operators.tokenizer_prep import encode_word_py
+
+    src = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    split = _re.compile(r"[ \t\n]+")
+    out_schema = (
+        "repo string, path string, lang string,"
+        " n_words long, n_wchars long, n_tokens long"
+    )
+
+    def enc(batches):
+        cache: dict[str, int] = {}
+
+        def ntok(w: str) -> int:
+            if w not in cache:
+                cache[w] = encode_word_py(w, merge_pairs)
+            return cache[w]
+
+        for pdf in batches:
+            rows = []
+            for repo, path, lang, text in zip(
+                pdf["repo"], pdf["path"], pdf["lang"], pdf[text_col]
+            ):
+                ws = [w for w in split.split(text or "") if w]
+                rows.append(
+                    (
+                        repo,
+                        path,
+                        lang,
+                        len(ws),
+                        sum(len(w) for w in ws),
+                        sum(ntok(w) for w in ws),
+                    )
+                )
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows,
+                columns=["repo", "path", "lang", "n_words", "n_wchars", "n_tokens"],
+            )
+
+    return src.mapInPandas(enc, schema=out_schema)

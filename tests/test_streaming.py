@@ -236,3 +236,35 @@ def test_stream_decontaminate_matches_batch(spark, corpus_path, corpus_df, tmp_p
     }
     assert got == want
     assert len(want) < corpus_df.count()  # the probe really dropped rows
+
+
+def test_stream_token_stats_matches_batch(spark, corpus_path, corpus_df, tmp_path):
+    """Streamed per-doc token counting under the pinned merges must equal
+    the batch bpe_encode_docs result row-for-row on the same files (the
+    python Arrow twin vs the codegen regexp chain), across micro-batch
+    boundaries."""
+    from curator_spark.operators.tokenizer_prep import bpe_encode_docs, learned_merges
+    from curator_spark.streaming.quality_stream import stream_token_stats
+
+    merges = learned_merges(spark)
+    out = stream_token_stats(spark, corpus_path, merges, max_files_per_trigger=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_tok_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tok"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.repo, r.path): (r.lang, r.n_words, r.n_wchars, r.n_tokens)
+        for r in spark.sql("SELECT * FROM stream_tok_out").collect()
+    }
+    want = {
+        (r.repo, r.path): (r.lang, r.n_words, r.n_wchars, r.n_tokens)
+        for r in bpe_encode_docs(corpus_df, merges).collect()
+    }
+    assert got == want
