@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -89,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
         "--state-out", default=None,
         help="directory to publish this crawl's carry-forward state "
         "(crawl mode; written last, atomic marker)",
+    )
+    p.add_argument(
+        "--train-tokenizer", type=int, default=None, metavar="N_MERGES",
+        help="after the release run, train an N_MERGES-merge BPE tokenizer "
+        "on the KEPT corpus (kill-resumable per-merge commit log in "
+        "--work-dir; rerun resumes/extends); the ordered merge list is "
+        "written to <work-dir>/tokenizer_merges.json",
     )
     p.add_argument(
         "--train-langid", action="store_true",
@@ -196,6 +204,30 @@ def main(argv: list[str] | None = None) -> int:
     n_out = out.count()
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
+    tokenizer_stats = {}
+    if args.train_tokenizer:
+        from .engine.fingerprint import input_identity
+        from .plans.bpe_run import BpeTrainRun
+
+        brun = BpeTrainRun(args.work_dir, n_merges=args.train_tokenizer)
+        # input token = the committed kept-output identity: a changed
+        # release retrains, an identical rerun resumes/extends the log
+        merges = brun.run(spark, out, input_token=input_identity(out))
+        merges_path = f"{args.work_dir}/tokenizer_merges.json"
+        tmp = merges_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                [
+                    {"step": s, "a": a, "b": b, "merged": m, "n": n}
+                    for s, a, b, m, n in merges
+                ],
+                f,
+            )
+        os.rename(tmp, merges_path)
+        tokenizer_stats = {
+            "tokenizer_merges": len(merges),
+            "tokenizer_out": merges_path,
+        }
     lineage = read_lineage(spark, f"{args.work_dir}/_lineage")
     # total_rows=None: the run is complete, so the committed input rows ARE
     # the total (passing the kept-output count here would mix row domains)
@@ -210,6 +242,7 @@ def main(argv: list[str] | None = None) -> int:
                 "scrub_batches_run": r2.batches_run,
                 "rows_per_sec_filter": round(proj["rows_per_sec"], 1),
                 "output": args.output,
+                **tokenizer_stats,
             }
         )
     )

@@ -234,3 +234,43 @@ def test_cli_opt_out(spark, corpus_df, tmp_path, capsys):
     assert rc == 0
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     assert json.loads(line)["kept_rows"] == out.count()
+
+
+def test_cli_train_tokenizer(spark, corpus_df, tmp_path, capsys):
+    """--train-tokenizer N trains the BPE merge list on the KEPT corpus
+    (not the raw input), writes the artifact, and a rerun with a larger
+    budget EXTENDS the committed log instead of retraining."""
+    from curator_spark.__main__ import main
+    from curator_spark.operators.tokenizer_prep import bpe_train
+    from curator_spark.plans.runner import QualityFilterRun
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    work = str(tmp_path / "run")
+    rc = main(["--input", inp, "--work-dir", work, "--n-batches", "2",
+               "--train-tokenizer", "3"])
+    assert rc == 0
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["tokenizer_merges"] == 3
+    with open(stats["tokenizer_out"]) as f:
+        merges = [(d["step"], d["a"], d["b"], d["merged"], d["n"]) for d in json.load(f)]
+
+    # trained on the KEPT output, not the raw input
+    run = QualityFilterRun(work, n_batches=2)
+    kept = run.output(spark)
+    assert merges == bpe_train(kept, n_merges=3)
+
+    # budget raise: rerun extends the same log (first 3 merges verbatim)
+    rc = main(["--input", inp, "--work-dir", work, "--n-batches", "2",
+               "--train-tokenizer", "5"])
+    assert rc == 0
+    stats2 = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats2["tokenizer_merges"] == 5
+    assert stats2["filter_batches_run"] == []  # release itself resumed
+    with open(stats2["tokenizer_out"]) as f:
+        merges5 = [(d["step"], d["a"], d["b"], d["merged"], d["n"]) for d in json.load(f)]
+    assert merges5[:3] == merges
