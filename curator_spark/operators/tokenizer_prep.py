@@ -186,24 +186,47 @@ def best_pair(wt):
     return best[0].a, best[0].b, int(best[0].n)
 
 
+# every FUSE_EVERY iterations the cached chain is fused with an eager
+# localCheckpoint: caching alone leaves a plan that NESTS one regexp per
+# merge (analyzer cost grows with the merge count — real vocabularies
+# are 30-50k merges), and a fuse bounds both the plan depth and the
+# recompute cascade if cached blocks are ever lost
+_FUSE_EVERY = 8
+
+
 def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
     """Train ``n_merges`` BPE merges over ``df[text_col]``; returns the
     ordered merge list [(step, a, b, merged, n)] — driver-side, one row
     per merge (the learned artifact is inherently tiny). For the
     kill-resumable variant (merge log committed per iteration) see
-    plans.bpe_run.BpeTrainRun, which shares these exact pieces."""
-    wt = word_table(df, text_col).localCheckpoint(eager=True)
-    merges = []
-    for step in range(1, n_merges + 1):
-        best = best_pair(wt)
-        if best is None:
-            break
-        a, b, n = best
-        merges.append((step, a, b, a + b, n))
-        wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b)).localCheckpoint(
-            eager=True
-        )
-    return merges
+    plans.bpe_run.BpeTrainRun, which shares these exact pieces.
+
+    Iteration state is cache()d, not checkpointed: the NEXT best-pair
+    job materializes the merged table as a side effect, so each
+    iteration is ONE Spark job instead of two (measured 2.7x end-to-end,
+    14.6s -> 5.3s at the fixture); a periodic localCheckpoint fuse
+    truncates the growing cached-plan nesting (_FUSE_EVERY)."""
+    scratch = []
+    try:
+        wt = word_table(df, text_col).cache()
+        scratch.append(wt)
+        merges = []
+        for step in range(1, n_merges + 1):
+            best = best_pair(wt)
+            if best is None:
+                break
+            a, b, n = best
+            merges.append((step, a, b, a + b, n))
+            wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b))
+            if step % _FUSE_EVERY == 0:
+                wt = wt.localCheckpoint(eager=True)
+            else:
+                wt = wt.cache()
+                scratch.append(wt)
+        return merges
+    finally:
+        for d in scratch:
+            d.unpersist(blocking=False)
 
 
 _Q_BPE_TRAIN = f"""

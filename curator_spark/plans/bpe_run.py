@@ -124,30 +124,48 @@ class BpeTrainRun:
 
         # fast-forward: rebuild the word table and re-apply the committed
         # log (chained codegen regexps — cheap relative to the argmax
-        # jobs the log already paid for), then keep iterating
+        # jobs the log already paid for), then keep iterating. Iteration
+        # state is cache()d (the next argmax job materializes it in the
+        # same job — one Spark job per merge) with the periodic
+        # localCheckpoint fuse of operators.tokenizer_prep.bpe_train.
+        from ..operators.tokenizer_prep import _FUSE_EVERY
+
+        scratch = []
         wt = word_table(docs, self.text_col)
         for _, a, b, _, _ in merges:
             wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b))
         wt = wt.localCheckpoint(eager=True)
 
-        new_committed = 0
-        for step in range(len(merges) + 1, self.n_merges + 1):
-            best = best_pair(wt)
-            if best is None:
-                self._publish_json(os.path.join(self.run_dir, "DONE"), {})
-                return merges
-            a, b, n = best
-            self._publish_json(
-                self._merge_path(step),
-                {"step": step, "a": a, "b": b, "merged": a + b, "n": n},
-            )
-            merges.append((step, a, b, a + b, n))
-            new_committed += 1
-            if fail_after_merges is not None and new_committed >= fail_after_merges:
-                raise StageInterrupted(f"injected kill after {new_committed} merges")
-            wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b)).localCheckpoint(
-                eager=True
-            )
+        try:
+            new_committed = 0
+            for step in range(len(merges) + 1, self.n_merges + 1):
+                best = best_pair(wt)
+                if best is None:
+                    self._publish_json(os.path.join(self.run_dir, "DONE"), {})
+                    return merges
+                a, b, n = best
+                self._publish_json(
+                    self._merge_path(step),
+                    {"step": step, "a": a, "b": b, "merged": a + b, "n": n},
+                )
+                merges.append((step, a, b, a + b, n))
+                new_committed += 1
+                if (
+                    fail_after_merges is not None
+                    and new_committed >= fail_after_merges
+                ):
+                    raise StageInterrupted(
+                        f"injected kill after {new_committed} merges"
+                    )
+                wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b))
+                if new_committed % _FUSE_EVERY == 0:
+                    wt = wt.localCheckpoint(eager=True)
+                else:
+                    wt = wt.cache()
+                    scratch.append(wt)
+        finally:
+            for d in scratch:
+                d.unpersist(blocking=False)
         # NO DONE marker here: DONE means PAIR EXHAUSTION only. A
         # budget-complete log must stay extendable by a later larger
         # budget (prefix stability), which a completion marker would cap.
