@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "bpe_encode_docs",
     "bpe_fertility",
     "mixture_token_budget",
+    "bpe_fertility_drift",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -355,13 +355,17 @@ ORDER BY lang
     "per-language tokenizer fertility (chars per token, fixed-point) under the learned merges — the data-mix diagnostic",
 )
 def bpe_fertility(spark, sf_dir):
+    return fertility_frame(_corpus(spark), learned_merges(spark)).orderBy("lang")
+
+
+def fertility_frame(df, merge_pairs):
+    """Per-language fertility of ``df`` under ``merge_pairs``: (lang,
+    n_words, n_wchars, n_tokens, chars_per_token_x1e4)."""
     from .decontaminate import words_expr
 
-    merge_pairs = learned_merges(spark)
     seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
     wt = (
-        _corpus(spark)
-        .select("lang", F.explode(F.expr(words_expr("content"))).alias("w"))
+        df.select("lang", F.explode(F.expr(words_expr("content"))).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("ntok", F.size(F.split(seg, " ")))
@@ -379,7 +383,6 @@ def bpe_fertility(spark, sf_dir):
             "chars_per_token_x1e4",
             F.expr("n_wchars * 10000 DIV n_tokens"),
         )
-        .orderBy("lang")
     )
 
 
@@ -500,3 +503,72 @@ def encode_word_py(w: str, merge_pairs) -> int:
         if len(s) > 1:
             s = merge_word_py(s, a, b)
     return len(s)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer DRIFT — the production diagnostic for a PINNED tokenizer on a
+# moving corpus: a vocabulary trained on crawl 0 gradually degrades as the
+# language mix / identifier fashion shifts, and the symptom is fertility
+# (chars per token) dropping on fresh data. This compares the crawl-0
+# window against the drifted crawl-1 window (rows [400, 2400) of the same
+# seed stream — the corpus_drift fixture) under the SAME merges; the
+# delta column is a plain signed difference of the fixed-point ratios
+# (no signed integer division — Spark DIV truncates toward zero while
+# DuckDB // floors, so negative quotients would disagree cross-engine).
+# Scale shape: two independent fertility aggregations (each one shuffle,
+# map-side combined to the (lang, word) domain) joined on the 7-row lang
+# key.
+# ---------------------------------------------------------------------------
+_GOLDEN_BPE_DOCS_W400 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "bpe_doc_tokens_2000_w400.parquet",
+)
+
+_Q_FERTILITY_DRIFT = f"""
+WITH old AS (
+  SELECT lang,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_old,
+         CAST(sum(n_wchars) * 10000 // sum(n_tokens) AS BIGINT) AS cpt_old_x1e4
+  FROM read_parquet('{_GOLDEN_BPE_DOCS}')
+  GROUP BY lang
+),
+new AS (
+  SELECT lang,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_new,
+         CAST(sum(n_wchars) * 10000 // sum(n_tokens) AS BIGINT) AS cpt_new_x1e4
+  FROM read_parquet('{_GOLDEN_BPE_DOCS_W400}')
+  GROUP BY lang
+)
+SELECT old.lang, n_tokens_old, n_tokens_new, cpt_old_x1e4, cpt_new_x1e4,
+       cpt_new_x1e4 - cpt_old_x1e4 AS cpt_delta_x1e4
+FROM old JOIN new ON old.lang = new.lang
+ORDER BY old.lang
+"""
+
+
+@register(
+    "bpe_fertility_drift",
+    _Q_FERTILITY_DRIFT,
+    "pinned-tokenizer fertility drift between crawl windows (chars/token fixed-point delta per language)",
+)
+def bpe_fertility_drift(spark, sf_dir):
+    from .repo_ops import _corpus_w400
+
+    merge_pairs = learned_merges(spark)
+    old = fertility_frame(_corpus(spark), merge_pairs).select(
+        "lang",
+        F.col("n_tokens").alias("n_tokens_old"),
+        F.col("chars_per_token_x1e4").alias("cpt_old_x1e4"),
+    )
+    new = fertility_frame(_corpus_w400(spark), merge_pairs).select(
+        "lang",
+        F.col("n_tokens").alias("n_tokens_new"),
+        F.col("chars_per_token_x1e4").alias("cpt_new_x1e4"),
+    )
+    return (
+        old.join(new, "lang")
+        .withColumn(
+            "cpt_delta_x1e4", F.col("cpt_new_x1e4") - F.col("cpt_old_x1e4")
+        )
+        .orderBy("lang")
+    )

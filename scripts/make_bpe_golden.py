@@ -109,6 +109,11 @@ OUT_DOCS = os.path.join(
     "tests", "golden", "bpe_doc_tokens_2000.parquet",
 )
 
+OUT_DOCS_W400 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "bpe_doc_tokens_2000_w400.parquet",
+)
+
 
 def main() -> None:
     from curator_spark.sources.corpus import generate_pandas
@@ -130,6 +135,19 @@ def main() -> None:
         dout[c] = dout[c].astype("int64")
     dout.to_parquet(OUT_DOCS, index=False)
     print(f"wrote {len(dout)} doc rows -> {OUT_DOCS}")
+
+    # the drifted crawl-1 window (rows [400, 2400) of the same seed-42
+    # stream — operators/repo_ops._corpus_w400), encoded under the SAME
+    # merges learned on crawl 0: the tokenizer-drift oracle input
+    pdf_w = generate_pandas(N_ROWS, seed=42, start=400)
+    docs_w = reference_doc_tokens(pdf_w.to_dict("records"), merges)
+    wout = pd.DataFrame(
+        docs_w, columns=["repo", "path", "lang", "n_words", "n_wchars", "n_tokens"]
+    )
+    for c in ("n_words", "n_wchars", "n_tokens"):
+        wout[c] = wout[c].astype("int64")
+    wout.to_parquet(OUT_DOCS_W400, index=False)
+    print(f"wrote {len(wout)} drifted doc rows -> {OUT_DOCS_W400}")
 
 
 if __name__ == "__main__":
