@@ -287,6 +287,7 @@ class ReleaseRun:
         embedder_loader=None,
         license_filter: bool = False,
         opt_out: bool = False,
+        train_tokenizer: int | None = None,
     ) -> None:
         """``benchmarks_token``: optional explicit version label for the
         benchmark set. When omitted, run() derives an identity from the
@@ -308,6 +309,18 @@ class ReleaseRun:
         self.scorer_loader = scorer_loader
         self.decontaminate = decontaminate
         self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
+
+        # optional trailing tokenizer-training step: the released corpus
+        # decides the vocabulary, so the merge list is a release ARTIFACT
+        # trained on the finalize output (kill-resumable per-merge commit
+        # log — plans.bpe_run; the release's own stages are untouched, so
+        # tokenizer-less manifests stay dict-equal to build_release's)
+        if train_tokenizer:
+            from .bpe_run import BpeTrainRun
+
+            self.tokenizer_run = BpeTrainRun(work_dir, n_merges=train_tokenizer)
+        else:
+            self.tokenizer_run = None
 
         # opt-out gate FIRST of all (compliance: no derived artifact may
         # contain opted-out content); per-row given the broadcast list, so
@@ -508,6 +521,20 @@ class ReleaseRun:
             fail_after_batches=fail_after_batches,
         )
         ran["finalize"] = r.batches_run
+
+        if self.tokenizer_run is not None:
+            from ..engine.fingerprint import input_identity
+
+            before = len(self.tokenizer_run.committed_merges())
+            # fail_after_batches doubles as fail-after-MERGES here (the
+            # tokenizer's commit granule is one merge, not one shard)
+            merges = self.tokenizer_run.run(
+                spark,
+                self.output(spark),
+                fail_after_merges=fail_after_batches,
+                input_token=input_identity(self.output(spark)),
+            )
+            ran["tokenizer"] = list(range(before + 1, len(merges) + 1))
         return ran
 
     def output(self, spark) -> DataFrame:
@@ -561,4 +588,14 @@ class ReleaseRun:
             # only licensed runs carry the key, so license-less manifests
             # stay dict-equal to build_release's (test_release_resume)
             out["removed_nonpermissive_license"] = noo - nl
+        if self.tokenizer_run is not None:
+            # the release artifact itself (tiny by construction); only
+            # tokenizer runs carry the key (same dict-equality rule)
+            merges = self.tokenizer_run.committed_merges()[
+                : self.tokenizer_run.n_merges
+            ]
+            out["tokenizer"] = {
+                "n_merges": len(merges),
+                "merges": [m for _, _, _, m, _ in merges],
+            }
         return out

@@ -294,3 +294,48 @@ def test_release_run_license_gate_kill_resume(spark, tmp_path):
     # fully committed -> metadata probe, license stage included
     ran = run.run(spark, corpus)
     assert "license" in ran and all(v == [] for v in ran.values())
+
+
+def test_release_run_tokenizer_artifact(spark, tmp_path):
+    """train_tokenizer=N appends a kill-resumable BPE training step on
+    the RELEASED corpus: the committed merge list equals a direct train
+    on the release output, the manifest carries the artifact (and only
+    then — tokenizer-less manifests stay dict-equal to build_release's,
+    covered by test_release_run_matches_single_session), and
+    kill-after-every-commit converges to the identical artifact."""
+    from curator_spark.operators.tokenizer_prep import bpe_train
+
+    corpus = _corpus(spark, tmp_path)
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, train_tokenizer=4
+    )
+    ran = run.run(spark, corpus)
+    assert ran["tokenizer"] == [1, 2, 3, 4]
+    want = bpe_train(run.output(spark), n_merges=4)
+    assert run.tokenizer_run.committed_merges() == want
+
+    m = run.manifest(spark, corpus)
+    assert m["tokenizer"]["n_merges"] == 4
+    assert m["tokenizer"]["merges"] == [x[3] for x in want]
+
+    # identical rerun: release resumes, tokenizer is a metadata probe
+    ran2 = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, train_tokenizer=4
+    ).run(spark, corpus)
+    assert ran2["finalize"] == [] and ran2["tokenizer"] == []
+
+    # kill-after-every-commit in a fresh dir converges to the same artifact
+    killed = ReleaseRun(
+        str(tmp_path / "w2"), rates_ppm=RATES, n_batches=3, train_tokenizer=4
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 60
+        try:
+            killed.run(spark, corpus, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    assert killed.tokenizer_run.committed_merges() == want
+    assert attempts >= 5
