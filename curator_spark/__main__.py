@@ -205,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     tokenizer_stats = {}
+    if args.train_tokenizer is not None and args.train_tokenizer < 1:
+        p.error("--train-tokenizer needs a positive merge count")
     if args.train_tokenizer:
         from .engine.fingerprint import input_identity
         from .plans.bpe_run import BpeTrainRun

@@ -96,8 +96,9 @@ def bpe_pair_counts(spark, sf_dir):
 # a shared boundary space still fire ("x x x x" -> "xx xx"). Symbols are
 # \Q..\E-quoted (with embedded-\E splitting) and the replacement
 # \\/$-escaped, so regex metacharacters in learned symbols are inert.
-# The word table is localCheckpoint'ed per iteration to truncate the
-# growing lineage (10 tiny tables, dropped with the function frame).
+# Iteration state is cache()d (one Spark job per merge — see bpe_train's
+# docstring), predecessors dropped as successors materialize, with a
+# periodic localCheckpoint fuse bounding plan depth.
 #
 # The oracle reads tests/golden/bpe_merges_2000.parquet — the same merges
 # derived by an INDEPENDENT single-process implementation
@@ -107,10 +108,16 @@ def bpe_pair_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _N_MERGES = 10
 
-_GOLDEN_BPE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests", "golden", "bpe_merges_2000.parquet",
-)
+
+def _golden_path(name: str) -> str:
+    """tests/golden/<name> — one place to encode the repo-root hop."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "golden", name,
+    )
+
+
+_GOLDEN_BPE = _golden_path("bpe_merges_2000.parquet")
 
 
 def _jquote(s: str) -> str:
@@ -127,8 +134,12 @@ def merge_pattern(a: str, b: str) -> str:
     (after a match the merged symbol a||b != a since b is nonempty, so a
     symbol can never be consumed twice — "x x x x" under (x,x) ->
     "xx xx"); the boundary anchors reject suffix collisions ("yx x"
-    under (x,x) has no match)."""
-    return "(?<=^| )" + _jquote(a) + " " + _jquote(b) + "(?= |$)"
+    under (x,x) has no match). The end anchor must be \\z, NOT $: Java's
+    non-MULTILINE $ also matches just BEFORE a final \\r/\\u0085/\\u2028/
+    \\u2029, and words CAN legally end in \\r (the word split is only
+    [ \\t\\n]+ — every CRLF corpus produces them), so $ would merge `a`
+    with a PREFIX of a following "b\\r" symbol."""
+    return "(?<=^| )" + _jquote(a) + " " + _jquote(b) + "(?= |\\z)"
 
 
 def merge_replacement(a: str, b: str) -> str:
@@ -205,28 +216,42 @@ def bpe_train(df, n_merges: int = _N_MERGES, text_col: str = "content"):
     job materializes the merged table as a side effect, so each
     iteration is ONE Spark job instead of two (measured 2.7x end-to-end,
     14.6s -> 5.3s at the fixture); a periodic localCheckpoint fuse
-    truncates the growing cached-plan nesting (_FUSE_EVERY)."""
-    scratch = []
+    truncates the growing cached-plan nesting (_FUSE_EVERY). A cache()d
+    predecessor is unpersisted as soon as its successor materializes —
+    the block store holds O(1) word tables, not O(n_merges) (real
+    vocabularies are 30-50k merges) — but checkpointed states are never
+    dropped: a localCheckpoint is its cached child's recompute ROOT."""
+    live = []
     try:
         wt = word_table(df, text_col).cache()
-        scratch.append(wt)
+        wt_is_cached = True
         merges = []
         for step in range(1, n_merges + 1):
-            best = best_pair(wt)
+            best = best_pair(wt)  # materializes wt if cache()d
+            if live:
+                live.pop().unpersist(blocking=False)
             if best is None:
                 break
             a, b, n = best
             merges.append((step, a, b, a + b, n))
+            prev, prev_cached = wt, wt_is_cached
             wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b))
             if step % _FUSE_EVERY == 0:
                 wt = wt.localCheckpoint(eager=True)
+                wt_is_cached = False
+                if prev_cached:
+                    prev.unpersist(blocking=False)  # fuse superseded it
             else:
                 wt = wt.cache()
-                scratch.append(wt)
+                wt_is_cached = True
+                if prev_cached:
+                    live.append(prev)  # droppable once wt materializes
         return merges
     finally:
-        for d in scratch:
+        for d in live:
             d.unpersist(blocking=False)
+        if wt_is_cached:
+            wt.unpersist(blocking=False)
 
 
 _Q_BPE_TRAIN = f"""
@@ -265,10 +290,7 @@ def bpe_train_query(spark, sf_dir):
 # oracle AGGREGATES that golden in DuckDB, so the per-language rollup is
 # exercised as real SQL rather than read back verbatim.
 # ---------------------------------------------------------------------------
-_GOLDEN_BPE_DOCS = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests", "golden", "bpe_doc_tokens_2000.parquet",
-)
+_GOLDEN_BPE_DOCS = _golden_path("bpe_doc_tokens_2000.parquet")
 
 
 def learned_merges(spark):
@@ -289,7 +311,10 @@ def encode_tokens_col(s, merge_pairs):
 
 def bpe_encode_docs(df, merge_pairs, text_col: str = "content"):
     """Per-document encode stats under ``merge_pairs``: (repo, path,
-    lang, n_words, n_wchars, n_tokens)."""
+    lang, n_words, n_wchars, n_tokens). UNORDERED — a library consumer
+    (mixture_token_budget) immediately re-partitions for its own
+    windows, so a global sort here would be a wasted corpus-wide range
+    Exchange; the oracle-facing wrapper adds the deterministic order."""
     from .decontaminate import words_expr
 
     seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
@@ -317,7 +342,6 @@ def bpe_encode_docs(df, merge_pairs, text_col: str = "content"):
             F.sum(zero_if_null(F.length("w") * F.col("cnt"))).alias("n_wchars"),
             F.sum(F.col("ntok") * F.col("cnt")).alias("n_tokens"),
         )
-        .orderBy("repo", "path")
     )
 
 
@@ -334,7 +358,9 @@ ORDER BY repo, path
     "per-document token counts under the learned BPE merges (distinct (doc,word) domain, zero-shuffle merge chain)",
 )
 def bpe_encode_docs_query(spark, sf_dir):
-    return bpe_encode_docs(_corpus(spark), learned_merges(spark))
+    return bpe_encode_docs(_corpus(spark), learned_merges(spark)).orderBy(
+        "repo", "path"
+    )
 
 
 _Q_BPE_FERTILITY = f"""
@@ -519,10 +545,7 @@ def encode_word_py(w: str, merge_pairs) -> int:
 # map-side combined to the (lang, word) domain) joined on the 7-row lang
 # key.
 # ---------------------------------------------------------------------------
-_GOLDEN_BPE_DOCS_W400 = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests", "golden", "bpe_doc_tokens_2000_w400.parquet",
-)
+_GOLDEN_BPE_DOCS_W400 = _golden_path("bpe_doc_tokens_2000_w400.parquet")
 
 _Q_FERTILITY_DRIFT = f"""
 WITH old AS (

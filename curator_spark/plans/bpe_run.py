@@ -118,28 +118,45 @@ class BpeTrainRun:
     ) -> list[tuple[int, str, str, str, int]]:
         os.makedirs(self.run_dir, exist_ok=True)
         self._check_input(input_token or input_identity(docs))
+        # counted AFTER the input check — a token mismatch just wiped the
+        # stale log, and last_trained_steps must report what THIS call
+        # actually trains (the resume-audit contract ReleaseRun exposes)
         merges = self.committed_merges()
-        if self.is_done() or len(merges) >= self.n_merges:
+        start = len(merges)
+        self.last_trained_steps: list[int] = []
+        if self.is_done() or start >= self.n_merges:
             return merges[: self.n_merges]
 
         # fast-forward: rebuild the word table and re-apply the committed
-        # log (chained codegen regexps — cheap relative to the argmax
-        # jobs the log already paid for), then keep iterating. Iteration
-        # state is cache()d (the next argmax job materializes it in the
-        # same job — one Spark job per merge) with the periodic
-        # localCheckpoint fuse of operators.tokenizer_prep.bpe_train.
+        # log — chained codegen regexps, FUSED every _FUSE_EVERY merges
+        # (one unbroken 10k-deep chain would cost quadratic analyzer time
+        # and break whole-stage codegen on a long committed log), then
+        # keep iterating. Iteration state is cache()d (the next argmax
+        # job materializes it in the same job — one Spark job per merge);
+        # the predecessor is dropped as soon as its successor is
+        # materialized, so the block store holds O(1) word tables, not
+        # O(n_merges).
         from ..operators.tokenizer_prep import _FUSE_EVERY
 
-        scratch = []
         wt = word_table(docs, self.text_col)
-        for _, a, b, _, _ in merges:
+        for i, (_, a, b, _, _) in enumerate(merges, start=1):
             wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b))
+            if i % _FUSE_EVERY == 0:
+                wt = wt.localCheckpoint(eager=True)
         wt = wt.localCheckpoint(eager=True)
 
+        live: list[DataFrame] = []
+        wt_is_cached = False  # the current wt came from cache(), not checkpoint
         try:
             new_committed = 0
-            for step in range(len(merges) + 1, self.n_merges + 1):
-                best = best_pair(wt)
+            for step in range(start + 1, self.n_merges + 1):
+                best = best_pair(wt)  # materializes wt if cache()d
+                # the predecessor's blocks are now droppable — but ONLY a
+                # cache()d predecessor: a localCheckpoint predecessor is
+                # its cached child's recompute ROOT (truncated lineage),
+                # so dropping it would make a later block loss fatal
+                if live:
+                    live.pop().unpersist(blocking=False)
                 if best is None:
                     self._publish_json(os.path.join(self.run_dir, "DONE"), {})
                     return merges
@@ -149,6 +166,7 @@ class BpeTrainRun:
                     {"step": step, "a": a, "b": b, "merged": a + b, "n": n},
                 )
                 merges.append((step, a, b, a + b, n))
+                self.last_trained_steps.append(step)
                 new_committed += 1
                 if (
                     fail_after_merges is not None
@@ -157,15 +175,24 @@ class BpeTrainRun:
                     raise StageInterrupted(
                         f"injected kill after {new_committed} merges"
                     )
+                prev, prev_cached = wt, wt_is_cached
                 wt = wt.withColumn("s", _apply_merge(F.col("s"), a, b))
                 if new_committed % _FUSE_EVERY == 0:
                     wt = wt.localCheckpoint(eager=True)
+                    wt_is_cached = False
+                    if prev_cached:
+                        # the fuse re-rooted wt; prev is fully superseded
+                        prev.unpersist(blocking=False)
                 else:
                     wt = wt.cache()
-                    scratch.append(wt)
+                    wt_is_cached = True
+                    if prev_cached:
+                        live.append(prev)  # droppable once wt materializes
         finally:
-            for d in scratch:
+            for d in live:
                 d.unpersist(blocking=False)
+            if wt_is_cached:
+                wt.unpersist(blocking=False)
         # NO DONE marker here: DONE means PAIR EXHAUSTION only. A
         # budget-complete log must stay extendable by a later larger
         # budget (prefix stability), which a completion marker would cap.

@@ -525,16 +525,18 @@ class ReleaseRun:
         if self.tokenizer_run is not None:
             from ..engine.fingerprint import input_identity
 
-            before = len(self.tokenizer_run.committed_merges())
             # fail_after_batches doubles as fail-after-MERGES here (the
             # tokenizer's commit granule is one merge, not one shard)
-            merges = self.tokenizer_run.run(
+            self.tokenizer_run.run(
                 spark,
                 self.output(spark),
                 fail_after_merges=fail_after_batches,
                 input_token=input_identity(self.output(spark)),
             )
-            ran["tokenizer"] = list(range(before + 1, len(merges) + 1))
+            # run() tracks the steps THIS call trained (counted after its
+            # input check — a wiped stale log reports the full retrain,
+            # not a bogus metadata probe)
+            ran["tokenizer"] = self.tokenizer_run.last_trained_steps
         return ran
 
     def output(self, spark) -> DataFrame:

@@ -74,11 +74,12 @@ def test_input_swap_wipes_stale_log(spark, tmp_path):
 
     other = ["zqzq zq zqzq", "qz qz zqzq"]
     want = bpe_train(_docs(spark, other), n_merges=3)
-    swapped = BpeTrainRun(str(tmp_path), n_merges=3).run(
-        spark, _docs(spark, other), input_token="corpus-b"
-    )
+    swapped_run = BpeTrainRun(str(tmp_path), n_merges=3)
+    swapped = swapped_run.run(spark, _docs(spark, other), input_token="corpus-b")
     assert swapped == want
     assert swapped != first
+    # the wiped-log retrain must REPORT as a full retrain, not a probe
+    assert swapped_run.last_trained_steps == [1, 2, 3]
 
 
 def test_early_exhaustion_commits_done(spark, tmp_path):

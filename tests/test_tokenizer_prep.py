@@ -24,15 +24,23 @@ def test_apply_merge_matches_reference_scan(spark):
     and regex/replacement metacharacters ($1, \\, \\E, quotes, dots,
     parens — would break any unquoted pattern interpolation)."""
     rng = random.Random(7)
-    alphabet = ["x", "y", "x'y", "\\", "'", "$1", "a.b*", "(", "\\E", "yx", "ab"]
-    cases = [[rng.choice(alphabet) for _ in range(rng.randrange(1, 9))] for _ in range(200)]
+    alphabet = [
+        "x", "y", "x'y", "\\", "'", "$1", "a.b*", "(", "\\E", "yx", "ab",
+        # line terminators: CRLF corpora yield words ending in \r, and
+        # Java's non-MULTILINE $ matches BEFORE a final \r/  — the
+        # \z end anchor must not merge `x` with a prefix of "y\r"
+        "y\r", "x ", "\r",
+    ]
+    cases = [[rng.choice(alphabet) for _ in range(rng.randrange(1, 9))] for _ in range(250)]
     cases += [
         ["x"], ["x", "x"], ["x", "x", "x"], ["x", "x", "x", "x"],
         ["yx", "x", "x"], ["ab", "b", "b"],
+        ["x", "y\r"], ["x", "y", "\r"], ["x", "x "],
     ]
     pairs = [
         ("x", "x"), ("x", "y"), ("\\", "'"), ("x'y", "x"),
         ("$1", "a.b*"), ("\\E", "x"), ("ab", "b"),
+        ("x", "y\r"), ("y", "\r"), ("x", "x "),
     ]
 
     rows = [(i, " ".join(s)) for i, s in enumerate(cases)]
@@ -107,10 +115,10 @@ def test_bpe_encode_docs_matches_reference(spark):
     want = sorted(reference_doc_tokens(rows, merges))
 
     df = spark.createDataFrame(rows)
-    got = [
+    got = sorted(
         (r.repo, r.path, r.lang, r.n_words, r.n_wchars, r.n_tokens)
         for r in bpe_encode_docs(df, [(a, b) for _, a, b, _, _ in merges]).collect()
-    ]
+    )
     assert got == want
 
 
