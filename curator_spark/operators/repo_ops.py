@@ -107,7 +107,11 @@ def _corpus_w400(spark):
 # ---------------------------------------------------------------------------
 # import_stats: which modules does the corpus import, and how widely?
 # Three anchored multiline patterns (python `import x`, go `import "x"`,
-# C `#include <x.h>`); (?m)^...$ behaves identically in Java regex and RE2.
+# C `#include <x.h>`); (?m)^...$ behaves identically in Java regex and RE2
+# for \n-terminated lines (this corpus). CAVEAT for CRLF corpora: Java's
+# (?m)$ matches BEFORE the \r of \r\n while RE2's matches only before \n,
+# so on \r\n content these would diverge — normalize line endings first
+# (the scrub chain's job) or swap $ for (?=\r?\n|\z).
 # ---------------------------------------------------------------------------
 _IMPORT_PATTERNS = [
     ('(?m)^import ([a-z]+)$', 1),
