@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "bpe_fertility",
     "mixture_token_budget",
     "bpe_fertility_drift",
+    "bpe_vocab",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

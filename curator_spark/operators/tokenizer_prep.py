@@ -595,3 +595,68 @@ def bpe_fertility_drift(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# The vocab table — the second half of the shipped tokenizer artifact
+# (merges are the training log; a consumer also needs the base-character
+# inventory with stable token ids). token ids: characters first (binary
+# string order — Spark and DuckDB both collate UTF8 binary), then merges
+# in training order. The global row_number window is over a VOCAB-sized
+# table (charset + n_merges — a few hundred rows at any corpus scale),
+# so the single-partition window is bounded by construction; the char
+# inventory itself is a map-side-combined distinct over the char domain.
+# Whitespace ([ \t\n]) is excluded: words can never contain it, so it is
+# structure, not vocabulary (\r and friends remain — they DO occur in
+# words, the \z-anchor lesson).
+# ---------------------------------------------------------------------------
+_Q_BPE_VOCAB = f"""
+WITH chars AS (
+  SELECT DISTINCT c AS token FROM (
+    SELECT unnest(string_split(content, '')) AS c FROM {_CORPUS_DUCK}
+  ) WHERE c NOT IN (' ', chr(9), chr(10)) AND c <> ''
+),
+items AS (
+  SELECT token, 'char' AS kind, 0 AS step FROM chars
+  UNION ALL
+  SELECT merged AS token, 'merge' AS kind, CAST(step AS INT) AS step
+  FROM read_parquet('{_GOLDEN_BPE}')
+)
+SELECT CAST(row_number() OVER (ORDER BY (kind = 'merge'), step, token) - 1 AS BIGINT)
+           AS token_id,
+       token, kind
+FROM items
+ORDER BY token_id
+"""
+
+
+@register(
+    "bpe_vocab",
+    _Q_BPE_VOCAB,
+    "the shipped vocab table: base char inventory + learned merges with stable token ids",
+)
+def bpe_vocab(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    chars = (
+        _corpus(spark)
+        .select(F.explode(F.split("content", "")).alias("token"))
+        .filter(~F.col("token").isin(" ", "\t", "\n", ""))
+        .distinct()
+        .withColumn("kind", F.lit("char"))
+        .withColumn("step", F.lit(0))
+    )
+    merges = spark.createDataFrame(
+        [
+            (r.merged, "merge", int(r.step))
+            for r in spark.read.parquet(_GOLDEN_BPE).collect()
+        ],
+        "token string, kind string, step int",
+    )
+    w = W.orderBy(F.col("kind") == "merge", "step", "token")
+    return (
+        chars.unionByName(merges)
+        .withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+        .select("token_id", "token", "kind")
+        .orderBy("token_id")
+    )
