@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "mixture_token_budget",
     "bpe_fertility_drift",
     "bpe_vocab",
+    "bpe_tokenize_sample",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

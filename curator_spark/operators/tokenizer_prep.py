@@ -660,3 +660,72 @@ def bpe_vocab(spark, sf_dir):
         .select("token_id", "token", "kind")
         .orderBy("token_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenized output — the tokenizer's END PRODUCT: token-ID sequences a
+# training job consumes, materialized for a deterministic ~3% document
+# sample (domain-separated hash — md5('tok|'||repo||'|'||path), so it is
+# independent of every other hash decision without spending another
+# slice of the shared digest). Scale shape: words keep document order
+# via posexplode, each word's segmentation is the same codegen regexp
+# chain re-applied per row (zero shuffle), token ids attach via a
+# BROADCAST join against the vocab-sized id table (duplicate token
+# strings — a later merge CAN recreate an earlier string — resolve to
+# the smallest id in both engines), and the per-document position is a
+# window over (doc key) — bounded by document length, the repo_context
+# precedent. Oracle: an INDEPENDENT python derivation
+# (scripts/make_bpe_golden.py::reference_token_seqs) over the same
+# sample, golden-materialized.
+# ---------------------------------------------------------------------------
+_GOLDEN_BPE_TOKENS = _golden_path("bpe_token_seqs_2000.parquet")
+
+_Q_BPE_TOKENIZE = f"""
+SELECT repo, path, pos, token_id, token
+FROM read_parquet('{_GOLDEN_BPE_TOKENS}')
+ORDER BY repo, path, pos
+"""
+
+
+@register(
+    "bpe_tokenize_sample",
+    _Q_BPE_TOKENIZE,
+    "token-ID sequences (the tokenizer's end product) for a 3% doc sample vs an independent python derivation",
+)
+def bpe_tokenize_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_bucket
+    from .decontaminate import words_expr
+
+    merge_pairs = learned_merges(spark)
+    ids = (
+        bpe_vocab(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.min("token_id").alias("token_id"))
+    )
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    toks = (
+        _corpus(spark)
+        .filter(
+            md5_bucket(
+                F.concat_ws("|", F.lit("tok"), "repo", "path"), 100, start=1
+            )
+            < 3
+        )
+        .select(
+            "repo",
+            "path",
+            F.posexplode(F.expr(words_expr("content"))).alias("wpos", "w"),
+        )
+        .select(
+            "repo", "path", "wpos", F.posexplode(F.split(seg, " ")).alias("tpos", "token")
+        )
+    )
+    w = W.partitionBy("repo", "path").orderBy("wpos", "tpos")
+    return (
+        toks.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .join(F.broadcast(ids), "token")
+        .select("repo", "path", "pos", "token_id", "token")
+        .orderBy("repo", "path", "pos")
+    )

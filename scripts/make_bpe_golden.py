@@ -114,6 +114,68 @@ OUT_DOCS_W400 = os.path.join(
     "tests", "golden", "bpe_doc_tokens_2000_w400.parquet",
 )
 
+OUT_TOKENS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "bpe_token_seqs_2000.parquet",
+)
+
+# sample predicate for the token-sequence golden: domain-separated md5
+# ('tok|' prefix — the repo's hash-decision slices 1-8/9-16/17-24/25-32
+# of md5(repo|path) are all taken), first 8 hex chars mod 100 < 3
+TOKENIZE_SAMPLE_PCT = 3
+
+
+def tokenize_sampled(w: str) -> bool:
+    import hashlib
+
+    h = hashlib.md5(w.encode()).hexdigest()
+    return int(h[:8], 16) % 100 < TOKENIZE_SAMPLE_PCT
+
+
+def build_vocab_ids(contents, merges) -> dict[str, int]:
+    """token -> id, EXACTLY bpe_vocab's ordering: distinct corpus chars
+    (minus structural whitespace) in binary/code-point order (identical
+    for UTF-8), then merges in training order; duplicate token strings
+    keep the SMALLEST id."""
+    chars = sorted(
+        {c for text in contents for c in text} - {" ", "\t", "\n"}
+    )
+    ids: dict[str, int] = {}
+    for i, c in enumerate(chars):
+        ids.setdefault(c, i)
+    for k, (_, _, _, merged, _) in enumerate(merges):
+        ids.setdefault(merged, len(chars) + k)
+    return ids
+
+
+def reference_token_seqs(rows, merges, vocab_ids):
+    """(repo, path, pos, token_id, token) for the sampled docs: words in
+    document order, each segmented under the merge list, tokens numbered
+    sequentially per document."""
+    seg_cache: dict[str, list[str]] = {}
+
+    def seg(w: str) -> list[str]:
+        if w not in seg_cache:
+            s = list(w)
+            for _, a, b, _, _ in merges:
+                if len(s) > 1:
+                    s = merge_word(s, a, b)
+            seg_cache[w] = s
+        return seg_cache[w]
+
+    out = []
+    for r in rows:
+        if not tokenize_sampled(f"tok|{r['repo']}|{r['path']}"):
+            continue
+        pos = 0
+        for w in re.split(r"[ \t\n]+", r["content"]):
+            if not w:
+                continue
+            for t in seg(w):
+                out.append((r["repo"], r["path"], pos, vocab_ids[t], t))
+                pos += 1
+    return out
+
 
 def main() -> None:
     from curator_spark.sources.corpus import generate_pandas
@@ -148,6 +210,15 @@ def main() -> None:
         wout[c] = wout[c].astype("int64")
     wout.to_parquet(OUT_DOCS_W400, index=False)
     print(f"wrote {len(wout)} drifted doc rows -> {OUT_DOCS_W400}")
+
+    vocab_ids = build_vocab_ids(pdf["content"].tolist(), merges)
+    seqs = reference_token_seqs(pdf.to_dict("records"), merges, vocab_ids)
+    tout = pd.DataFrame(seqs, columns=["repo", "path", "pos", "token_id", "token"])
+    tout["pos"] = tout["pos"].astype("int64")
+    tout["token_id"] = tout["token_id"].astype("int64")
+    tout.to_parquet(OUT_TOKENS, index=False)
+    n_docs = tout[["repo", "path"]].drop_duplicates().shape[0]
+    print(f"wrote {len(tout)} token rows ({n_docs} sampled docs) -> {OUT_TOKENS}")
 
 
 if __name__ == "__main__":

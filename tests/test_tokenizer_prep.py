@@ -174,3 +174,39 @@ def test_mixture_token_budget_semantics(spark):
             assert got_docs[lang] == lang_docs[lang]
         else:
             assert got_tok[lang] >= b  # budget met (crossing doc included)
+
+
+def test_bpe_tokenize_sample_lossless(spark):
+    """Tokenization must be LOSSLESS: per sampled document, the ordered
+    token strings concatenate back to exactly the document's words
+    (whitespace is structure, not vocabulary), and every token_id maps
+    to its token string in the vocab."""
+    import re
+    from collections import defaultdict
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    toks = qs["bpe_tokenize_sample"](spark, "/root/testdata/sf0.001").collect()
+    assert toks, "sample must not be empty"
+    vocab = {
+        r.token_id: r.token
+        for r in qs["bpe_vocab"](spark, "/root/testdata/sf0.001").collect()
+    }
+    per_doc = defaultdict(list)
+    for r in toks:
+        assert vocab[r.token_id] == r.token
+        per_doc[(r.repo, r.path)].append((r.pos, r.token))
+
+    from curator_spark.operators.repo_ops import _corpus
+
+    content = {
+        (r.repo, r.path): r.content
+        for r in _corpus(spark).collect()
+    }
+    for key, seq in per_doc.items():
+        seq.sort()
+        assert [p for p, _ in seq] == list(range(len(seq)))  # dense positions
+        rebuilt = "".join(t for _, t in seq)
+        want = "".join(w for w in re.split(r"[ \t\n]+", content[key]) if w)
+        assert rebuilt == want, key
