@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "bpe_fertility_drift",
     "bpe_vocab",
     "bpe_tokenize_sample",
+    "pack_sequences",
+    "pack_manifest",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

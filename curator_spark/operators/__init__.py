@@ -38,6 +38,7 @@ from . import license  # noqa: F401,E402
 from . import optout  # noqa: F401,E402
 from . import code_prep  # noqa: F401,E402
 from . import tokenizer_prep  # noqa: F401,E402
+from . import sequence_pack  # noqa: F401,E402
 from . import repo_context  # noqa: F401,E402
 from . import similarity_report  # noqa: F401,E402
 from . import embedding  # noqa: F401,E402

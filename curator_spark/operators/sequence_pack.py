@@ -1,0 +1,177 @@
+"""Training-sequence packing — the step AFTER tokenization in a
+pretraining data pipeline: concatenate each document's token-ID stream,
+append an end-of-document sentinel (EOS), and cut the stream into
+fixed-length training sequences ("packing"; the GPT/LLaMA-style
+pretraining input format, where one 2k/4k-token sequence spans several
+short documents instead of wasting the tail as padding).
+
+Layout contract (deterministic in both engines):
+- Every document is assigned to exactly ONE shard by a domain-separated
+  content-independent hash of its key (md5('pack|'||repo||'|'||path) —
+  the same slice-discipline as the split/downsample/tokenize decisions),
+  so a document's tokens are never split across shards and shard
+  membership survives any repartitioning.
+- Within a shard, documents concatenate in (repo, path) order, each
+  followed by one EOS token (id 1_000_000 — outside any learnable vocab
+  id), and the stream is cut every SEQ_LEN tokens; only the shard's last
+  sequence may be short.
+
+Scale shape at 100 TB: packing is embarrassingly parallel ACROSS shards
+— the only shuffle is the window exchange on `shard`, and N_SHARDS is a
+free parameter you raise with the cluster (thousands of shards → each
+per-shard sort is an executor-sized slice; the 4 used here just keeps
+the sf-test output readable). There is NO global sort anywhere: the
+row_number that linearizes the stream is per-shard, and the output
+(one row per SEQUENCE, not per token) is vocab-bounded tiny. token_sum
+is the per-sequence integrity checksum a training loader can cheaply
+re-verify after shuffling shards around object storage.
+
+Reference anchor: the reference materializes tokenized request batches
+for its executors (dataset sharding in _hash_fingerprint / batch files);
+this lifts that to the pretraining-corpus artifact: fixed-length packed
+sequences plus a per-shard manifest.
+
+Oracle: full SQL — the same window arithmetic in DuckDB over the
+independently-derived golden token table (bpe_token_seqs_2000.parquet),
+so the Spark side's shard hash, EOS placement, cut points, and
+checksums are all value-hash-verified against a second engine whose
+token input came from a from-scratch python tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .tokenizer_prep import _GOLDEN_BPE_TOKENS, sampled_docs, token_stream
+
+SEQ_LEN = 128
+N_SHARDS = 4
+EOS_ID = 1_000_000
+# EOS rows don't need a real position — only to sort AFTER every token of
+# their document — so they carry a sentinel pos (2^62) and the EOS branch
+# is a bare scan of the sampled doc keys instead of a second full
+# tokenization (the naive max(pos)+1 formulation unioned TWO complete
+# token_stream subtrees into the plan; this halves the query's work).
+_EOS_POS = 1 << 62
+
+# DuckDB replica of functions.hashing.md5_bucket (first 8 hex chars of
+# the domain-separated digest, mod N) — the established parity idiom.
+_DUCK_SHARD = (
+    "('0x' || substr(md5('pack|' || repo || '|' || path), 1, 8))::BIGINT"
+    f" % {N_SHARDS}"
+)
+
+_DUCK_STREAM = f"""
+toks AS (
+  SELECT repo, path, pos, token_id
+  FROM read_parquet('{_GOLDEN_BPE_TOKENS}')
+  UNION ALL
+  SELECT repo, path, {_EOS_POS} AS pos, {EOS_ID} AS token_id
+  FROM (SELECT DISTINCT repo, path FROM read_parquet('{_GOLDEN_BPE_TOKENS}'))
+),
+numbered AS (
+  SELECT {_DUCK_SHARD} AS shard, repo, path, token_id,
+         row_number() OVER (
+           PARTITION BY {_DUCK_SHARD} ORDER BY repo, path, pos
+         ) - 1 AS gpos
+  FROM toks
+),
+seqs AS (
+  SELECT shard,
+         CAST(floor(gpos / {SEQ_LEN}) AS BIGINT) AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT repo || '|' || path) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (WHERE token_id = {EOS_ID}) AS BIGINT) AS n_eos,
+         CAST(sum(token_id) AS BIGINT) AS token_sum
+  FROM numbered
+  GROUP BY shard, CAST(floor(gpos / {SEQ_LEN}) AS BIGINT)
+)
+"""
+
+_Q_PACK = f"""
+WITH {_DUCK_STREAM}
+SELECT shard, seq_id, n_tokens, n_docs, n_eos, token_sum
+FROM seqs
+ORDER BY shard, seq_id
+"""
+
+_Q_MANIFEST = f"""
+WITH {_DUCK_STREAM}
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(count(*) FILTER (WHERE n_tokens = {SEQ_LEN}) AS BIGINT) AS full_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_eos) AS BIGINT) AS n_docs,
+       CAST(sum(token_sum) AS BIGINT) AS token_sum
+FROM seqs
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def _packed(spark, sf_dir):
+    """One row per packed training sequence (shard, seq_id, stats)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_bucket
+
+    toks = token_stream(spark, sf_dir)
+    # a doc that tokenizes to NOTHING (whitespace-only content — the sf
+    # corpus has such rows) contributes no EOS either: it's absent from
+    # the packed stream entirely, matching the oracle's doc inventory
+    # (DISTINCT keys of the token table).
+    eos = sampled_docs(spark).filter(F.col("content").rlike("[^ \t\n]")).select(
+        "repo",
+        "path",
+        F.lit(_EOS_POS).cast("long").alias("pos"),
+        F.lit(EOS_ID).cast("long").alias("token_id"),
+    )
+    stream = toks.select("repo", "path", "pos", "token_id").unionByName(eos)
+    shard = md5_bucket(
+        F.concat_ws("|", F.lit("pack"), "repo", "path"), N_SHARDS
+    )
+    w = W.partitionBy("shard").orderBy("repo", "path", "pos")
+    return (
+        stream.withColumn("shard", shard)
+        .withColumn("gpos", F.row_number().over(w) - 1)
+        .withColumn("seq_id", F.floor(F.col("gpos") / SEQ_LEN).cast("long"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct(F.concat_ws("|", "repo", "path")).alias("n_docs"),
+            F.count(F.when(F.col("token_id") == EOS_ID, 1)).alias("n_eos"),
+            F.sum("token_id").alias("token_sum"),
+        )
+    )
+
+
+@register(
+    "pack_sequences",
+    _Q_PACK,
+    "fixed-length training sequences packed from the tokenized sample (EOS-joined, shard-parallel)",
+)
+def pack_sequences(spark, sf_dir):
+    return _packed(spark, sf_dir).select(
+        "shard", "seq_id", "n_tokens", "n_docs", "n_eos", "token_sum"
+    ).orderBy("shard", "seq_id")
+
+
+@register(
+    "pack_manifest",
+    _Q_MANIFEST,
+    "per-shard manifest of the packed corpus: sequence counts, full/tail split, doc + token totals, checksum",
+)
+def pack_manifest(spark, sf_dir):
+    return (
+        _packed(spark, sf_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.count(F.when(F.col("n_tokens") == SEQ_LEN, 1)).alias("full_seqs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_eos").alias("n_docs"),
+            F.sum("token_sum").alias("token_sum"),
+        )
+        .orderBy("shard")
+    )

@@ -687,15 +687,26 @@ ORDER BY repo, path, pos
 """
 
 
-@register(
-    "bpe_tokenize_sample",
-    _Q_BPE_TOKENIZE,
-    "token-ID sequences (the tokenizer's end product) for a 3% doc sample vs an independent python derivation",
-)
-def bpe_tokenize_sample(spark, sf_dir):
+def sampled_docs(spark):
+    """The deterministic ~3% tokenization sample of the corpus — the ONE
+    place the 'tok|' domain-separated predicate lives (token_stream and
+    sequence packing's EOS rows must agree on it exactly)."""
+    from ..functions.hashing import md5_bucket
+
+    return _corpus(spark).filter(
+        md5_bucket(F.concat_ws("|", F.lit("tok"), "repo", "path"), 100, start=1)
+        < 3
+    )
+
+
+def token_stream(spark, sf_dir):
+    """The UNSORTED sampled token stream (repo, path, pos, token_id,
+    token) — library form consumed by sequence packing; the registered
+    query adds the presentation orderBy (the orderBy-out-of-library-fn
+    rule: downstream consumers repartition by their own keys and a
+    global sort here would be pure wasted shuffle)."""
     from pyspark.sql import Window as W
 
-    from ..functions.hashing import md5_bucket
     from .decontaminate import words_expr
 
     merge_pairs = learned_merges(spark)
@@ -706,13 +717,7 @@ def bpe_tokenize_sample(spark, sf_dir):
     )
     seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
     toks = (
-        _corpus(spark)
-        .filter(
-            md5_bucket(
-                F.concat_ws("|", F.lit("tok"), "repo", "path"), 100, start=1
-            )
-            < 3
-        )
+        sampled_docs(spark)
         .select(
             "repo",
             "path",
@@ -727,5 +732,13 @@ def bpe_tokenize_sample(spark, sf_dir):
         toks.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .join(F.broadcast(ids), "token")
         .select("repo", "path", "pos", "token_id", "token")
-        .orderBy("repo", "path", "pos")
     )
+
+
+@register(
+    "bpe_tokenize_sample",
+    _Q_BPE_TOKENIZE,
+    "token-ID sequences (the tokenizer's end product) for a 3% doc sample vs an independent python derivation",
+)
+def bpe_tokenize_sample(spark, sf_dir):
+    return token_stream(spark, sf_dir).orderBy("repo", "path", "pos")

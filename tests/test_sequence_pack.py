@@ -1,0 +1,84 @@
+"""Sequence packing — invariants plus a full independent python
+recompute of the packing layout from the collected token stream."""
+
+from collections import defaultdict
+
+import __spark_entry__ as m
+
+from curator_spark.operators.sequence_pack import EOS_ID, N_SHARDS, SEQ_LEN
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shard(repo: str, path: str) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"pack|{repo}|{path}".encode()).hexdigest()
+    return int(h[:8], 16) % N_SHARDS
+
+
+def test_pack_matches_python_recompute(spark):
+    """Rebuild the packed layout in plain python from the tokenized
+    sample (doc streams + EOS, concatenated in (repo, path) order per
+    shard, cut every SEQ_LEN) and require the Spark output to match
+    row-for-row."""
+    qs = m.queries()
+    toks = qs["bpe_tokenize_sample"](spark, SF).collect()
+    got = [tuple(r) for r in qs["pack_sequences"](spark, SF).collect()]
+
+    per_doc = defaultdict(list)
+    for r in toks:
+        per_doc[(r.repo, r.path)].append((r.pos, r.token_id))
+    streams = defaultdict(list)  # shard -> [(doc_key, token_id), ...]
+    for key in sorted(per_doc):
+        ids = [t for _, t in sorted(per_doc[key])] + [EOS_ID]
+        streams[_shard(*key)].extend((key, t) for t in ids)
+
+    want = []
+    for shard in sorted(streams):
+        stream = streams[shard]
+        for s in range(0, len(stream), SEQ_LEN):
+            chunk = stream[s : s + SEQ_LEN]
+            want.append(
+                (
+                    shard,
+                    s // SEQ_LEN,
+                    len(chunk),
+                    len({k for k, _ in chunk}),
+                    sum(1 for _, t in chunk if t == EOS_ID),
+                    sum(t for _, t in chunk),
+                )
+            )
+    assert got == want
+
+
+def test_pack_invariants(spark):
+    """Only the last sequence of a shard may be short; seq_ids are dense
+    from 0; manifest totals equal the per-sequence rollup."""
+    qs = m.queries()
+    seqs = qs["pack_sequences"](spark, SF).collect()
+    assert seqs
+    by_shard = defaultdict(list)
+    for r in seqs:
+        by_shard[r.shard].append(r)
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r.n_tokens == SEQ_LEN, (shard, r.seq_id)
+        assert 1 <= rows[-1].n_tokens <= SEQ_LEN
+        for r in rows:
+            # a sequence spans n_docs docs of which n_eos END inside it;
+            # at most one doc continues past the cut
+            assert r.n_eos <= r.n_docs <= r.n_eos + 1
+
+    man = {r.shard: r for r in qs["pack_manifest"](spark, SF).collect()}
+    assert set(man) == set(by_shard)
+    for shard, rows in by_shard.items():
+        r = man[shard]
+        assert r.n_seqs == len(rows)
+        assert r.full_seqs == sum(1 for x in rows if x.n_tokens == SEQ_LEN)
+        assert r.total_tokens == sum(x.n_tokens for x in rows)
+        assert r.n_docs == sum(x.n_eos for x in rows)
+        assert r.token_sum == sum(x.token_sum for x in rows)
