@@ -99,12 +99,32 @@ def main(argv: list[str] | None = None) -> int:
         "written to <work-dir>/tokenizer_merges.json",
     )
     p.add_argument(
+        "--pack-sequences", type=int, default=None, metavar="N_SHARDS",
+        help="after --train-tokenizer, materialize the packed-sequence "
+        "training artifact (fixed-length token-ID sequences, EOS-joined, "
+        "N_SHARDS shard-granular commits in --work-dir); requires "
+        "--train-tokenizer",
+    )
+    p.add_argument(
+        "--pack-seq-len", type=int, default=128, metavar="L",
+        help="packed sequence length (default 128; with --pack-sequences)",
+    )
+    p.add_argument(
         "--train-langid", action="store_true",
         help="fit the in-engine NB language-ID model on the input corpus "
         "(one distributed pass, bounded model collect) and run it as the "
         "langid stage; mutually exclusive with --fasttext-bin",
     )
     args = p.parse_args(argv)
+    # argument validation BEFORE any Spark work — a bad flag combination
+    # must not cost a release run
+    if args.train_tokenizer is not None and args.train_tokenizer < 1:
+        p.error("--train-tokenizer needs a positive merge count")
+    if args.pack_sequences is not None:
+        if args.pack_sequences < 1 or args.pack_seq_len < 1:
+            p.error("--pack-sequences/--pack-seq-len need positive values")
+        if not args.train_tokenizer:
+            p.error("--pack-sequences requires --train-tokenizer")
 
     from .engine.lineage import cost_projection, read_lineage
     from .functions.rules import DEFAULT_RULES, RuleConfig
@@ -205,8 +225,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.output:
         out.write.mode("overwrite").parquet(args.output)
     tokenizer_stats = {}
-    if args.train_tokenizer is not None and args.train_tokenizer < 1:
-        p.error("--train-tokenizer needs a positive merge count")
     if args.train_tokenizer:
         from .engine.fingerprint import input_identity
         from .plans.bpe_run import BpeTrainRun
@@ -230,6 +248,17 @@ def main(argv: list[str] | None = None) -> int:
             "tokenizer_merges": len(merges),
             "tokenizer_out": merges_path,
         }
+        if args.pack_sequences:
+            from .plans.pack_run import PackRun
+
+            prun = PackRun(
+                args.work_dir, seq_len=args.pack_seq_len,
+                n_shards=args.pack_sequences,
+            )
+            prun.run(
+                spark, out, merges, input_token=input_identity(out)
+            )
+            tokenizer_stats["packed"] = prun.manifest(spark)
     lineage = read_lineage(spark, f"{args.work_dir}/_lineage")
     # total_rows=None: the run is complete, so the committed input rows ARE
     # the total (passing the kept-output count here would mix row domains)

@@ -110,40 +110,66 @@ ORDER BY shard
 """
 
 
-def _packed(spark, sf_dir):
-    """One row per packed training sequence (shard, seq_id, stats)."""
+def pack_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN,
+                with_tokens: bool = False):
+    """Library packing core: cut a per-document token stream
+    (*key_cols, pos, token_id) — EOS rows included — into fixed-length
+    sequences, ``shard_col`` deciding each document's (whole) shard.
+    Returns one row per sequence: (shard, seq_id, n_tokens, n_docs,
+    n_eos, token_sum[, token_ids]). with_tokens=True additionally
+    materializes the ordered token-id array — the actual training
+    artifact (PackRun's committed table); the oracle-facing queries skip
+    it (arrays don't survive the gate's value-hash stringification)."""
     from pyspark.sql import Window as W
 
-    from ..functions.hashing import md5_bucket
+    w = W.partitionBy("shard").orderBy(*key_cols, "pos")
+    seqs = (
+        stream.withColumn("shard", shard_col)
+        .withColumn("gpos", F.row_number().over(w) - 1)
+        .withColumn("seq_id", F.floor(F.col("gpos") / seq_len).cast("long"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct(F.concat_ws("|", *key_cols)).alias("n_docs"),
+        F.count(F.when(F.col("token_id") == EOS_ID, 1)).alias("n_eos"),
+        F.sum("token_id").alias("token_sum"),
+    ]
+    if with_tokens:
+        aggs.append(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gpos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("token_ids")
+        )
+    return seqs.groupBy("shard", "seq_id").agg(*aggs)
 
-    toks = token_stream(spark, sf_dir)
-    # a doc that tokenizes to NOTHING (whitespace-only content — the sf
-    # corpus has such rows) contributes no EOS either: it's absent from
-    # the packed stream entirely, matching the oracle's doc inventory
-    # (DISTINCT keys of the token table).
-    eos = sampled_docs(spark).filter(F.col("content").rlike("[^ \t\n]")).select(
-        "repo",
-        "path",
+
+def eos_rows(docs, key_cols, text_col: str = "content"):
+    """One EOS row per doc that tokenizes to ≥1 token (whitespace-only
+    content contributes nothing): (*key_cols, pos=sentinel, token_id=EOS).
+    The sentinel pos sorts after every real token, so the EOS branch is a
+    bare scan of the doc keys instead of a second tokenization."""
+    return docs.filter(F.col(text_col).rlike("[^ \t\n]")).select(
+        *key_cols,
         F.lit(_EOS_POS).cast("long").alias("pos"),
         F.lit(EOS_ID).cast("long").alias("token_id"),
     )
+
+
+def _packed(spark, sf_dir):
+    """One row per packed training sequence (shard, seq_id, stats)."""
+    from ..functions.hashing import md5_bucket
+
+    toks = token_stream(spark, sf_dir)
+    # whitespace-only docs (the sf corpus has such rows) are absent from
+    # the packed stream entirely, matching the oracle's doc inventory
+    # (DISTINCT keys of the token table).
+    eos = eos_rows(sampled_docs(spark), ["repo", "path"])
     stream = toks.select("repo", "path", "pos", "token_id").unionByName(eos)
     shard = md5_bucket(
         F.concat_ws("|", F.lit("pack"), "repo", "path"), N_SHARDS
     )
-    w = W.partitionBy("shard").orderBy("repo", "path", "pos")
-    return (
-        stream.withColumn("shard", shard)
-        .withColumn("gpos", F.row_number().over(w) - 1)
-        .withColumn("seq_id", F.floor(F.col("gpos") / SEQ_LEN).cast("long"))
-        .groupBy("shard", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct(F.concat_ws("|", "repo", "path")).alias("n_docs"),
-            F.count(F.when(F.col("token_id") == EOS_ID, 1)).alias("n_eos"),
-            F.sum("token_id").alias("token_sum"),
-        )
-    )
+    return pack_stream(stream, ["repo", "path"], shard)
 
 
 @register(

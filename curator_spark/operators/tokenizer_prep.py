@@ -630,27 +630,22 @@ ORDER BY token_id
 """
 
 
-@register(
-    "bpe_vocab",
-    _Q_BPE_VOCAB,
-    "the shipped vocab table: base char inventory + learned merges with stable token ids",
-)
-def bpe_vocab(spark, sf_dir):
+def vocab_table(df, merge_items: list[tuple[str, int]], text_col: str = "content"):
+    """Library form: the (token_id, token, kind) vocab for ANY corpus
+    frame and ordered merge list [(merged_symbol, step), ...] — used by
+    bpe_vocab (golden artifact) and by PackRun (the release's own
+    trained tokenizer)."""
     from pyspark.sql import Window as W
 
     chars = (
-        _corpus(spark)
-        .select(F.explode(F.split("content", "")).alias("token"))
+        df.select(F.explode(F.split(text_col, "")).alias("token"))
         .filter(~F.col("token").isin(" ", "\t", "\n", ""))
         .distinct()
         .withColumn("kind", F.lit("char"))
         .withColumn("step", F.lit(0))
     )
-    merges = spark.createDataFrame(
-        [
-            (r.merged, "merge", int(r.step))
-            for r in spark.read.parquet(_GOLDEN_BPE).collect()
-        ],
+    merges = df.sparkSession.createDataFrame(
+        [(m, "merge", int(step)) for m, step in merge_items],
         "token string, kind string, step int",
     )
     w = W.orderBy(F.col("kind") == "merge", "step", "token")
@@ -658,8 +653,19 @@ def bpe_vocab(spark, sf_dir):
         chars.unionByName(merges)
         .withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
         .select("token_id", "token", "kind")
-        .orderBy("token_id")
     )
+
+
+@register(
+    "bpe_vocab",
+    _Q_BPE_VOCAB,
+    "the shipped vocab table: base char inventory + learned merges with stable token ids",
+)
+def bpe_vocab(spark, sf_dir):
+    items = [
+        (r.merged, int(r.step)) for r in spark.read.parquet(_GOLDEN_BPE).collect()
+    ]
+    return vocab_table(_corpus(spark), items).orderBy("token_id")
 
 
 # ---------------------------------------------------------------------------
@@ -699,39 +705,51 @@ def sampled_docs(spark):
     )
 
 
+def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
+    """Library tokenizer application: per-document token-ID streams
+    (*key_cols, pos, token_id, token) for ANY frame under ANY merge list.
+    ``ids``: a (token, token_id) frame — duplicate token strings (a
+    later merge CAN recreate an earlier string) must already be resolved
+    to one id. UNORDERED output: words keep document order via
+    posexplode, segmentation is the codegen regexp chain per row (zero
+    shuffle), ids attach via a BROADCAST join against the vocab-sized id
+    table, and the per-document position is a window over the doc key —
+    bounded by document length."""
+    from pyspark.sql import Window as W
+
+    from .decontaminate import words_expr
+
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    toks = (
+        df.select(
+            *key_cols,
+            F.posexplode(F.expr(words_expr(text_col))).alias("wpos", "w"),
+        )
+        .select(
+            *key_cols, "wpos", F.posexplode(F.split(seg, " ")).alias("tpos", "token")
+        )
+    )
+    w = W.partitionBy(*key_cols).orderBy("wpos", "tpos")
+    return (
+        toks.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .join(F.broadcast(ids), "token")
+        .select(*key_cols, "pos", "token_id", "token")
+    )
+
+
 def token_stream(spark, sf_dir):
     """The UNSORTED sampled token stream (repo, path, pos, token_id,
     token) — library form consumed by sequence packing; the registered
     query adds the presentation orderBy (the orderBy-out-of-library-fn
     rule: downstream consumers repartition by their own keys and a
     global sort here would be pure wasted shuffle)."""
-    from pyspark.sql import Window as W
-
-    from .decontaminate import words_expr
-
-    merge_pairs = learned_merges(spark)
     ids = (
         bpe_vocab(spark, sf_dir)
         .groupBy("token")
         .agg(F.min("token_id").alias("token_id"))
     )
-    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
-    toks = (
-        sampled_docs(spark)
-        .select(
-            "repo",
-            "path",
-            F.posexplode(F.expr(words_expr("content"))).alias("wpos", "w"),
-        )
-        .select(
-            "repo", "path", "wpos", F.posexplode(F.split(seg, " ")).alias("tpos", "token")
-        )
-    )
-    w = W.partitionBy("repo", "path").orderBy("wpos", "tpos")
-    return (
-        toks.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        .join(F.broadcast(ids), "token")
-        .select("repo", "path", "pos", "token_id", "token")
+    return tokenize_frame(
+        sampled_docs(spark), learned_merges(spark), ids, ["repo", "path"]
     )
 
 

@@ -1,0 +1,161 @@
+"""PackRun — kill-resumable packed-sequence materialization: the step
+that turns a released corpus plus a trained tokenizer into the artifact
+a pretraining job actually reads (fixed-length token-ID sequences).
+
+The commit granule IS the pack shard: the stage's batch column
+(pmod(xxhash64(repo,path,commit), n_shards) — ResumableStage's own
+sharding) doubles as the packing shard, so every batch holds COMPLETE
+documents of exactly one shard, the per-shard window inside a batch sees
+its whole stream, and a kill between batches resumes by repacking only
+the missing shards. Re-deriving the same pmod expression inside the
+transform (the input frame arrives without the batch column) is safe
+because the assignment is a pure function of the key columns.
+
+Scale shape: each batch's pack is one window over one shard — bounded by
+corpus_bytes / n_shards, the parameter you raise with the cluster; the
+vocabulary (corpus char inventory + merge list) is vocab-sized and
+broadcast; tokenization is the per-row codegen regexp chain. Nothing is
+driver-bound except the merge list itself (tiny by construction).
+
+Identity rules: the input token mixes the corpus identity with a digest
+of the MERGE LIST, so retraining the tokenizer (or swapping the corpus)
+invalidates committed shards in place; seq_len rides the config
+fingerprint (a context-length change packs fresh alongside the old
+artifact); n_shards rides the shard marker (a shard-count change re-cuts
+everything — fixed by ResumableStage's marker check).
+
+Reference anchor: curator shards request files and commits responses
+append-only per batch (base_request_processor.py:204-319, 612-634);
+this is that layout applied to the pretraining-sequence artifact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine.checkpoint import ResumableStage
+from ..engine.fingerprint import input_identity
+from ..operators.sequence_pack import EOS_ID, eos_rows, pack_stream
+from ..operators.tokenizer_prep import tokenize_frame, vocab_table
+
+KEY_COLS = ["repo", "path", "commit"]
+
+
+def merges_digest(merges: list[tuple]) -> str:
+    """Stable identity of a committed merge list (step, a, b, merged, n)."""
+    return hashlib.sha256(
+        json.dumps([list(m[:4]) for m in merges]).encode()
+    ).hexdigest()[:16]
+
+
+class PackRun:
+    def __init__(
+        self,
+        work_dir: str,
+        seq_len: int = 128,
+        n_shards: int = 4,
+        catalog=None,
+    ) -> None:
+        self.seq_len = seq_len
+        self.n_shards = n_shards
+        self.work_dir = work_dir
+        self.stage = ResumableStage(
+            "rel-pack", KEY_COLS, work_dir,
+            config={
+                "method": "eos-concat-fixed-cut",
+                "seq_len": seq_len,
+                "eos_id": EOS_ID,
+            },
+            n_batches=n_shards, catalog=catalog,
+        )
+        self.catalog = self.stage.catalog
+
+    def _transform(self, ids: DataFrame):
+        def pack(df: DataFrame) -> DataFrame:
+            stream = tokenize_frame(df, self._merge_pairs, ids, KEY_COLS).select(
+                *KEY_COLS, "pos", "token_id"
+            ).unionByName(eos_rows(df, KEY_COLS))
+            shard = F.pmod(F.xxhash64(*KEY_COLS), F.lit(self.n_shards)).cast("int")
+            return pack_stream(
+                stream, KEY_COLS, shard, self.seq_len, with_tokens=True
+            )
+
+        return pack
+
+    def run(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        merges: list[tuple],
+        fail_after_batches: int | None = None,
+        input_token: str | None = None,
+    ):
+        """Pack ``corpus`` under the committed ``merges`` (BpeTrainRun
+        tuple format: (step, a, b, merged, n)). Resumable: committed
+        shards are skipped; a merge-list or corpus change invalidates
+        them in place via the input token."""
+        self._merge_pairs = [(a, b) for _, a, b, _, _ in merges]
+        # vocab ids come from the FULL corpus (the char inventory is
+        # corpus-global — deriving it per batch would fork ids between
+        # shards); duplicate token strings resolve to the smallest id
+        ids = (
+            vocab_table(corpus, [(m[3], m[0]) for m in merges])
+            .groupBy("token")
+            .agg(F.min("token_id").alias("token_id"))
+        )
+        self._vocab_size = ids.count()
+        token = (
+            f"{input_token or input_identity(corpus)}|tok:{merges_digest(merges)}"
+        )
+        res = self.stage.run(
+            spark, corpus, self._transform(ids),
+            fail_after_batches=fail_after_batches,
+            input_token=token,
+        )
+        self.catalog.put_text(
+            os.path.join(self.stage.stage_dir, "_PACK_META.json"),
+            json.dumps(
+                {
+                    "seq_len": self.seq_len,
+                    "n_shards": self.n_shards,
+                    "eos_id": EOS_ID,
+                    "vocab_size": self._vocab_size,
+                    "merges": merges_digest(merges),
+                }
+            ),
+        )
+        return res
+
+    def output(self, spark: SparkSession) -> DataFrame:
+        """The packed table: (shard, seq_id, n_tokens, n_docs, n_eos,
+        token_sum, token_ids)."""
+        return self.stage.output(spark)
+
+    def manifest(self, spark: SparkSession) -> dict:
+        """Release-manifest entry, derived from the committed table plus
+        the stage meta (cheap scans, no recompute)."""
+        meta = json.loads(
+            self.catalog.get_text(
+                os.path.join(self.stage.stage_dir, "_PACK_META.json")
+            )
+        )
+        agg = self.output(spark).agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.count(F.when(F.col("n_tokens") == self.seq_len, 1)).alias(
+                "full_seqs"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_eos").alias("n_docs"),
+        ).collect()[0]
+        meta.update(
+            n_seqs=agg.n_seqs,
+            full_seqs=agg.full_seqs,
+            total_tokens=int(agg.total_tokens or 0),
+            n_docs=int(agg.n_docs or 0),
+        )
+        return meta

@@ -288,6 +288,8 @@ class ReleaseRun:
         license_filter: bool = False,
         opt_out: bool = False,
         train_tokenizer: int | None = None,
+        pack_sequences: int | None = None,
+        pack_seq_len: int = 128,
     ) -> None:
         """``benchmarks_token``: optional explicit version label for the
         benchmark set. When omitted, run() derives an identity from the
@@ -321,6 +323,23 @@ class ReleaseRun:
             self.tokenizer_run = BpeTrainRun(work_dir, n_merges=train_tokenizer)
         else:
             self.tokenizer_run = None
+
+        # optional packed-sequence materialization AFTER the tokenizer:
+        # the released corpus + the trained merge list become the
+        # fixed-length token-ID sequences a training job reads
+        # (plans.pack_run; shard-granular commits). Needs the tokenizer —
+        # packing is defined under a vocabulary.
+        if pack_sequences:
+            if not train_tokenizer:
+                raise ValueError("pack_sequences needs train_tokenizer")
+            from .pack_run import PackRun
+
+            self.pack_run = PackRun(
+                work_dir, seq_len=pack_seq_len, n_shards=pack_sequences,
+                catalog=catalog,
+            )
+        else:
+            self.pack_run = None
 
         # opt-out gate FIRST of all (compliance: no derived artifact may
         # contain opted-out content); per-row given the broadcast list, so
@@ -537,6 +556,19 @@ class ReleaseRun:
             # input check — a wiped stale log reports the full retrain,
             # not a bogus metadata probe)
             ran["tokenizer"] = self.tokenizer_run.last_trained_steps
+
+        if self.pack_run is not None:
+            from ..engine.fingerprint import input_identity
+
+            merges = self.tokenizer_run.committed_merges()[
+                : self.tokenizer_run.n_merges
+            ]
+            r = self.pack_run.run(
+                spark, self.output(spark), merges,
+                fail_after_batches=fail_after_batches,
+                input_token=input_identity(self.output(spark)),
+            )
+            ran["pack"] = r.batches_run
         return ran
 
     def output(self, spark) -> DataFrame:
@@ -600,4 +632,6 @@ class ReleaseRun:
                 "n_merges": len(merges),
                 "merges": [m for _, _, _, m, _ in merges],
             }
+        if self.pack_run is not None:
+            out["packed"] = self.pack_run.manifest(spark)
         return out

@@ -274,3 +274,36 @@ def test_cli_train_tokenizer(spark, corpus_df, tmp_path, capsys):
     with open(stats2["tokenizer_out"]) as f:
         merges5 = [(d["step"], d["a"], d["b"], d["merged"], d["n"]) for d in json.load(f)]
     assert merges5[:3] == merges
+
+
+def test_cli_pack_sequences(spark, corpus_df, tmp_path, capsys):
+    """--pack-sequences N materializes the packed artifact on the kept
+    corpus under the trained tokenizer; flag validation rejects the
+    combination without --train-tokenizer before any Spark work."""
+    import pytest
+
+    from curator_spark.__main__ import main
+    from curator_spark.plans.pack_run import PackRun
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    work = str(tmp_path / "run")
+    rc = main(["--input", inp, "--work-dir", work, "--n-batches", "2",
+               "--train-tokenizer", "3",
+               "--pack-sequences", "2", "--pack-seq-len", "64"])
+    assert rc == 0
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    packed = stats["packed"]
+    assert packed["seq_len"] == 64 and packed["n_shards"] == 2
+    assert packed["n_seqs"] >= 1 and packed["total_tokens"] > 0
+
+    # the committed table is readable via PackRun and internally consistent
+    prun = PackRun(work, seq_len=64, n_shards=2)
+    rows = prun.output(spark).collect()
+    assert sum(r.n_tokens for r in rows) == packed["total_tokens"]
+    assert all(len(r.token_ids) == r.n_tokens for r in rows)
+
+    with pytest.raises(SystemExit):
+        main(["--input", inp, "--work-dir", work, "--pack-sequences", "2"])

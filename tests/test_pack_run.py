@@ -1,0 +1,174 @@
+"""PackRun — the packed-sequence release artifact: batch = pack shard,
+kill-resumable, invalidated by tokenizer retrain; the committed table
+decodes back to the released corpus exactly."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.operators.sequence_pack import EOS_ID
+from curator_spark.operators.tokenizer_prep import merge_word_py
+from curator_spark.plans.release import ReleaseRun
+from curator_spark.sources.corpus import generate_spark
+
+ROWS = 400
+RATES = {"python": 600_000}
+N_SHARDS = 3
+SEQ_LEN = 32
+
+
+def _corpus(spark, tmp_path):
+    p = str(tmp_path / "corpus.parquet")
+    generate_spark(spark, ROWS, seed=42, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return spark.read.parquet(p)
+
+
+def _run(tmp_path, name="w", **kw):
+    return ReleaseRun(
+        str(tmp_path / name), rates_ppm=RATES, n_batches=3,
+        train_tokenizer=4, pack_sequences=N_SHARDS, pack_seq_len=SEQ_LEN,
+        **kw,
+    )
+
+
+def _segment(word: str, merge_pairs) -> list[str]:
+    s = list(word)
+    for a, b in merge_pairs:
+        if len(s) > 1:
+            s = merge_word_py(s, a, b)
+    return s
+
+
+def _expected_pack(released_rows, merges):
+    """Plain-python recompute of the ENTIRE artifact: vocab ids (chars in
+    code-point order then merges, smallest id wins), per-doc token
+    streams + EOS, per-shard concatenation in key order, fixed cuts.
+    Shard assignment is the one Spark value we take as given (xxhash64
+    isn't worth reimplementing; batch/shard consistency is asserted
+    separately via the stage layout)."""
+    merge_pairs = [(a, b) for _, a, b, _, _ in merges]
+    chars = sorted(
+        {c for r in released_rows for c in r.content} - {" ", "\t", "\n"}
+    )
+    ids: dict[str, int] = {}
+    for i, c in enumerate(chars):
+        ids.setdefault(c, i)
+    for k, (_, _, _, m, _) in enumerate(merges):
+        ids.setdefault(m, len(chars) + k)
+
+    streams: dict[int, list[int]] = {s: [] for s in range(N_SHARDS)}
+    for r in sorted(released_rows, key=lambda r: (r.repo, r.path, r.commit)):
+        words = [w for w in re.split(r"[ \t\n]+", r.content) if w]
+        if not words:
+            continue
+        toks = [ids[t] for w in words for t in _segment(w, merge_pairs)]
+        streams[r.shard].extend(toks + [EOS_ID])
+
+    want = {}
+    for sh, stream in streams.items():
+        for s in range(0, len(stream), SEQ_LEN):
+            chunk = stream[s : s + SEQ_LEN]
+            want[(sh, s // SEQ_LEN)] = chunk
+    return want
+
+
+def _released_with_shard(run, spark):
+    return run.output(spark).withColumn(
+        "shard", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(N_SHARDS)).cast("int")
+    ).collect()
+
+
+def test_release_pack_artifact_decodes(spark, tmp_path):
+    corpus = _corpus(spark, tmp_path)
+    run = _run(tmp_path)
+    ran = run.run(spark, corpus)
+    assert ran["pack"] == list(range(N_SHARDS))
+
+    released = _released_with_shard(run, spark)
+    merges = run.tokenizer_run.committed_merges()[:4]
+    want = _expected_pack(released, merges)
+
+    got = {
+        (r.shard, r.seq_id): r for r in run.pack_run.output(spark).collect()
+    }
+    assert set(got) == set(want)
+    for key, chunk in want.items():
+        r = got[key]
+        assert list(r.token_ids) == chunk
+        assert r.n_tokens == len(chunk)
+        assert r.token_sum == sum(chunk)
+        assert r.n_eos == sum(1 for t in chunk if t == EOS_ID)
+        assert r.n_eos <= r.n_docs <= r.n_eos + 1
+
+    m = run.manifest(spark, corpus)["packed"]
+    assert m["n_seqs"] == len(want)
+    assert m["total_tokens"] == sum(len(c) for c in want.values())
+    assert m["seq_len"] == SEQ_LEN and m["n_shards"] == N_SHARDS
+    assert m["n_docs"] == sum(
+        1
+        for r in released
+        if re.split(r"[ \t\n]+", r.content) != [""] and r.content.strip()
+    )
+    assert m["vocab_size"] > 0
+
+    # identical rerun: everything (pack included) is a metadata probe
+    ran2 = _run(tmp_path).run(spark, corpus)
+    assert ran2["pack"] == [] and ran2["finalize"] == []
+
+
+def test_release_pack_kill_resume_and_retrain_invalidation(spark, tmp_path):
+    corpus = _corpus(spark, tmp_path)
+    ref = _run(tmp_path, "ref")
+    ref.run(spark, corpus)
+    want = {
+        (r.shard, r.seq_id): list(r.token_ids)
+        for r in ref.pack_run.output(spark).collect()
+    }
+
+    # kill after every committed batch/merge/shard until convergence
+    killed = _run(tmp_path, "k")
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 80
+        try:
+            killed.run(spark, corpus, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+    got = {
+        (r.shard, r.seq_id): list(r.token_ids)
+        for r in killed.pack_run.output(spark).collect()
+    }
+    assert got == want
+    assert attempts > N_SHARDS  # the pack stage itself was killed mid-run
+
+    # raising the tokenizer budget extends the merge log AND repacks:
+    # the merge-list digest rides the pack input token
+    bigger = ReleaseRun(
+        str(tmp_path / "ref"), rates_ppm=RATES, n_batches=3,
+        train_tokenizer=6, pack_sequences=N_SHARDS, pack_seq_len=SEQ_LEN,
+    )
+    ran = bigger.run(spark, corpus)
+    assert ran["tokenizer"] == [5, 6]
+    assert ran["pack"] == list(range(N_SHARDS))
+    released = _released_with_shard(bigger, spark)
+    merges6 = bigger.tokenizer_run.committed_merges()[:6]
+    want6 = _expected_pack(released, merges6)
+    got6 = {
+        (r.shard, r.seq_id): list(r.token_ids)
+        for r in bigger.pack_run.output(spark).collect()
+    }
+    assert {k: v for k, v in got6.items()} == want6
+    assert got6 != want  # the artifact actually changed
+
+
+def test_pack_requires_tokenizer(spark, tmp_path):
+    with pytest.raises(ValueError, match="train_tokenizer"):
+        ReleaseRun(str(tmp_path / "w"), pack_sequences=2)
