@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "bpe_tokenize_sample",
     "pack_sequences",
     "pack_manifest",
+    "pack_doc_spans",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

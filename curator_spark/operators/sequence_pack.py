@@ -110,6 +110,20 @@ ORDER BY shard
 """
 
 
+def numbered_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN):
+    """Linearize a per-document token stream into the packed coordinate
+    system: + shard, gpos (per-shard position), seq_id (gpos // seq_len).
+    The ONE window all packing views share."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy(*key_cols, "pos")
+    return (
+        stream.withColumn("shard", shard_col)
+        .withColumn("gpos", F.row_number().over(w) - 1)
+        .withColumn("seq_id", F.floor(F.col("gpos") / seq_len).cast("long"))
+    )
+
+
 def pack_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN,
                 with_tokens: bool = False):
     """Library packing core: cut a per-document token stream
@@ -120,14 +134,7 @@ def pack_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN,
     materializes the ordered token-id array — the actual training
     artifact (PackRun's committed table); the oracle-facing queries skip
     it (arrays don't survive the gate's value-hash stringification)."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("shard").orderBy(*key_cols, "pos")
-    seqs = (
-        stream.withColumn("shard", shard_col)
-        .withColumn("gpos", F.row_number().over(w) - 1)
-        .withColumn("seq_id", F.floor(F.col("gpos") / seq_len).cast("long"))
-    )
+    seqs = numbered_stream(stream, key_cols, shard_col, seq_len)
     aggs = [
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct(F.concat_ws("|", *key_cols)).alias("n_docs"),
@@ -156,8 +163,9 @@ def eos_rows(docs, key_cols, text_col: str = "content"):
     )
 
 
-def _packed(spark, sf_dir):
-    """One row per packed training sequence (shard, seq_id, stats)."""
+def _sample_stream(spark, sf_dir):
+    """(stream, shard_col) for the oracle-facing queries: the sampled
+    token stream + EOS rows, sharded by the md5 pack hash."""
     from ..functions.hashing import md5_bucket
 
     toks = token_stream(spark, sf_dir)
@@ -169,6 +177,12 @@ def _packed(spark, sf_dir):
     shard = md5_bucket(
         F.concat_ws("|", F.lit("pack"), "repo", "path"), N_SHARDS
     )
+    return stream, shard
+
+
+def _packed(spark, sf_dir):
+    """One row per packed training sequence (shard, seq_id, stats)."""
+    stream, shard = _sample_stream(spark, sf_dir)
     return pack_stream(stream, ["repo", "path"], shard)
 
 
@@ -200,4 +214,62 @@ def pack_manifest(spark, sf_dir):
             F.sum("token_sum").alias("token_sum"),
         )
         .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document spans inside packed sequences — the attention-masking metadata
+# a trainer needs next to the token arrays: for every (sequence, document)
+# pair, where the document's tokens sit in the sequence (offset + length,
+# EOS included in its document's span). Cross-document attention masking
+# ("attention separator" / doc-boundary reset in LLaMA-3-style packing)
+# is built from exactly this table. Derivation: ONE more group-by over
+# the same numbered stream the pack queries use — no new shuffle shape;
+# the span_idx window is per (shard, seq_id), bounded by docs-per-
+# sequence. A doc spanning a cut yields one span row per sequence it
+# touches.
+# ---------------------------------------------------------------------------
+_SEQ_EXPR = f"CAST(floor(gpos / {SEQ_LEN}) AS BIGINT)"
+
+_Q_DOC_SPANS = f"""
+WITH {_DUCK_STREAM},
+spans AS (
+  SELECT shard, {_SEQ_EXPR} AS seq_id, repo, path,
+         CAST(min(gpos) - {_SEQ_EXPR} * {SEQ_LEN} AS BIGINT) AS span_start,
+         CAST(count(*) AS BIGINT) AS span_len
+  FROM numbered
+  GROUP BY shard, {_SEQ_EXPR}, repo, path
+)
+SELECT shard, seq_id,
+       CAST(row_number() OVER (
+         PARTITION BY shard, seq_id ORDER BY span_start
+       ) - 1 AS BIGINT) AS span_idx,
+       span_start, span_len, repo, path
+FROM spans
+ORDER BY shard, seq_id, span_idx
+"""
+
+
+@register(
+    "pack_doc_spans",
+    _Q_DOC_SPANS,
+    "per-(sequence, document) spans inside packed sequences — the cross-document attention-mask table",
+)
+def pack_doc_spans(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    stream, shard = _sample_stream(spark, sf_dir)
+    n = numbered_stream(stream, ["repo", "path"], shard)
+    spans = (
+        n.groupBy("shard", "seq_id", "repo", "path")
+        .agg(F.min("gpos").alias("min_gpos"), F.count(F.lit(1)).alias("span_len"))
+        .withColumn(
+            "span_start", (F.col("min_gpos") - F.col("seq_id") * SEQ_LEN).cast("long")
+        )
+    )
+    w = W.partitionBy("shard", "seq_id").orderBy("span_start")
+    return (
+        spans.withColumn("span_idx", (F.row_number().over(w) - 1).cast("long"))
+        .select("shard", "seq_id", "span_idx", "span_start", "span_len", "repo", "path")
+        .orderBy("shard", "seq_id", "span_idx")
     )

@@ -82,3 +82,25 @@ def test_pack_invariants(spark):
         assert r.total_tokens == sum(x.n_tokens for x in rows)
         assert r.n_docs == sum(x.n_eos for x in rows)
         assert r.token_sum == sum(x.token_sum for x in rows)
+
+
+def test_doc_spans_tile_sequences(spark):
+    """Per sequence, spans tile [0, n_tokens) exactly (sorted spans are
+    contiguous, start at 0, sum to the sequence length) and the span
+    count equals the sequence's n_docs."""
+    qs = m.queries()
+    seqs = {(r.shard, r.seq_id): r for r in qs["pack_sequences"](spark, SF).collect()}
+    spans = defaultdict(list)
+    for r in qs["pack_doc_spans"](spark, SF).collect():
+        spans[(r.shard, r.seq_id)].append(r)
+    assert set(spans) == set(seqs)
+    for key, rows in spans.items():
+        rows.sort(key=lambda r: r.span_idx)
+        assert [r.span_idx for r in rows] == list(range(len(rows)))
+        cur = 0
+        for r in rows:
+            assert r.span_start == cur
+            assert r.span_len >= 1
+            cur += r.span_len
+        assert cur == seqs[key].n_tokens
+        assert len(rows) == seqs[key].n_docs
