@@ -110,22 +110,59 @@ ORDER BY shard
 """
 
 
-def numbered_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN):
+def numbered_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN,
+                    doc_lens=None):
     """Linearize a per-document token stream into the packed coordinate
     system: + shard, gpos (per-shard position), seq_id (gpos // seq_len).
-    The ONE window all packing views share."""
+
+    TWO-PHASE PREFIX SUM, not a token-level window (the
+    mixture_token_budget pattern): a row_number over the raw stream
+    sorts EVERY token of a shard in one partition — measured 140
+    files/s in the PackRun 50k-doc probe, and at 100 TB a shard's
+    billions of tokens can't single-thread. Instead the running offset
+    is computed over the DOC-level length table (rows = docs, bounded),
+    and each token's gpos is doc_start + its in-document offset — a
+    doc-sized join (AQE-broadcastable; the shard hash is evaluated
+    per DOC, never per token) plus per-row arithmetic, so token-level
+    work never serializes. In-document offsets are already dense: real
+    tokens carry pos 0..n-1 from the tokenizer window (bounded by doc
+    length), and the EOS sentinel maps to dlen-1.
+
+    ``doc_lens``: optional (*key_cols, _dlen) frame with per-doc token
+    counts (EOS included) — pass tokenizer_prep.doc_token_lens so the
+    offsets come from a cheap word-domain pass; omitted, lens fall back
+    to aggregating ``stream`` itself, which evaluates the expensive
+    token-level plan TWICE."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("shard").orderBy(*key_cols, "pos")
+    if doc_lens is None:
+        doc_lens = stream.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("_dlen")
+        )
+    dw = (
+        W.partitionBy("shard")
+        .orderBy(*key_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    doc_start = (
+        doc_lens.withColumn("shard", shard_col)
+        .withColumn(
+            "_dstart", F.coalesce(F.sum("_dlen").over(dw), F.lit(0)).cast("long")
+        )
+    )
+    off = F.when(F.col("pos") == _EOS_POS, F.col("_dlen") - 1).otherwise(
+        F.col("pos")
+    )
     return (
-        stream.withColumn("shard", shard_col)
-        .withColumn("gpos", F.row_number().over(w) - 1)
+        stream.join(doc_start, list(key_cols))
+        .withColumn("gpos", (F.col("_dstart") + off).cast("long"))
         .withColumn("seq_id", F.floor(F.col("gpos") / seq_len).cast("long"))
+        .drop("_dlen", "_dstart")
     )
 
 
 def pack_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN,
-                with_tokens: bool = False):
+                with_tokens: bool = False, doc_lens=None):
     """Library packing core: cut a per-document token stream
     (*key_cols, pos, token_id) — EOS rows included — into fixed-length
     sequences, ``shard_col`` deciding each document's (whole) shard.
@@ -134,10 +171,24 @@ def pack_stream(stream, key_cols, shard_col, seq_len: int = SEQ_LEN,
     materializes the ordered token-id array — the actual training
     artifact (PackRun's committed table); the oracle-facing queries skip
     it (arrays don't survive the gate's value-hash stringification)."""
-    seqs = numbered_stream(stream, key_cols, shard_col, seq_len)
+    seqs = numbered_stream(
+        stream, key_cols, shard_col, seq_len, doc_lens=doc_lens
+    ).select(
+        # project away the key STRINGS before the sequence shuffle —
+        # ~80 bytes/token of repo|path|commit the aggregation doesn't need
+        "shard", "seq_id", "gpos", "token_id"
+    )
+    # n_docs WITHOUT countDistinct (a distinct agg mixed with plain aggs
+    # makes Spark Expand-duplicate every input row): docs are CONTIGUOUS
+    # in a sequence, so every doc either ends inside it (counted by
+    # n_eos) or is the single one continuing past the cut — i.e.
+    # n_docs = n_eos + (last token != EOS). Exact, Expand-free.
     aggs = [
         F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct(F.concat_ws("|", *key_cols)).alias("n_docs"),
+        (
+            F.count(F.when(F.col("token_id") == EOS_ID, 1))
+            + F.when(F.max_by("token_id", "gpos") == EOS_ID, 0).otherwise(1)
+        ).alias("n_docs"),
         F.count(F.when(F.col("token_id") == EOS_ID, 1)).alias("n_eos"),
         F.sum("token_id").alias("token_sum"),
     ]
@@ -164,9 +215,11 @@ def eos_rows(docs, key_cols, text_col: str = "content"):
 
 
 def _sample_stream(spark, sf_dir):
-    """(stream, shard_col) for the oracle-facing queries: the sampled
-    token stream + EOS rows, sharded by the md5 pack hash."""
+    """(stream, shard_col, doc_lens) for the oracle-facing queries: the
+    sampled token stream + EOS rows, sharded by the md5 pack hash, with
+    the cheap word-domain doc-length table for the offset prefix sum."""
     from ..functions.hashing import md5_bucket
+    from .tokenizer_prep import doc_token_lens, learned_merges
 
     toks = token_stream(spark, sf_dir)
     # whitespace-only docs (the sf corpus has such rows) are absent from
@@ -177,13 +230,16 @@ def _sample_stream(spark, sf_dir):
     shard = md5_bucket(
         F.concat_ws("|", F.lit("pack"), "repo", "path"), N_SHARDS
     )
-    return stream, shard
+    lens = doc_token_lens(
+        sampled_docs(spark), learned_merges(spark), ["repo", "path"]
+    )
+    return stream, shard, lens
 
 
 def _packed(spark, sf_dir):
     """One row per packed training sequence (shard, seq_id, stats)."""
-    stream, shard = _sample_stream(spark, sf_dir)
-    return pack_stream(stream, ["repo", "path"], shard)
+    stream, shard, lens = _sample_stream(spark, sf_dir)
+    return pack_stream(stream, ["repo", "path"], shard, doc_lens=lens)
 
 
 @register(
@@ -258,8 +314,8 @@ ORDER BY shard, seq_id, span_idx
 def pack_doc_spans(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    stream, shard = _sample_stream(spark, sf_dir)
-    n = numbered_stream(stream, ["repo", "path"], shard)
+    stream, shard, lens = _sample_stream(spark, sf_dir)
+    n = numbered_stream(stream, ["repo", "path"], shard, doc_lens=lens)
     spans = (
         n.groupBy("shard", "seq_id", "repo", "path")
         .agg(F.min("gpos").alias("min_gpos"), F.count(F.lit(1)).alias("span_len"))

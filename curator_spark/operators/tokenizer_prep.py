@@ -737,6 +737,26 @@ def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
     )
 
 
+def doc_token_lens(df, merge_pairs, key_cols, text_col: str = "content"):
+    """(*key_cols, _dlen) — tokens per document INCLUDING its one EOS,
+    for docs that tokenize to >=1 token. Computed on the WORD domain
+    (segment each word occurrence, sum the segment sizes): no token
+    explode, no id join — the cheap pass sequence packing uses for its
+    doc-offset prefix sum, so the expensive token-level stream is only
+    materialized once."""
+    from .decontaminate import words_expr
+
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    return (
+        df.select(
+            *key_cols, F.explode(F.expr(words_expr(text_col))).alias("w")
+        )
+        .select(*key_cols, F.size(F.split(seg, " ")).alias("_wt"))
+        .groupBy(*key_cols)
+        .agg((F.sum("_wt") + 1).cast("long").alias("_dlen"))
+    )
+
+
 def token_stream(spark, sf_dir):
     """The UNSORTED sampled token stream (repo, path, pos, token_id,
     token) — library form consumed by sequence packing; the registered

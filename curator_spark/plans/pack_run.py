@@ -77,12 +77,15 @@ class PackRun:
 
     def _transform(self, ids: DataFrame):
         def pack(df: DataFrame) -> DataFrame:
+            from ..operators.tokenizer_prep import doc_token_lens
+
             stream = tokenize_frame(df, self._merge_pairs, ids, KEY_COLS).select(
                 *KEY_COLS, "pos", "token_id"
             ).unionByName(eos_rows(df, KEY_COLS))
             shard = F.pmod(F.xxhash64(*KEY_COLS), F.lit(self.n_shards)).cast("int")
             return pack_stream(
-                stream, KEY_COLS, shard, self.seq_len, with_tokens=True
+                stream, KEY_COLS, shard, self.seq_len, with_tokens=True,
+                doc_lens=doc_token_lens(df, self._merge_pairs, KEY_COLS),
             )
 
         return pack
@@ -102,13 +105,20 @@ class PackRun:
         self._merge_pairs = [(a, b) for _, a, b, _, _ in merges]
         # vocab ids come from the FULL corpus (the char inventory is
         # corpus-global — deriving it per batch would fork ids between
-        # shards); duplicate token strings resolve to the smallest id
-        ids = (
-            vocab_table(corpus, [(m[3], m[0]) for m in merges])
+        # shards); duplicate token strings resolve to the smallest id.
+        # MATERIALIZED once to a literal frame: the vocab is bounded by
+        # charset + n_merges, but its PLAN is a full-corpus char
+        # distinct — leaving it lazy re-ran that scan inside every
+        # batch's broadcast build (measured ~3s x n_shards at 50k docs).
+        vocab_rows = [
+            (r.token, r.token_id)
+            for r in vocab_table(corpus, [(m[3], m[0]) for m in merges])
             .groupBy("token")
             .agg(F.min("token_id").alias("token_id"))
-        )
-        self._vocab_size = ids.count()
+            .collect()
+        ]
+        ids = spark.createDataFrame(vocab_rows, "token string, token_id long")
+        self._vocab_size = len(vocab_rows)
         token = (
             f"{input_token or input_identity(corpus)}|tok:{merges_digest(merges)}"
         )
