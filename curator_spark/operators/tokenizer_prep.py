@@ -705,29 +705,68 @@ def sampled_docs(spark):
     )
 
 
+def _word_occurrences(df, key_cols, text_col: str):
+    """(*key_cols, wpos, w) — every word occurrence with its in-document
+    word position (the order carrier for token streams)."""
+    from .decontaminate import words_expr
+
+    return df.select(
+        *key_cols, F.posexplode(F.expr(words_expr(text_col))).alias("wpos", "w")
+    )
+
+
 def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
     """Library tokenizer application: per-document token-ID streams
     (*key_cols, pos, token_id, token) for ANY frame under ANY merge list.
     ``ids``: a (token, token_id) frame — duplicate token strings (a
     later merge CAN recreate an earlier string) must already be resolved
     to one id. UNORDERED output: words keep document order via
-    posexplode, segmentation is the codegen regexp chain per row (zero
-    shuffle), ids attach via a BROADCAST join against the vocab-sized id
-    table, and the per-document position is a window over the doc key —
-    bounded by document length."""
+    posexplode; segmentation is the codegen regexp chain evaluated on
+    the DISTINCT-word domain (the chain costs one regexp pass per merge
+    per input row, so the domain is the whole game; on the synthetic
+    corpus the distinct set is 7.3x fewer rows / 3.1x fewer characters —
+    distinct words are 2.4x longer, Zipf's flip side — and on natural
+    text the ratio is far larger), rejoined to occurrences on the word
+    string; ids attach via a BROADCAST join against the vocab-sized id
+    table; the per-document position is a window over the doc key —
+    bounded by document length.
+
+    Three measured traps guard this shape (all re-route the chain back
+    to the occurrence domain or serialize it; bench:
+    scripts/bench_tokenize_domain.py, full story in the r5 BENCH notes):
+
+    1. The rejoin explode MUST be posexplode_outer: with a plain inner
+       posexplode, InferFiltersFromGenerate infers size(_toks) > 0 and
+       filter-pushdown shoves the full merge chain through the join and
+       BELOW the distinct — per-OCCURRENCE regexes as a filter that can
+       never reject (split never returns an empty array). Outer blocks
+       the inference and is value-identical (w never null, split never
+       empty).
+    2. The word table MUST be the explicit F.broadcast build side: when
+       input stats look small (arrow createDataFrame, or a selective
+       filter estimate over parquet), Catalyst broadcasts the OCCURRENCE
+       side instead, and whole-stage codegen inlines the streamed side's
+       chain projection into the join's per-match emission loop — the
+       chain re-evaluates once per matched occurrence (measured 4.4x
+       CPU). The vocab-sized side is the build side by design, same
+       budget class as the ids broadcast.
+    3. The chain MUST sit above an explicit repartition(parallelism):
+       the distinct-word shuffle is tiny in BYTES, so AQE coalesces it
+       to 1-2 partitions and the CPU-heavy chain runs nearly serial
+       (AQE sizes by shuffle bytes, blind to downstream CPU per row);
+       an explicit numPartitions repartition is exempt from coalescing,
+       and shuffles only the distinct words."""
     from pyspark.sql import Window as W
 
-    from .decontaminate import words_expr
-
+    occ = _word_occurrences(df, key_cols, text_col)
     seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
-    toks = (
-        df.select(
-            *key_cols,
-            F.posexplode(F.expr(words_expr(text_col))).alias("wpos", "w"),
-        )
-        .select(
-            *key_cols, "wpos", F.posexplode(F.split(seg, " ")).alias("tpos", "token")
-        )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wtab = (
+        occ.select("w").distinct().repartition(par)
+        .select("w", F.split(seg, " ").alias("_toks"))
+    )
+    toks = occ.join(F.broadcast(wtab), "w").select(
+        *key_cols, "wpos", F.posexplode_outer("_toks").alias("tpos", "token")
     )
     w = W.partitionBy(*key_cols).orderBy("wpos", "tpos")
     return (
@@ -740,18 +779,24 @@ def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
 def doc_token_lens(df, merge_pairs, key_cols, text_col: str = "content"):
     """(*key_cols, _dlen) — tokens per document INCLUDING its one EOS,
     for docs that tokenize to >=1 token. Computed on the WORD domain
-    (segment each word occurrence, sum the segment sizes): no token
-    explode, no id join — the cheap pass sequence packing uses for its
-    doc-offset prefix sum, so the expensive token-level stream is only
-    materialized once."""
-    from .decontaminate import words_expr
-
+    (per-distinct-word segment size joined back to occurrences): no
+    token explode, no id join — the cheap pass sequence packing uses for
+    its doc-offset prefix sum, so the expensive token-level stream is
+    only materialized once. The distinct-word shuffle is identical to
+    tokenize_frame's and collapses to a ReusedExchange when both appear
+    in one plan; the explicit broadcast + repartition guards are the
+    same as tokenize_frame's (traps 2 and 3 in its docstring — the
+    per-match re-evaluation hazard applies to _wt exactly as to
+    _toks)."""
+    occ = _word_occurrences(df, key_cols, text_col)
     seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wtab = (
+        occ.select("w").distinct().repartition(par)
+        .select("w", F.size(F.split(seg, " ")).alias("_wt"))
+    )
     return (
-        df.select(
-            *key_cols, F.explode(F.expr(words_expr(text_col))).alias("w")
-        )
-        .select(*key_cols, F.size(F.split(seg, " ")).alias("_wt"))
+        occ.join(F.broadcast(wtab), "w")
         .groupBy(*key_cols)
         .agg((F.sum("_wt") + 1).cast("long").alias("_dlen"))
     )

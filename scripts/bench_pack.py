@@ -1,0 +1,74 @@
+"""PackRun throughput probe — pack an N-doc generated corpus under the
+pinned 10-merge tokenizer and report end-to-end docs/s plus the packed
+manifest. This is the number behind sequence_pack.numbered_stream's
+two-phase prefix-sum docstring: the token-level row_number window packed
+~140 docs/s at 50k docs; the doc-offset join form is the scale shape.
+
+Env: CURATOR_PACK_ROWS (default 50000), CURATOR_PACK_CORES (8),
+CURATOR_PACK_SHARDS (8), CURATOR_PACK_SEQ_LEN (128).
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from curator_spark.plans.pack_run import PackRun  # noqa: E402
+from curator_spark.session import get_spark  # noqa: E402
+from curator_spark.sources.corpus import generate_spark  # noqa: E402
+
+ROWS = int(os.environ.get("CURATOR_PACK_ROWS", "50000"))
+CORES = int(os.environ.get("CURATOR_PACK_CORES", "8"))
+SHARDS = int(os.environ.get("CURATOR_PACK_SHARDS", "8"))
+SEQ_LEN = int(os.environ.get("CURATOR_PACK_SEQ_LEN", "128"))
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "golden", "bpe_merges_2000.parquet"
+)
+
+
+def main() -> None:
+    spark = get_spark("bench-pack", cores=CORES, shuffle_partitions=CORES)
+    merges = [
+        (r.step, r.a, r.b, r.merged, r.n)
+        for r in spark.read.parquet(GOLDEN).orderBy("step").collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="bench_pack_")
+    try:
+        corpus_path = os.path.join(tmp, "corpus.parquet")
+        generate_spark(spark, ROWS, seed=42, partitions=CORES * 4).write.parquet(
+            corpus_path
+        )
+        corpus = spark.read.parquet(corpus_path)
+        t0 = time.monotonic()
+        run = PackRun(os.path.join(tmp, "pack"), seq_len=SEQ_LEN, n_shards=SHARDS)
+        run.run(spark, corpus, merges)
+        wall = time.monotonic() - t0
+        man = run.manifest(spark)
+        print(
+            json.dumps(
+                {
+                    "metric": "PackRun end-to-end docs/sec",
+                    "value": round(ROWS / wall, 1),
+                    "unit": "docs/sec",
+                    "wall_sec": round(wall, 2),
+                    "rows": ROWS,
+                    "cores": CORES,
+                    "n_shards": SHARDS,
+                    "seq_len": SEQ_LEN,
+                    "manifest": man,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

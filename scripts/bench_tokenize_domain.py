@@ -1,0 +1,100 @@
+"""Occurrence-domain vs distinct-word-domain tokenization — the
+measurement behind tokenize_frame's design. The merge chain costs one
+codegen regexp pass per merge per input ROW, so the domain it runs on is
+the whole game: per-occurrence work scales with corpus tokens x merges,
+per-distinct-word work with vocabulary x merges (plus one join back).
+
+Measured on the synthetic corpus (5k docs, 881k occurrences / 120k
+distinct words — 7.3x fewer rows but only 3.1x fewer CHARACTERS,
+distinct words are 2.4x longer): distinct-word wins ~1.3x at 10 merges
+and ~4x at 100 merges (5.2s vs 20.5s), and the gap widens with merge
+count. Getting there required three plan guards (posexplode_outer,
+explicit F.broadcast(wtab), explicit repartition) — each absent guard
+silently re-routes the chain to the occurrence domain or serializes it;
+see tokenize_frame's docstring for the mechanism of each.
+
+Env: CURATOR_TOKDOM_ROWS (5000), CURATOR_TOKDOM_CORES (8).
+Prints ONE JSON line with both variants at 10 and 100 merges.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window as W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from curator_spark.operators.decontaminate import words_expr  # noqa: E402
+from curator_spark.operators.tokenizer_prep import (  # noqa: E402
+    encode_tokens_col,
+    learned_merges,
+    tokenize_frame,
+    vocab_table,
+)
+from curator_spark.session import get_spark  # noqa: E402
+from curator_spark.sources.corpus import generate_spark  # noqa: E402
+
+ROWS = int(os.environ.get("CURATOR_TOKDOM_ROWS", "5000"))
+CORES = int(os.environ.get("CURATOR_TOKDOM_CORES", "8"))
+KEY = ["repo", "path"]
+
+
+def tokenize_frame_occurrence(df, merge_pairs, ids, key_cols, text_col="content"):
+    """The pre-rewrite form: merge chain evaluated per word OCCURRENCE."""
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    toks = df.select(
+        *key_cols, F.posexplode(F.expr(words_expr(text_col))).alias("wpos", "w")
+    ).select(
+        *key_cols, "wpos", F.posexplode(F.split(seg, " ")).alias("tpos", "token")
+    )
+    w = W.partitionBy(*key_cols).orderBy("wpos", "tpos")
+    return (
+        toks.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .join(F.broadcast(ids), "token")
+        .select(*key_cols, "pos", "token_id", "token")
+    )
+
+
+def main() -> None:
+    spark = get_spark("bench-tokdom", cores=CORES, shuffle_partitions=CORES)
+    corpus = generate_spark(spark, ROWS, seed=42, partitions=CORES * 2)
+    corpus = spark.createDataFrame(corpus.toPandas())  # pin input in memory
+    base = learned_merges(spark)
+    # synthetic extension: rare two-char pairs that occur never/rarely —
+    # each still costs a full regexp pass per input row, which is the
+    # cost being measured (a real merge list is mostly rare pairs too)
+    rare = [(chr(0x100 + i), chr(0x180 + i)) for i in range(90)]
+    out = {"rows": ROWS, "cores": CORES, "variants": {}}
+    for n_merges, pairs in (("10", base), ("100", base + rare)):
+        ids = (
+            vocab_table(corpus, [(a + b, i + 1) for i, (a, b) in enumerate(pairs)])
+            .groupBy("token")
+            .agg(F.min("token_id").alias("token_id"))
+        )
+        ids = spark.createDataFrame(ids.toPandas())
+        for name, fn in (
+            ("occurrence", tokenize_frame_occurrence),
+            ("distinct_word", tokenize_frame),
+        ):
+            times = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                n = fn(corpus, pairs, ids, KEY).agg(
+                    F.count(F.lit(1)), F.sum("token_id")
+                ).collect()[0][0]
+                times.append(time.monotonic() - t0)
+            out["variants"][f"{name}_m{n_merges}"] = {
+                "median_sec": round(sorted(times)[1], 2),
+                "best_sec": round(min(times), 2),
+                "tokens": n,
+            }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
