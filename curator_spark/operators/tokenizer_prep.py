@@ -309,38 +309,48 @@ def encode_tokens_col(s, merge_pairs):
     return s
 
 
+def _distinct_word_sizes(occ, merge_pairs):
+    """(w, _wt) — tokens per DISTINCT word under ``merge_pairs``, the
+    shared cheap-side table for every per-document/per-language token
+    count. Same guarded shape as tokenize_frame (traps 2 and 3 in its
+    docstring): explicit repartition so the CPU-heavy chain isn't
+    serialized by AQE's byte-based coalescing, and callers MUST attach
+    it with F.broadcast so it is the build side (streamed it would
+    re-evaluate per matched occurrence)."""
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    par = occ.sparkSession.sparkContext.defaultParallelism
+    return (
+        occ.select("w").where(F.col("w").isNotNull()).distinct()
+        .repartition(par)
+        .select("w", F.size(F.split(seg, " ")).alias("_wt"))
+    )
+
+
 def bpe_encode_docs(df, merge_pairs, text_col: str = "content"):
     """Per-document encode stats under ``merge_pairs``: (repo, path,
     lang, n_words, n_wchars, n_tokens). UNORDERED — a library consumer
     (mixture_token_budget) immediately re-partitions for its own
     windows, so a global sort here would be a wasted corpus-wide range
-    Exchange; the oracle-facing wrapper adds the deterministic order."""
+    Exchange; the oracle-facing wrapper adds the deterministic order.
+    Chain cost is on the GLOBAL distinct-word domain (shared
+    _distinct_word_sizes table, broadcast) rather than per (doc, word);
+    explode_outer + left join keep zero-word docs as all-zero rows."""
     from .decontaminate import words_expr
 
-    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
-    per_word = (
-        df.select(
-            "repo",
-            "path",
-            "lang",
-            F.explode_outer(F.expr(words_expr(text_col))).alias("w"),
-        )
-        .groupBy("repo", "path", "lang", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "ntok",
-            F.when(F.col("w").isNull(), F.lit(0)).otherwise(
-                F.size(F.split(seg, " "))
-            ),
-        )
+    occ = df.select(
+        "repo",
+        "path",
+        "lang",
+        F.explode_outer(F.expr(words_expr(text_col))).alias("w"),
     )
-    zero_if_null = lambda c: F.when(F.col("w").isNull(), F.lit(0)).otherwise(c)
+    wtab = _distinct_word_sizes(occ, merge_pairs)
     return (
-        per_word.groupBy("repo", "path", "lang")
+        occ.join(F.broadcast(wtab), "w", "left")
+        .groupBy("repo", "path", "lang")
         .agg(
-            F.sum(zero_if_null(F.col("cnt"))).alias("n_words"),
-            F.sum(zero_if_null(F.length("w") * F.col("cnt"))).alias("n_wchars"),
-            F.sum(F.col("ntok") * F.col("cnt")).alias("n_tokens"),
+            F.count("w").alias("n_words"),
+            F.coalesce(F.sum(F.length("w")), F.lit(0)).alias("n_wchars"),
+            F.coalesce(F.sum("_wt"), F.lit(0)).alias("n_tokens"),
         )
     )
 
@@ -386,22 +396,22 @@ def bpe_fertility(spark, sf_dir):
 
 def fertility_frame(df, merge_pairs):
     """Per-language fertility of ``df`` under ``merge_pairs``: (lang,
-    n_words, n_wchars, n_tokens, chars_per_token_x1e4)."""
+    n_words, n_wchars, n_tokens, chars_per_token_x1e4). Chain cost on
+    the GLOBAL distinct-word domain (shared _distinct_word_sizes table,
+    broadcast) — a word shared by several languages segments once."""
     from .decontaminate import words_expr
 
-    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
-    wt = (
-        df.select("lang", F.explode(F.expr(words_expr("content"))).alias("w"))
-        .groupBy("lang", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("ntok", F.size(F.split(seg, " ")))
+    occ = df.select(
+        "lang", F.explode(F.expr(words_expr("content"))).alias("w")
     )
+    wtab = _distinct_word_sizes(occ, merge_pairs)
     return (
-        wt.groupBy("lang")
+        occ.join(F.broadcast(wtab), "w")
+        .groupBy("lang")
         .agg(
-            F.sum("cnt").alias("n_words"),
-            F.sum(F.length("w") * F.col("cnt")).alias("n_wchars"),
-            F.sum(F.col("ntok") * F.col("cnt")).alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_wchars"),
+            F.sum("_wt").alias("n_tokens"),
         )
         # fixed-point integer ratio: bit-identical across engines (float
         # division is formatting-hazardous under the value hash)
@@ -789,12 +799,7 @@ def doc_token_lens(df, merge_pairs, key_cols, text_col: str = "content"):
     per-match re-evaluation hazard applies to _wt exactly as to
     _toks)."""
     occ = _word_occurrences(df, key_cols, text_col)
-    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    wtab = (
-        occ.select("w").distinct().repartition(par)
-        .select("w", F.size(F.split(seg, " ")).alias("_wt"))
-    )
+    wtab = _distinct_word_sizes(occ, merge_pairs)
     return (
         occ.join(F.broadcast(wtab), "w")
         .groupBy(*key_cols)

@@ -65,14 +65,18 @@ def main() -> int:
         if only and name not in only:
             continue
         n_checked += 1
+        import time as _time
+
+        _t0 = _time.monotonic()
         try:
             got = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
+        _dt = _time.monotonic() - _t0
         if spec.oracle is None:
-            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            print(f"ok   {name}: rows-only ({len(got)} rows) [{_dt:.1f}s]")
             if len(got) == 0:
                 failures.append((name, "0 rows"))
             continue
@@ -101,7 +105,7 @@ def main() -> int:
                 print("  spark:", g.loc[mask, c].head(3).tolist())
                 print("  duck :", e2.loc[mask, c].head(3).tolist())
         else:
-            print(f"PASS {name} ({len(g)} rows)")
+            print(f"PASS {name} ({len(g)} rows) [{_dt:.1f}s]")
     print(f"\n{n_checked - len(failures)}/{n_checked} ok")
     return 1 if failures else 0
 
