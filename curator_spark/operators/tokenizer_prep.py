@@ -309,6 +309,20 @@ def encode_tokens_col(s, merge_pairs):
     return s
 
 
+def _attach_vocab(occ, wtab, how: str = "inner", broadcast_vocab: bool = True):
+    """Join an occurrence frame to a distinct-word table on ``w``.
+
+    ``broadcast_vocab=True`` (default): the vocab table is the explicit
+    broadcast build side — right whenever the distinct-word set fits the
+    broadcast budget (code corpora, capped vocabularies). ``False``: a
+    plain shuffle equi-join for vocabularies past that budget (~10^8
+    distinct words of open-web text at full crawl scale); still safe
+    from the per-match re-evaluation trap (tokenize_frame docstring,
+    trap 2) because the vocab side's shuffle Exchange materializes the
+    chain output rows before the join consumes them."""
+    return occ.join(F.broadcast(wtab) if broadcast_vocab else wtab, "w", how)
+
+
 def _distinct_word_sizes(occ, merge_pairs):
     """(w, _wt) — tokens per DISTINCT word under ``merge_pairs``, the
     shared cheap-side table for every per-document/per-language token
@@ -326,7 +340,9 @@ def _distinct_word_sizes(occ, merge_pairs):
     )
 
 
-def bpe_encode_docs(df, merge_pairs, text_col: str = "content"):
+def bpe_encode_docs(
+    df, merge_pairs, text_col: str = "content", broadcast_vocab: bool = True
+):
     """Per-document encode stats under ``merge_pairs``: (repo, path,
     lang, n_words, n_wchars, n_tokens). UNORDERED — a library consumer
     (mixture_token_budget) immediately re-partitions for its own
@@ -345,7 +361,7 @@ def bpe_encode_docs(df, merge_pairs, text_col: str = "content"):
     )
     wtab = _distinct_word_sizes(occ, merge_pairs)
     return (
-        occ.join(F.broadcast(wtab), "w", "left")
+        _attach_vocab(occ, wtab, "left", broadcast_vocab)
         .groupBy("repo", "path", "lang")
         .agg(
             F.count("w").alias("n_words"),
@@ -394,7 +410,7 @@ def bpe_fertility(spark, sf_dir):
     return fertility_frame(_corpus(spark), learned_merges(spark)).orderBy("lang")
 
 
-def fertility_frame(df, merge_pairs):
+def fertility_frame(df, merge_pairs, broadcast_vocab: bool = True):
     """Per-language fertility of ``df`` under ``merge_pairs``: (lang,
     n_words, n_wchars, n_tokens, chars_per_token_x1e4). Chain cost on
     the GLOBAL distinct-word domain (shared _distinct_word_sizes table,
@@ -406,7 +422,7 @@ def fertility_frame(df, merge_pairs):
     )
     wtab = _distinct_word_sizes(occ, merge_pairs)
     return (
-        occ.join(F.broadcast(wtab), "w")
+        _attach_vocab(occ, wtab, "inner", broadcast_vocab)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -725,7 +741,11 @@ def _word_occurrences(df, key_cols, text_col: str):
     )
 
 
-def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
+def tokenize_frame(
+    df, merge_pairs, ids, key_cols,
+    text_col: str = "content",
+    broadcast_vocab: bool = True,
+):
     """Library tokenizer application: per-document token-ID streams
     (*key_cols, pos, token_id, token) for ANY frame under ANY merge list.
     ``ids``: a (token, token_id) frame — duplicate token strings (a
@@ -759,7 +779,10 @@ def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
        chain projection into the join's per-match emission loop — the
        chain re-evaluates once per matched occurrence (measured 4.4x
        CPU). The vocab-sized side is the build side by design, same
-       budget class as the ids broadcast.
+       budget class as the ids broadcast; for vocabularies past the
+       broadcast budget pass broadcast_vocab=False — the shuffle join's
+       vocab-side Exchange materializes the chain output, so the
+       re-evaluation trap cannot bite there (parity-tested).
     3. The chain MUST sit above an explicit repartition(parallelism):
        the distinct-word shuffle is tiny in BYTES, so AQE coalesces it
        to 1-2 partitions and the CPU-heavy chain runs nearly serial
@@ -775,7 +798,7 @@ def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
         occ.select("w").distinct().repartition(par)
         .select("w", F.split(seg, " ").alias("_toks"))
     )
-    toks = occ.join(F.broadcast(wtab), "w").select(
+    toks = _attach_vocab(occ, wtab, "inner", broadcast_vocab).select(
         *key_cols, "wpos", F.posexplode_outer("_toks").alias("tpos", "token")
     )
     w = W.partitionBy(*key_cols).orderBy("wpos", "tpos")
@@ -786,7 +809,11 @@ def tokenize_frame(df, merge_pairs, ids, key_cols, text_col: str = "content"):
     )
 
 
-def doc_token_lens(df, merge_pairs, key_cols, text_col: str = "content"):
+def doc_token_lens(
+    df, merge_pairs, key_cols,
+    text_col: str = "content",
+    broadcast_vocab: bool = True,
+):
     """(*key_cols, _dlen) — tokens per document INCLUDING its one EOS,
     for docs that tokenize to >=1 token. Computed on the WORD domain
     (per-distinct-word segment size joined back to occurrences): no
@@ -801,7 +828,7 @@ def doc_token_lens(df, merge_pairs, key_cols, text_col: str = "content"):
     occ = _word_occurrences(df, key_cols, text_col)
     wtab = _distinct_word_sizes(occ, merge_pairs)
     return (
-        occ.join(F.broadcast(wtab), "w")
+        _attach_vocab(occ, wtab, "inner", broadcast_vocab)
         .groupBy(*key_cols)
         .agg((F.sum("_wt") + 1).cast("long").alias("_dlen"))
     )

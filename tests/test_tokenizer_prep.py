@@ -210,3 +210,51 @@ def test_bpe_tokenize_sample_lossless(spark):
         rebuilt = "".join(t for _, t in seq)
         want = "".join(w for w in re.split(r"[ \t\n]+", content[key]) if w)
         assert rebuilt == want, key
+
+
+def test_vocab_join_shuffle_parity(spark):
+    """broadcast_vocab=False (the past-broadcast-budget escape hatch for
+    web-scale vocabularies) must be value-identical to the default
+    broadcast path on every operator that attaches the distinct-word
+    table, and its plan must actually drop the vocab-side
+    BroadcastHashJoin (otherwise the flag is a no-op)."""
+    from curator_spark.operators.tokenizer_prep import (
+        bpe_encode_docs,
+        doc_token_lens,
+        fertility_frame,
+        tokenize_frame,
+    )
+    from scripts.make_bpe_golden import reference_bpe
+
+    rng = random.Random(321)
+    rows = []
+    for i in range(30):
+        text = " ".join(
+            "".join(rng.choice("abrc. ") for _ in range(rng.randrange(1, 6))).strip()
+            for _ in range(rng.randrange(1, 12))
+        )
+        rows.append(
+            {"repo": f"org/r{i % 4}", "path": f"f{i}.txt", "lang": "x", "content": text}
+        )
+    df = spark.createDataFrame(rows)
+    merges = [(a, b) for _, a, b, _, _ in reference_bpe([r["content"] for r in rows], 4)]
+    toks = {t for _, a, b, _, _ in reference_bpe([r["content"] for r in rows], 4) for t in (a + b,)}
+    chars = {c for r in rows for c in r["content"] if not c.isspace()}
+    ids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(sorted(chars | toks))], "token string, token_id long"
+    )
+
+    key = ["repo", "path"]
+    for name, build in (
+        ("tokenize_frame", lambda bv: tokenize_frame(df, merges, ids, key, broadcast_vocab=bv)),
+        ("doc_token_lens", lambda bv: doc_token_lens(df, merges, key, broadcast_vocab=bv)),
+        ("bpe_encode_docs", lambda bv: bpe_encode_docs(df, merges, broadcast_vocab=bv)),
+        ("fertility_frame", lambda bv: fertility_frame(df, merges, broadcast_vocab=bv)),
+    ):
+        bc, sh = build(True), build(False)
+        got_bc = sorted(map(tuple, bc.collect()))
+        got_sh = sorted(map(tuple, sh.collect()))
+        assert got_sh == got_bc, name
+        n_bc = bc._jdf.queryExecution().executedPlan().toString().count("BroadcastHashJoin")
+        n_sh = sh._jdf.queryExecution().executedPlan().toString().count("BroadcastHashJoin")
+        assert n_sh == n_bc - 1, (name, n_bc, n_sh)
