@@ -323,25 +323,70 @@ def _attach_vocab(occ, wtab, how: str = "inner", broadcast_vocab: bool = True):
     return occ.join(F.broadcast(wtab) if broadcast_vocab else wtab, "w", how)
 
 
-def _distinct_word_sizes(occ, merge_pairs):
-    """(w, _wt) — tokens per DISTINCT word under ``merge_pairs``, the
-    shared cheap-side table for every per-document/per-language token
-    count. Same guarded shape as tokenize_frame (traps 2 and 3 in its
-    docstring): explicit repartition so the CPU-heavy chain isn't
-    serialized by AQE's byte-based coalescing, and callers MUST attach
-    it with F.broadcast so it is the build side (streamed it would
-    re-evaluate per matched occurrence)."""
-    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+def _distinct_word_tokens(occ, merge_pairs, engine: str = "chain"):
+    """(w, _toks) — token segmentation per DISTINCT word, the shared
+    expensive-side table behind every tokenizer-application operator.
+    Guarded shape (traps 2 and 3 in tokenize_frame's docstring):
+    explicit repartition so the CPU-heavy encode isn't serialized by
+    AQE's byte-based coalescing, and callers MUST attach the result
+    with F.broadcast (or _attach_vocab) so it is the build side.
+
+    ``engine="chain"`` (default): the codegen regexp chain, one JVM
+    pass per merge — zero Python, ideal for short pinned lists (the
+    gate's 10-merge tokenizer). ``engine="arrow"``: the rank-dict
+    encoder over Arrow batches (encode_word_ranked) — cost INDEPENDENT
+    of merge count, the only feasible shape at a production tokenizer's
+    10^4-10^5 merges, where the chain would need that many regexp
+    passes per word. Requires a well-formed (trained) merge list;
+    parity with the chain is fuzz-pinned (test_tokenizer_prep)."""
     par = occ.sparkSession.sparkContext.defaultParallelism
-    return (
-        occ.select("w").where(F.col("w").isNotNull()).distinct()
-        .repartition(par)
-        .select("w", F.size(F.split(seg, " ")).alias("_wt"))
+    words = (
+        occ.select("w").where(F.col("w").isNotNull()).distinct().repartition(par)
+    )
+    if engine == "arrow":
+        if not check_well_formed(merge_pairs):
+            raise ValueError(
+                "engine='arrow' needs a well-formed (trained) merge list: "
+                "every merge part must be a single char or an earlier output"
+            )
+        ranks: dict = {}
+        for i, (a, b) in enumerate(merge_pairs):
+            ranks.setdefault((a, b), i)
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "w": pdf["w"],
+                        "_toks": pdf["w"].map(
+                            lambda w: encode_word_ranked(w, ranks)
+                        ),
+                    }
+                )
+
+        return words.mapInPandas(run, "w string, _toks array<string>")
+    if engine != "chain":
+        raise ValueError(f"unknown engine {engine!r} (chain|arrow)")
+    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
+    return words.select("w", F.split(seg, " ").alias("_toks"))
+
+
+def _distinct_word_sizes(occ, merge_pairs, engine: str = "chain"):
+    """(w, _wt) — tokens per DISTINCT word; the size projection of
+    _distinct_word_tokens (same guards, same engines)."""
+    return _distinct_word_tokens(occ, merge_pairs, engine).select(
+        "w", F.size("_toks").alias("_wt")
     )
 
 
 def bpe_encode_docs(
-    df, merge_pairs, text_col: str = "content", broadcast_vocab: bool = True
+    df,
+    merge_pairs,
+    text_col: str = "content",
+    broadcast_vocab: bool = True,
+    engine: str = "chain",
 ):
     """Per-document encode stats under ``merge_pairs``: (repo, path,
     lang, n_words, n_wchars, n_tokens). UNORDERED — a library consumer
@@ -359,7 +404,7 @@ def bpe_encode_docs(
         "lang",
         F.explode_outer(F.expr(words_expr(text_col))).alias("w"),
     )
-    wtab = _distinct_word_sizes(occ, merge_pairs)
+    wtab = _distinct_word_sizes(occ, merge_pairs, engine)
     return (
         _attach_vocab(occ, wtab, "left", broadcast_vocab)
         .groupBy("repo", "path", "lang")
@@ -389,6 +434,17 @@ def bpe_encode_docs_query(spark, sf_dir):
     )
 
 
+@register(
+    "bpe_encode_docs_arrow",
+    _Q_BPE_ENCODE_DOCS,
+    "the SAME per-document token counts through the rank-dict Arrow encoder — the merge-count-independent engine a production-sized tokenizer needs, pinned to the chain's golden",
+)
+def bpe_encode_docs_arrow_query(spark, sf_dir):
+    return bpe_encode_docs(
+        _corpus(spark), learned_merges(spark), engine="arrow"
+    ).orderBy("repo", "path")
+
+
 _Q_BPE_FERTILITY = f"""
 SELECT lang,
        CAST(sum(n_words) AS BIGINT) AS n_words,
@@ -410,7 +466,9 @@ def bpe_fertility(spark, sf_dir):
     return fertility_frame(_corpus(spark), learned_merges(spark)).orderBy("lang")
 
 
-def fertility_frame(df, merge_pairs, broadcast_vocab: bool = True):
+def fertility_frame(
+    df, merge_pairs, broadcast_vocab: bool = True, engine: str = "chain"
+):
     """Per-language fertility of ``df`` under ``merge_pairs``: (lang,
     n_words, n_wchars, n_tokens, chars_per_token_x1e4). Chain cost on
     the GLOBAL distinct-word domain (shared _distinct_word_sizes table,
@@ -420,7 +478,7 @@ def fertility_frame(df, merge_pairs, broadcast_vocab: bool = True):
     occ = df.select(
         "lang", F.explode(F.expr(words_expr("content"))).alias("w")
     )
-    wtab = _distinct_word_sizes(occ, merge_pairs)
+    wtab = _distinct_word_sizes(occ, merge_pairs, engine)
     return (
         _attach_vocab(occ, wtab, "inner", broadcast_vocab)
         .groupBy("lang")
@@ -555,6 +613,47 @@ def encode_word_py(w: str, merge_pairs) -> int:
         if len(s) > 1:
             s = merge_word_py(s, a, b)
     return len(s)
+
+
+def check_well_formed(merge_pairs) -> bool:
+    """True iff every merge's parts are single characters or outputs of
+    EARLIER merges — the invariant a TRAINED merge list satisfies by
+    construction (a trainer can only merge symbols that exist), and the
+    precondition under which rank-dict encoding equals sequential
+    merge-list application."""
+    made = set()
+    for a, b in merge_pairs:
+        if (len(a) > 1 and a not in made) or (len(b) > 1 and b not in made):
+            return False
+        made.add(a + b)
+    return True
+
+
+def encode_word_ranked(w: str, ranks: dict) -> list[str]:
+    """Rank-dict BPE encode of one word: repeatedly apply the
+    lowest-rank pair PRESENT (full left-to-right non-overlapping pass,
+    merge_word_py). Cost is independent of merge-list LENGTH — dict
+    lookups replace the sequential form's one pass per merge, which is
+    what makes a production-sized 10^4-10^5-merge tokenizer feasible.
+
+    Equal to sequential application for well-formed lists
+    (check_well_formed): every pair that appears after merging rank r
+    involves r's output symbol, and a well-formed list can only consume
+    that symbol at ranks AFTER r — so the lowest present rank is
+    non-decreasing and visits exactly the sequence of merges the
+    sequential pass fires (fuzz-pinned against encode_word_py)."""
+    syms = list(w)
+    while len(syms) > 1:
+        best = None
+        pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, pair = r, (syms[i], syms[i + 1])
+        if pair is None:
+            break
+        syms = merge_word_py(syms, *pair)
+    return syms
 
 
 # ---------------------------------------------------------------------------
@@ -745,6 +844,7 @@ def tokenize_frame(
     df, merge_pairs, ids, key_cols,
     text_col: str = "content",
     broadcast_vocab: bool = True,
+    engine: str = "chain",
 ):
     """Library tokenizer application: per-document token-ID streams
     (*key_cols, pos, token_id, token) for ANY frame under ANY merge list.
@@ -792,12 +892,7 @@ def tokenize_frame(
     from pyspark.sql import Window as W
 
     occ = _word_occurrences(df, key_cols, text_col)
-    seg = encode_tokens_col(F.array_join(F.split("w", ""), " "), merge_pairs)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    wtab = (
-        occ.select("w").distinct().repartition(par)
-        .select("w", F.split(seg, " ").alias("_toks"))
-    )
+    wtab = _distinct_word_tokens(occ, merge_pairs, engine)
     toks = _attach_vocab(occ, wtab, "inner", broadcast_vocab).select(
         *key_cols, "wpos", F.posexplode_outer("_toks").alias("tpos", "token")
     )
@@ -813,6 +908,7 @@ def doc_token_lens(
     df, merge_pairs, key_cols,
     text_col: str = "content",
     broadcast_vocab: bool = True,
+    engine: str = "chain",
 ):
     """(*key_cols, _dlen) — tokens per document INCLUDING its one EOS,
     for docs that tokenize to >=1 token. Computed on the WORD domain
@@ -826,7 +922,7 @@ def doc_token_lens(
     per-match re-evaluation hazard applies to _wt exactly as to
     _toks)."""
     occ = _word_occurrences(df, key_cols, text_col)
-    wtab = _distinct_word_sizes(occ, merge_pairs)
+    wtab = _distinct_word_sizes(occ, merge_pairs, engine)
     return (
         _attach_vocab(occ, wtab, "inner", broadcast_vocab)
         .groupBy(*key_cols)

@@ -6,15 +6,24 @@ per-distinct-word work with vocabulary x merges (plus one join back).
 
 Measured on the synthetic corpus (5k docs, 881k occurrences / 120k
 distinct words — 7.3x fewer rows but only 3.1x fewer CHARACTERS,
-distinct words are 2.4x longer): distinct-word wins ~1.3x at 10 merges
-and ~4x at 100 merges (5.2s vs 20.5s), and the gap widens with merge
-count. Getting there required three plan guards (posexplode_outer,
-explicit F.broadcast(wtab), explicit repartition) — each absent guard
-silently re-routes the chain to the occurrence domain or serializes it;
-see tokenize_frame's docstring for the mechanism of each.
+distinct words are 2.4x longer), median of 3:
+
+    merges   occurrence   distinct(chain)   distinct(arrow)
+    10       2.3s         2.3s              1.9s
+    100      18.8s        6.1s              1.9s
+    1000     (skipped)    StackOverflow     1.9s
+
+The chain's cost is linear in merges and it stops BUILDING at ~1000
+(the nested regexp_replace tree overflows the analyzer stack before a
+row is read); the rank-dict arrow engine is merge-count-independent —
+the only feasible shape at a production tokenizer's 10^4-10^5 merges.
+The distinct-word chain itself needed three plan guards or it measured
+3x SLOWER than occurrence (posexplode_outer, explicit
+F.broadcast(wtab), explicit repartition); see tokenize_frame's
+docstring for the mechanism of each.
 
 Env: CURATOR_TOKDOM_ROWS (5000), CURATOR_TOKDOM_CORES (8).
-Prints ONE JSON line with both variants at 10 and 100 merges.
+Prints ONE JSON line with all variants at 10/100/1000 merges.
 """
 
 from __future__ import annotations
@@ -69,8 +78,21 @@ def main() -> None:
     # each still costs a full regexp pass per input row, which is the
     # cost being measured (a real merge list is mostly rare pairs too)
     rare = [(chr(0x100 + i), chr(0x180 + i)) for i in range(90)]
+    # 990 extra single-char pairs: well-formed by construction, so the
+    # rank-dict engine accepts them. At m1000 ONLY the arrow engine
+    # runs: both regexp-chain variants fail before executing a single
+    # row — the 1000-deep nested regexp_replace expression tree
+    # overflows the driver's analyzer stack (java.lang.StackOverflowError
+    # at plan construction, measured). Production merge counts
+    # (10^4-10^5) are arrow-engine-only territory.
+    rare1k = [(chr(0x100 + i), chr(0x1000 + i)) for i in range(990)]
+    skip = {"1000": {"occurrence", "distinct_word"}}
     out = {"rows": ROWS, "cores": CORES, "variants": {}}
-    for n_merges, pairs in (("10", base), ("100", base + rare)):
+    for n_merges, pairs in (
+        ("10", base),
+        ("100", base + rare),
+        ("1000", base + rare1k),
+    ):
         ids = (
             vocab_table(corpus, [(a + b, i + 1) for i, (a, b) in enumerate(pairs)])
             .groupBy("token")
@@ -80,7 +102,15 @@ def main() -> None:
         for name, fn in (
             ("occurrence", tokenize_frame_occurrence),
             ("distinct_word", tokenize_frame),
+            (
+                "distinct_word_arrow",
+                lambda df, mp, ids, key: tokenize_frame(
+                    df, mp, ids, key, engine="arrow"
+                ),
+            ),
         ):
+            if name in skip.get(n_merges, ()):
+                continue
             times = []
             for _ in range(3):
                 t0 = time.monotonic()

@@ -258,3 +258,88 @@ def test_vocab_join_shuffle_parity(spark):
         n_bc = bc._jdf.queryExecution().executedPlan().toString().count("BroadcastHashJoin")
         n_sh = sh._jdf.queryExecution().executedPlan().toString().count("BroadcastHashJoin")
         assert n_sh == n_bc - 1, (name, n_bc, n_sh)
+
+
+def test_encode_word_ranked_matches_sequential():
+    """Pure-python fuzz: the rank-dict encoder == sequential merge-list
+    application on TRAINED (well-formed) merge lists — the equality
+    argument in encode_word_ranked's docstring, pinned empirically over
+    random corpora and unseen words."""
+    from curator_spark.operators.tokenizer_prep import (
+        check_well_formed,
+        encode_word_ranked,
+        merge_word_py,
+    )
+
+    rng = random.Random(99)
+    for trial in range(30):
+        corpus = [
+            "".join(rng.choice("abcdr.(") for _ in range(rng.randrange(1, 14)))
+            for _ in range(60)
+        ]
+        merges = [(a, b) for _, a, b, _, _ in reference_bpe(corpus, rng.randrange(1, 25))]
+        assert check_well_formed(merges)
+        ranks: dict = {}
+        for i, p in enumerate(merges):
+            ranks.setdefault(p, i)
+        for w in corpus + [
+            "".join(rng.choice("abcdr.(") for _ in range(rng.randrange(1, 20)))
+            for _ in range(40)
+        ]:
+            seq = list(w)
+            for a, b in merges:
+                if len(seq) > 1:
+                    seq = merge_word_py(seq, a, b)
+            assert encode_word_ranked(w, ranks) == seq, (w, merges)
+
+
+def test_arrow_engine_needs_well_formed_merges(spark):
+    """An adversarial merge list (a part that is never an earlier output)
+    must be rejected by the arrow engine, not silently mis-encoded."""
+    import pytest
+
+    from curator_spark.operators.tokenizer_prep import (
+        _distinct_word_tokens,
+        check_well_formed,
+    )
+
+    bad = [("ab", "c")]  # "ab" was never made
+    assert not check_well_formed(bad)
+    occ = spark.createDataFrame([("abc",)], "w string")
+    with pytest.raises(ValueError, match="well-formed"):
+        _distinct_word_tokens(occ, bad, engine="arrow")
+
+
+def test_tokenize_frame_arrow_parity(spark):
+    """tokenize_frame(engine='arrow') must reproduce the chain engine's
+    token-ID stream exactly (same rows, same positions) on a trained
+    merge list."""
+    from curator_spark.operators.tokenizer_prep import tokenize_frame
+
+    rng = random.Random(77)
+    rows = [
+        {
+            "repo": f"org/r{i % 3}",
+            "path": f"f{i}.txt",
+            "content": " ".join(
+                "".join(rng.choice("abrc. ") for _ in range(rng.randrange(1, 8))).strip()
+                for _ in range(rng.randrange(1, 10))
+            ),
+        }
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows)
+    golden = reference_bpe([r["content"] for r in rows], 6)
+    merges = [(a, b) for _, a, b, _, _ in golden]
+    toks = {a + b for _, a, b, _, _ in golden}
+    chars = {c for r in rows for c in r["content"] if not c.isspace()}
+    ids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(sorted(chars | toks))],
+        "token string, token_id long",
+    )
+    key = ["repo", "path"]
+    chain = sorted(map(tuple, tokenize_frame(df, merges, ids, key).collect()))
+    arrow = sorted(
+        map(tuple, tokenize_frame(df, merges, ids, key, engine="arrow").collect())
+    )
+    assert arrow == chain and len(chain) > 0
