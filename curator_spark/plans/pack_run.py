@@ -60,9 +60,20 @@ class PackRun:
         seq_len: int = 128,
         n_shards: int = 4,
         catalog=None,
+        engine: str = "chain",
     ) -> None:
+        """``engine``: tokenizer-application engine ('chain' = per-merge
+        codegen regexp passes, right for short merge lists; 'arrow' =
+        rank-dict encoder, merge-count-independent — the only feasible
+        shape at a production tokenizer's 10^4-10^5 merges, where the
+        chain's nested expression tree overflows the analyzer stack).
+        Deliberately NOT part of the stage fingerprint: the engines are
+        parity-pinned (test_tokenizer_prep), so the committed artifact
+        is engine-independent and a resume may switch engines without
+        invalidating committed shards (tested)."""
         self.seq_len = seq_len
         self.n_shards = n_shards
+        self.engine = engine
         self.work_dir = work_dir
         self.stage = ResumableStage(
             "rel-pack", KEY_COLS, work_dir,
@@ -79,13 +90,17 @@ class PackRun:
         def pack(df: DataFrame) -> DataFrame:
             from ..operators.tokenizer_prep import doc_token_lens
 
-            stream = tokenize_frame(df, self._merge_pairs, ids, KEY_COLS).select(
+            stream = tokenize_frame(
+                df, self._merge_pairs, ids, KEY_COLS, engine=self.engine
+            ).select(
                 *KEY_COLS, "pos", "token_id"
             ).unionByName(eos_rows(df, KEY_COLS))
             shard = F.pmod(F.xxhash64(*KEY_COLS), F.lit(self.n_shards)).cast("int")
             return pack_stream(
                 stream, KEY_COLS, shard, self.seq_len, with_tokens=True,
-                doc_lens=doc_token_lens(df, self._merge_pairs, KEY_COLS),
+                doc_lens=doc_token_lens(
+                    df, self._merge_pairs, KEY_COLS, engine=self.engine
+                ),
             )
 
         return pack

@@ -290,6 +290,7 @@ class ReleaseRun:
         train_tokenizer: int | None = None,
         pack_sequences: int | None = None,
         pack_seq_len: int = 128,
+        pack_engine: str = "chain",
     ) -> None:
         """``benchmarks_token``: optional explicit version label for the
         benchmark set. When omitted, run() derives an identity from the
@@ -336,7 +337,7 @@ class ReleaseRun:
 
             self.pack_run = PackRun(
                 work_dir, seq_len=pack_seq_len, n_shards=pack_sequences,
-                catalog=catalog,
+                catalog=catalog, engine=pack_engine,
             )
         else:
             self.pack_run = None

@@ -172,3 +172,48 @@ def test_release_pack_kill_resume_and_retrain_invalidation(spark, tmp_path):
 def test_pack_requires_tokenizer(spark, tmp_path):
     with pytest.raises(ValueError, match="train_tokenizer"):
         ReleaseRun(str(tmp_path / "w"), pack_sequences=2)
+
+
+def test_pack_engine_is_identity_neutral(spark, tmp_path):
+    """engine='arrow' (rank-dict, merge-count-independent) must produce
+    a bit-identical committed artifact to the chain engine — and because
+    the engines are parity-pinned, a resume may SWITCH engines without
+    invalidating committed shards: kill a chain-engine run mid-way,
+    resume with arrow, and the mixed artifact equals both pure runs."""
+    from curator_spark.plans.pack_run import PackRun
+    from scripts.make_bpe_golden import reference_bpe
+
+    corpus = _corpus(spark, tmp_path)
+    merges = reference_bpe([r.content for r in corpus.collect()], 6)
+
+    def artifact(run):
+        return {
+            (r.shard, r.seq_id): (list(r.token_ids), r.n_docs, r.token_sum)
+            for r in run.output(spark).collect()
+        }
+
+    chain = PackRun(str(tmp_path / "pc"), seq_len=SEQ_LEN, n_shards=N_SHARDS)
+    chain.run(spark, corpus, merges)
+    want = artifact(chain)
+    assert want
+
+    arrow = PackRun(
+        str(tmp_path / "pa"), seq_len=SEQ_LEN, n_shards=N_SHARDS, engine="arrow"
+    )
+    arrow.run(spark, corpus, merges)
+    assert artifact(arrow) == want
+
+    # mixed-engine resume in ONE work dir: chain commits shard 0, dies;
+    # the arrow resume repacks ONLY the missing shards
+    mixed_dir = str(tmp_path / "pm")
+    with pytest.raises(StageInterrupted):
+        PackRun(mixed_dir, seq_len=SEQ_LEN, n_shards=N_SHARDS).run(
+            spark, corpus, merges, fail_after_batches=1
+        )
+    resumed = PackRun(
+        mixed_dir, seq_len=SEQ_LEN, n_shards=N_SHARDS, engine="arrow"
+    ).run(spark, corpus, merges)
+    assert len(resumed.batches_run) == N_SHARDS - 1  # chain shard kept
+    assert len(resumed.batches_skipped) == 1
+    mixed = PackRun(mixed_dir, seq_len=SEQ_LEN, n_shards=N_SHARDS, engine="arrow")
+    assert artifact(mixed) == want
