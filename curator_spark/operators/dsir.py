@@ -1,0 +1,268 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+NeurIPS; public paper): select raw-pool documents whose hashed n-gram
+feature distribution matches a target corpus. The production data-
+selection operator behind "make my crawl look like Wikipedia" — here
+instantiated on the code corpus as "select the non-python files that
+look most python-like" (target = claimed lang 'python', pool = rest),
+the mixture-expansion move a code-model data pipeline actually makes.
+
+Method (faithful to the paper, re-expressed as DataFrame algebra):
+
+1. hashed n-gram features — every word unigram AND adjacent bigram,
+   hashed into ``B`` buckets (the paper's hashed generative model; the
+   hash is the repo-standard md5 slice, domain-separated 'dsir|').
+2. two bag-of-buckets generative models with Laplace smoothing: p from
+   the target docs, q from the pool docs.
+3. per-doc log importance weight  log w(d) = Σ_b c_b(d)·(ln p_b − ln q_b)
+4. Gumbel top-k resampling: top K of  log w(d) + g_d  with g_d standard
+   Gumbel noise — sampling-without-replacement proportional to w(d)
+   (the Gumbel-max trick the paper uses). Noise is DETERMINISTIC here:
+   the uniform comes from an md5 slice of the doc key ('dsirg|' domain),
+   so selection is reproducible across partitionings and engines.
+
+Cross-engine exactness: all counts are integers; both log-prob tables
+are quantized ``round(1e6·ln(int/int))::bigint`` (the nb_classifier
+idiom — exact-integer doubles divide correctly-rounded, ln agrees to
+1 ulp, 12 orders inside the grid); doc weights are BIGINT dot products
+of counts with the quantized log-ratio. Gumbel noise quantizes
+``round(1e6·(−ln(−ln(u))))`` with u=(h+0.5)/2^32 an exact dyadic
+rational — two chained lns keep relative error ~1e-15, still ~9 orders
+inside the quantization grid.
+
+Scale shape (10^12 files): ONE explode pass over the corpus feeds a
+per-(doc, bucket) hash-aggregate with map-side combine (the only wide
+shuffle; persisted query-scoped because model fit and doc scoring both
+read it); both models are the SAME B-row aggregate of that table
+(conditional sums, the NB per-class-sum pattern); the log-ratio table
+is B rows, broadcast; scoring is a broadcast probe + per-doc sum; the
+final top-k is a TakeOrdered, no global sort. Nothing driver-side but
+two scalar totals and the B-row grid. B is a free parameter you raise
+with vocabulary size (the paper uses 10^4; 256 here keeps the sf-test
+oracle readable) — the model stays broadcastable at any realistic B.
+
+Reference anchor: curator's quality-filtering loop selects by per-doc
+model scores (llm.py:187 map + filter); DSIR is the corpus-level
+analog a pretraining pipeline runs before any per-doc model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bucket
+from .registry import register, scratch
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+B = 256
+TARGET_LANG = "python"
+TOP_K = 200
+
+def _grams_expr(text_col: str) -> str:
+    """Unigrams + adjacent bigrams of a column, one linear per-row
+    expression (column name is a real parameter — never substituted into
+    a data template); the _let idiom (transform over a 1-element array)
+    keeps the split from re-evaluating per gram."""
+    return f"""
+transform(array(filter(split({text_col}, '[ \\t\\n]+'), w -> w != '')), wz ->
+  concat(wz,
+    CASE WHEN size(wz) >= 2
+         THEN transform(sequence(1, size(wz) - 1),
+                        i -> concat(element_at(wz, i), ' ', element_at(wz, i + 1)))
+         ELSE cast(array() as array<string>) END)
+)[0]
+"""
+
+_DUCK_B = f"('0x' || substr(md5('dsir|' || g), 1, 8))::BIGINT % {B}"
+
+# shared oracle CTE chain: per-(doc, bucket) counts -> model -> quantized
+# log-ratio grid -> per-doc weights (the pool LEFT JOIN restores docs
+# whose content is whitespace-only / gram-free with weight 0)
+_DUCK_WDOC = f"""
+docs AS (
+  SELECT repo, path, lang,
+         list_filter(str_split_regex(content, '[ \\t\\n]+'), w -> w != '') AS wz
+  FROM {_CORPUS_DUCK}
+),
+grams AS (
+  SELECT repo, path, lang,
+         unnest(wz || list_transform(generate_series(1, len(wz) - 1),
+                                     i -> wz[i] || ' ' || wz[i + 1])) AS g
+  FROM docs
+),
+db AS (
+  SELECT repo, path, lang, {_DUCK_B} AS b, count(*) AS c
+  FROM grams GROUP BY ALL
+),
+model AS (
+  SELECT b,
+         coalesce(sum(c) FILTER (lang = '{TARGET_LANG}'), 0) AS tc,
+         coalesce(sum(c) FILTER (lang != '{TARGET_LANG}'), 0) AS pc
+  FROM db GROUP BY b
+),
+tot AS (
+  SELECT coalesce(sum(tc), 0) AS tt, coalesce(sum(pc), 0) AS pt FROM model
+),
+lr AS (
+  SELECT g.b,
+         cast(round(1000000 * ln(cast(coalesce(m.tc, 0) + 1 AS DOUBLE)
+              / cast(t.tt + {B} AS DOUBLE)), 0) AS BIGINT)
+       - cast(round(1000000 * ln(cast(coalesce(m.pc, 0) + 1 AS DOUBLE)
+              / cast(t.pt + {B} AS DOUBLE)), 0) AS BIGINT) AS lrq
+  FROM (SELECT unnest(generate_series(0, {B - 1})) AS b) g
+  LEFT JOIN model m ON m.b = g.b, tot t
+),
+wdoc AS (
+  SELECT c.repo, c.path, c.lang,
+         cast(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+         cast(coalesce(w.wq, 0) AS BIGINT) AS wq
+  FROM (SELECT repo, path, lang FROM {_CORPUS_DUCK}
+        WHERE lang != '{TARGET_LANG}') c
+  LEFT JOIN (
+    SELECT d.repo, d.path, sum(d.c) AS n_grams, sum(d.c * l.lrq) AS wq
+    FROM db d JOIN lr l ON l.b = d.b
+    WHERE d.lang != '{TARGET_LANG}' GROUP BY ALL
+  ) w USING (repo, path)
+)
+"""
+
+_Q_DSIR_WEIGHTS = f"""
+WITH {_DUCK_WDOC}
+SELECT repo, path, lang, n_grams, wq FROM wdoc
+ORDER BY repo, path
+"""
+
+_DUCK_GUMBEL = (
+    "cast(round(1000000 * -ln(-ln("
+    "(('0x' || substr(md5('dsirg|' || repo || '|' || path), 1, 8))::BIGINT"
+    " + 0.5) / 4294967296.0)), 0) AS BIGINT)"
+)
+
+_Q_DSIR_SELECT = f"""
+WITH {_DUCK_WDOC},
+scored AS (
+  SELECT repo, path, lang, wq, {_DUCK_GUMBEL} AS gq,
+         wq + {_DUCK_GUMBEL} AS score_q
+  FROM wdoc
+)
+SELECT cast(row_number() OVER (ORDER BY score_q DESC, repo, path) AS BIGINT)
+         AS rank,
+       repo, path, lang, wq, gq, score_q
+FROM scored
+QUALIFY row_number() OVER (ORDER BY score_q DESC, repo, path) <= {TOP_K}
+ORDER BY rank
+"""
+
+
+def dsir_doc_buckets(df, text_col: str = "content", key_cols=("repo", "path")):
+    """(*key_cols, lang, b, c) — per-document hashed-gram bucket counts,
+    the one explode pass everything else aggregates from."""
+    grams = df.select(
+        *key_cols, "lang", F.explode(F.expr(_grams_expr(text_col))).alias("g")
+    )
+    return (
+        grams.withColumn("b", md5_bucket(F.concat(F.lit("dsir|"), F.col("g")), B))
+        .groupBy(*key_cols, "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratio(docb, target_pred):
+    """Dense B-row quantized log-ratio table (b, lrq) from per-doc bucket
+    counts: Laplace-smoothed target log-prob minus pool log-prob,
+    ``round(1e6·ln)::bigint`` each. ``target_pred`` is the boolean Column
+    marking target-corpus rows. Two bounded collects (the scalar totals);
+    the grid itself stays a broadcastable B-row frame."""
+    spark = docb.sparkSession
+    model = docb.groupBy("b").agg(
+        F.coalesce(F.sum(F.when(target_pred, F.col("c"))), F.lit(0)).alias("tc"),
+        F.coalesce(F.sum(F.when(~target_pred, F.col("c"))), F.lit(0)).alias("pc"),
+    )
+    tot = model.agg(F.sum("tc").alias("tt"), F.sum("pc").alias("pt")).collect()[0]
+    tt, pt = int(tot.tt or 0), int(tot.pt or 0)
+    grid = spark.range(B).select(F.col("id").cast("bigint").alias("b"))
+    m = grid.join(model, "b", "left")
+    lq = F.expr(
+        f"cast(round(1000000 * ln(cast(coalesce(tc, 0) + 1 as double)"
+        f" / cast({tt} + {B} as double)), 0) as bigint)"
+    )
+    rq = F.expr(
+        f"cast(round(1000000 * ln(cast(coalesce(pc, 0) + 1 as double)"
+        f" / cast({pt} + {B} as double)), 0) as bigint)"
+    )
+    return m.select("b", (lq - rq).alias("lrq"))
+
+
+def dsir_weights_frame(df, target_pred_sql: str = f"lang = '{TARGET_LANG}'"):
+    """(repo, path, lang, n_grams, wq) for every POOL document of ``df``
+    — wq is the quantized log importance weight. One explode shuffle
+    (persisted query-scoped: the model fit and the doc scoring both read
+    it), one B-row broadcast probe, one per-doc aggregate."""
+    pred = F.expr(target_pred_sql)
+    docb = scratch(dsir_doc_buckets(df).persist())
+    lr = dsir_log_ratio(docb, pred)
+    wdoc = (
+        docb.filter(~pred)
+        .join(F.broadcast(lr), "b")
+        .groupBy("repo", "path", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lrq")).cast("long").alias("wq"),
+        )
+    )
+    pool = df.filter(~pred).select("repo", "path", "lang")
+    return pool.join(wdoc, ["repo", "path", "lang"], "left").select(
+        "repo",
+        "path",
+        "lang",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("wq", F.lit(0)).cast("long").alias("wq"),
+    )
+
+
+@register(
+    "dsir_weights",
+    _Q_DSIR_WEIGHTS,
+    "DSIR hashed-ngram log importance weights (target=python model vs pool model) per pool document",
+)
+def dsir_weights(spark, sf_dir):
+    return dsir_weights_frame(_corpus(spark)).orderBy("repo", "path")
+
+
+def dsir_select_frame(df, k: int = TOP_K):
+    """Gumbel top-k importance resample of the pool: (rank, repo, path,
+    lang, wq, gq, score_q). The noise uniform is an md5 slice of the doc
+    key — deterministic, partitioning-independent. Top-k is an explicit
+    ``orderBy().limit(k)`` — a distributed TakeOrdered — and the rank
+    window runs over the k surviving rows only (a bare row_number window
+    would single-partition the whole pool; Spark does NOT push a limit
+    below a window on its own)."""
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("dsirg"), "repo", "path")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gq = F.round(F.lit(1000000) * -F.log(-F.log(u)), 0).cast("bigint")
+    scored = dsir_weights_frame(df).select(
+        "repo", "path", "lang", "wq", gq.alias("gq")
+    ).withColumn("score_q", (F.col("wq") + F.col("gq")).cast("long"))
+    top = scored.orderBy(F.col("score_q").desc(), "repo", "path").limit(k)
+    w = W.orderBy(F.col("score_q").desc(), "repo", "path")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "repo", "path", "lang", "wq", "gq", "score_q"
+    )
+
+
+@register(
+    "dsir_select",
+    _Q_DSIR_SELECT,
+    "DSIR Gumbel top-k resample: the 200 pool docs selected in proportion to their importance weight, deterministic noise",
+)
+def dsir_select(spark, sf_dir):
+    return dsir_select_frame(_corpus(spark)).orderBy("rank")

@@ -1,0 +1,68 @@
+"""DSIR importance resampling — semantics beyond the value-hash oracle:
+python-looking pool docs outweigh unrelated ones, the selection is the
+Gumbel-perturbed top-k of the weights, and the pool inventory is
+complete (gram-free docs included at weight 0)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from curator_spark.operators.dsir import (
+    TOP_K,
+    dsir_select_frame,
+    dsir_weights_frame,
+)
+
+_PY = "def handler(self, request): return self.dispatch(request)"
+_GO = "func main() { fmt.Println(err) } var x int64 = 42"
+
+
+def _frame(spark):
+    rows = [
+        # target: python docs establishing the target distribution
+        *[
+            ("t", f"t{i}.py", "python", _PY + f" # v{i}")
+            for i in range(8)
+        ],
+        # pool: one python-looking doc, one go-looking doc, one empty
+        ("p", "looks_py.txt", "markdown", _PY),
+        ("p", "looks_go.txt", "markdown", _GO),
+        ("p", "blank.txt", "markdown", " \t\n "),
+    ]
+    return spark.createDataFrame(rows, "repo string, path string, lang string, content string")
+
+
+def test_weights_rank_python_like_content(spark):
+    w = {
+        r.path: r for r in dsir_weights_frame(_frame(spark)).collect()
+    }
+    assert set(w) == {"looks_py.txt", "looks_go.txt", "blank.txt"}
+    assert w["looks_py.txt"].wq > w["looks_go.txt"].wq
+    assert w["blank.txt"].wq == 0 and w["blank.txt"].n_grams == 0
+
+
+def test_select_is_gumbel_topk_of_weights(spark):
+    df = _frame(spark)
+    got = dsir_select_frame(df, k=2).collect()
+    assert [r.rank for r in got] == [1, 2]
+    # rank order IS the score order, and score = wq + gq exactly
+    assert all(r.score_q == r.wq + r.gq for r in got)
+    assert got[0].score_q >= got[1].score_q
+    # with an overwhelming weight gap the python-like doc must win:
+    # gumbel noise is quantized-1e6 and bounded well under this margin
+    all_w = {r.path: r.wq for r in dsir_weights_frame(df).collect()}
+    if all_w["looks_py.txt"] - max(
+        all_w["looks_go.txt"], all_w["blank.txt"]
+    ) > 50_000_000:
+        assert got[0].path == "looks_py.txt"
+
+
+def test_gate_pool_is_complete(spark):
+    from curator_spark.operators.repo_ops import _corpus
+
+    d = _corpus(spark)
+    n_pool = d.filter(F.col("lang") != "python").count()
+    w = dsir_weights_frame(d)
+    assert w.count() == n_pool
+    sel = dsir_select_frame(d)
+    assert sel.count() == min(TOP_K, n_pool)
