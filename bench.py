@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "pack_manifest",
     "pack_doc_spans",
+    "dsir_weights",
+    "dsir_select",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

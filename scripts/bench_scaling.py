@@ -12,6 +12,17 @@ trials (machine capability, not weather); every raw run is reported.
 
 Each level runs in its own subprocess (one JVM cannot change master).
 Writes BENCH_SCALING.json at the repo root.
+
+CPU pinning (CURATOR_SCALING_PIN=1): in local mode, a local[N] JVM on a
+32-core host is NOT an N-core cluster — GC threads, Arrow IPC, parquet
+footer reads, and the Python workers of mapInPandas all spill onto the
+idle cores, so the N-level throughput is silently inflated and the
+measurable N->4N efficiency is capped below what the same plan gives on
+a real N-executor vs 4N-executor cluster (where total cores really do
+quadruple). With pinning, each level's subprocess is confined to exactly
+`cores` hardware CPUs via `taskset -c 0-(cores-1)`, making throughput_4N
+/(4*throughput_N) the honest cluster-scaling analog the north rule asks
+for.
 """
 
 from __future__ import annotations
@@ -24,12 +35,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+PIN = os.environ.get("CURATOR_SCALING_PIN", "") == "1"
+
+
 def run_at(cores: int, rows: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
     env["CURATOR_BENCH_CORPUS_ROWS"] = str(rows)
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if PIN else []
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench_pipeline_only.py")],
+        prefix + [sys.executable, os.path.join(REPO, "bench_pipeline_only.py")],
         capture_output=True,
         text=True,
         env=env,
@@ -61,7 +76,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
-        "methodology": "interleaved trials, best-per-level (host shows heavy CPU steal)",
+        "methodology": (
+            "interleaved trials, best-per-level (host shows heavy CPU steal)"
+            + (", taskset-pinned to exactly N CPUs per level" if PIN else "")
+        ),
+        "pinned": PIN,
         "raw_runs": {
             f"N{n}": [r["runs_sec"] for r in raw[n]],
             f"N{n4}": [r["runs_sec"] for r in raw[n4]],
