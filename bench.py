@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "pack_doc_spans",
     "dsir_weights",
     "dsir_select",
+    "lm_train",
+    "lm_score_docs",
+    "ppl_buckets",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -43,3 +43,4 @@ from . import repo_context  # noqa: F401,E402
 from . import similarity_report  # noqa: F401,E402
 from . import embedding  # noqa: F401,E402
 from . import dsir  # noqa: F401,E402
+from . import lm  # noqa: F401,E402

@@ -1,0 +1,356 @@
+"""In-engine n-gram language-model training + CCNet perplexity buckets.
+
+Closes the train-your-own-scorer loop for the LAST fixed model in the
+engine: the quality pipeline's KenLM-style perplexity stage scores with
+an embedded seed-corpus trigram table (functions/perplexity.py); here
+the SAME char-trigram model family is TRAINED distributed, in-engine,
+on an in-domain target slice of the corpus (claimed-lang 'python' — the
+CCNet move: train the LM on the clean/target domain, score everything
+against it), then every document is scored under the trained table and
+partitioned into CCNet's head / middle / tail perplexity buckets per
+language (Wenzek et al. 2019, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data" — public paper).
+
+Scale shape (10^12 files):
+
+* training — ONE Arrow pass (`mapInPandas`) over the target slice; each
+  batch bincounts its trigram indices and emits only the NONZERO
+  (tri_id, c) rows, so a partition contributes at most N_TRI = 34^3 =
+  39,304 rows regardless of input bytes; the only shuffle is the
+  tri_id roll-up over that bounded key domain (map-side combine). A
+  pure-SQL formulation would need one exploded row PER CHARACTER
+  (10^15 rows at target scale) — this is exactly the case the task
+  brief reserves for Arrow-batched Python.
+* the model — the dense (tri_id, c, lpq) grid is 39,304 rows
+  (~1 MB); context totals are a 1,156-row broadcast join. Add-ONE
+  smoothing (vs the embedded scorer's k=0.1) keeps every log argument
+  a ratio of exact integers: lpq = round(1e6*ln((c+1)/(ctx_c+34)))
+  ::bigint — the nb_classifier/dsir cross-engine quantization idiom.
+* scoring — zero shuffle: the quantized table is a bounded collect
+  (39,304 rows -> a 314 KB int64 array in the task closure, the
+  nb-model pattern), and each Arrow batch scores with one gather +
+  one integer segment-sum. Per-doc outputs are exact BIGINTs
+  (n_pos, sum_lpq) — no floating mean ever crosses an engine
+  boundary; downstream comparisons cross-multiply instead of divide.
+* buckets — CCNet's head/middle/tail WITHOUT a per-language global
+  sort (a 7-key sort of 10^12 docs is the textbook skew disaster):
+  docs map to coarse histogram bins (0.01-nat grid), the per-(lang,
+  bin) roll-up is tiny, tercile CUTOFF bins come from a cumulative
+  window over that tiny table, and assignment is a broadcast join +
+  map. CCNet itself derives cutoffs from a sample; the exact
+  histogram is strictly stronger and just as cheap.
+
+Cross-engine exactness: content is NUL-free ASCII (enforced for the
+fixture; at scale the scrub stage guarantees it), so DuckDB re-derives
+EVERYTHING from raw content — per-position char classes (the 34-symbol
+alphabet of functions/trigram.py as a CASE), trigram ids, training
+counts, the smoothed quantized grid, per-doc integer sums, bins,
+cutoffs, buckets — sharing only integers with Spark, never a float.
+
+Reference anchor: curator's quality loop scores each row with a model
+the executor loads once (vllm_offline_request_processor.py:41-53);
+training that model from the corpus itself is the corpus-level analog
+(same pattern as operators/nb_classifier.py and tokenizer_prep.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.trigram import N_SYM, N_TRI, ZERO_SLOT, BatchEncoding
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+TARGET_LANG = "python"
+BIN_Q = 10_000  # histogram bin = 0.01 nat on the 1e6-quantized grid
+EMPTY_BIN = -1_000_000  # docs with no trigram positions: worst bin
+
+
+# ---------------------------------------------------------------------------
+# training: corpus -> sparse trigram counts -> dense quantized table
+
+
+def lm_trigram_counts(df, text_col: str = "content"):
+    """(tri_id, c) sparse trigram counts of ``df[text_col]`` — one Arrow
+    pass; each batch emits its nonzero bincount rows (<= N_TRI per
+    batch), then one bounded-domain roll-up."""
+
+    def count(batches):
+        for pdf in batches:
+            enc = BatchEncoding(pdf[text_col])
+            if not len(enc.idx):
+                continue
+            valid = enc.idx != ZERO_SLOT
+            cnt = np.bincount(enc.idx[valid], minlength=N_TRI)
+            nz = np.nonzero(cnt)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {"tri_id": nz.astype(np.int64), "c": cnt[nz].astype(np.int64)}
+                )
+
+    return (
+        df.select(text_col)
+        .mapInPandas(count, schema="tri_id long, c long")
+        .groupBy("tri_id")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def lm_table_frame(counts):
+    """Dense (tri_id, c, lpq) add-one-smoothed quantized log-prob grid
+    from sparse counts: 39,304 rows, context totals via a 1,156-row
+    broadcast join, lpq = round(1e6*ln((c+1)/(ctx_c+34)))::bigint."""
+    spark = counts.sparkSession
+    grid = spark.range(N_TRI).select(F.col("id").cast("long").alias("tri_id"))
+    dense = grid.join(counts, "tri_id", "left").select(
+        "tri_id", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    ctx_tot = dense.groupBy(F.expr(f"tri_id DIV {N_SYM}").alias("ctx")).agg(
+        F.sum("c").alias("ctx_c")
+    )
+    return (
+        dense.withColumn("ctx", F.expr(f"tri_id DIV {N_SYM}"))
+        .join(F.broadcast(ctx_tot), "ctx")
+        .select(
+            "tri_id",
+            "c",
+            F.expr(
+                f"cast(round(1000000 * ln(cast(c + 1 as double)"
+                f" / cast(ctx_c + {N_SYM} as double)), 0) as bigint)"
+            ).alias("lpq"),
+        )
+    )
+
+
+def collect_table(table_df) -> np.ndarray:
+    """Bounded collect of the trained grid into the flat int64 gather
+    table (N_TRI+1; ZERO_SLOT stays 0 so boundary positions contribute
+    nothing) — the executor-local-model pattern, 314 KB."""
+    tq = np.zeros(N_TRI + 1, dtype=np.int64)
+    for r in table_df.select("tri_id", "lpq").collect():
+        tq[r.tri_id] = r.lpq
+    return tq
+
+
+# ---------------------------------------------------------------------------
+# scoring: trained table -> per-doc exact integer (n_pos, sum_lpq)
+
+
+def lm_score_frame(df, tq: np.ndarray, key_cols=("repo", "path", "lang")):
+    """(*key_cols, n_pos, sum_lpq) per document under quantized table
+    ``tq`` — zero shuffle, one gather + int64 segment-sum per batch.
+    n_pos = max(bytes-2, 0); empty/short docs survive with (0, 0)."""
+    keys = list(key_cols)
+
+    def score(batches):
+        for pdf in batches:
+            enc = BatchEncoding(pdf["content"])
+            if len(enc.idx):
+                contrib = tq[enc.idx]
+                csum = np.zeros(len(contrib) + 1, dtype=np.int64)
+                np.cumsum(contrib, out=csum[1:])
+                ends = np.minimum(enc.starts + enc.counts, len(enc.idx))
+                sums = csum[ends] - csum[enc.starts]
+            else:
+                sums = np.zeros(enc.n_docs, dtype=np.int64)
+            out = {k: pdf[k] for k in keys}
+            out["n_pos"] = enc.counts.astype(np.int64)
+            out["sum_lpq"] = sums.astype(np.int64)
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(f"{k} string" for k in keys) + ", n_pos long, sum_lpq long"
+    return df.select(*keys, "content").mapInPandas(score, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets: histogram bins -> tercile cutoffs -> broadcast assignment
+
+_BIN_EXPR = (
+    f"cast(CASE WHEN n_pos = 0 THEN {EMPTY_BIN} ELSE "
+    f"floor(cast(sum_lpq as double) / (cast(n_pos as double) * {BIN_Q}.0)) "
+    f"END as bigint)"
+)
+
+
+def ppl_bucket_frame(scored):
+    """(repo, path, lang, bin, bucket) — CCNet head/middle/tail per
+    language. Bins are exact integer floors of the mean quantized
+    log-prob on a 0.01-nat grid; cutoff bins b1/b2 are the largest bins
+    whose descending cumulative doc count reaches ceil(n/3) /
+    ceil(2n/3); the cumulative window runs over the per-(lang, bin)
+    roll-up (langs x ~1k bins — tiny), never the corpus."""
+    from pyspark.sql import Window as W
+
+    binned = scored.withColumn("bin", F.expr(_BIN_EXPR))
+    bins = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("nb"))
+    w = W.partitionBy("lang").orderBy(F.col("bin").desc())
+    cum = bins.withColumn("cum", F.sum("nb").over(w)).withColumn(
+        "n", F.sum("nb").over(W.partitionBy("lang"))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("bin"))).alias("b1"),
+        F.max(F.when(F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("bin"))).alias(
+            "b2"
+        ),
+    )
+    return binned.join(F.broadcast(cuts), "lang").select(
+        "repo",
+        "path",
+        "lang",
+        "bin",
+        F.expr(
+            "CASE WHEN bin >= b1 THEN 'head' WHEN bin >= b2 THEN 'middle'"
+            " ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles: DuckDB re-derives everything from raw content
+
+def _cls(c: str) -> str:
+    """The 34-symbol alphabet of functions/trigram.py as a DuckDB CASE
+    over a single-char expression (corpus content is NUL-free ASCII, so
+    chars == bytes and the two encodes agree position-for-position)."""
+    return f"""CASE
+ WHEN {c} BETWEEN 'a' AND 'z' THEN ascii({c}) - 97
+ WHEN {c} BETWEEN 'A' AND 'Z' THEN ascii({c}) - 65
+ WHEN {c} BETWEEN '0' AND '9' THEN 26
+ WHEN {c} IN (' ', chr(9)) THEN 27
+ WHEN {c} IN (chr(10), chr(13)) THEN 28
+ WHEN {c} IN ('(', '[', '{{', '<') THEN 29
+ WHEN {c} IN (')', ']', '}}', '>') THEN 30
+ WHEN {c} IN ('+','-','*','/','=','%','&','|','^','~','!','?','.',',',':',';','_','@','#','$') THEN 31
+ WHEN {c} IN (chr(39), '"', chr(96)) THEN 32
+ ELSE 33 END"""
+
+
+_DUCK_TRI = f"""
+pos AS (
+  SELECT repo, path, lang, content,
+         unnest(generate_series(1, length(content) - 2)) AS i
+  FROM {_CORPUS_DUCK}
+  WHERE length(content) >= 3
+),
+tri AS (
+  SELECT repo, path, lang,
+         ({_cls("substr(content, i, 1)")}) * {N_SYM * N_SYM}
+       + ({_cls("substr(content, i + 1, 1)")}) * {N_SYM}
+       + ({_cls("substr(content, i + 2, 1)")}) AS tri_id
+  FROM pos
+),
+tcounts AS (
+  SELECT tri_id, count(*) AS c FROM tri
+  WHERE lang = '{TARGET_LANG}' GROUP BY tri_id
+),
+grid AS (
+  SELECT g.tri_id, coalesce(t.c, 0) AS c
+  FROM (SELECT unnest(generate_series(0, {N_TRI - 1})) AS tri_id) g
+  LEFT JOIN tcounts t USING (tri_id)
+),
+lmtab AS (
+  SELECT grid.tri_id, grid.c,
+         cast(round(1000000 * ln(cast(grid.c + 1 AS DOUBLE)
+              / cast(x.ctx_c + {N_SYM} AS DOUBLE)), 0) AS BIGINT) AS lpq
+  FROM grid
+  JOIN (SELECT tri_id // {N_SYM} AS ctx, sum(c) AS ctx_c
+        FROM grid GROUP BY 1) x
+    ON grid.tri_id // {N_SYM} = x.ctx
+)
+"""
+
+_Q_LM_TRAIN = f"""
+WITH {_DUCK_TRI}
+SELECT tri_id, c, lpq FROM lmtab ORDER BY tri_id
+"""
+
+_DUCK_SCORED = f"""{_DUCK_TRI},
+dsum AS (
+  SELECT t.repo, t.path, count(*) AS np_, sum(l.lpq) AS sq
+  FROM tri t JOIN lmtab l USING (tri_id)
+  GROUP BY t.repo, t.path
+),
+scored AS (
+  SELECT c.repo, c.path, c.lang,
+         cast(greatest(length(c.content) - 2, 0) AS BIGINT) AS n_pos,
+         cast(coalesce(d.sq, 0) AS BIGINT) AS sum_lpq
+  FROM {_CORPUS_DUCK} c LEFT JOIN dsum d USING (repo, path)
+)
+"""
+
+_Q_LM_SCORE = f"""
+WITH {_DUCK_SCORED}
+SELECT repo, path, lang, n_pos, sum_lpq FROM scored
+ORDER BY repo, path
+"""
+
+_Q_PPL_BUCKETS = f"""
+WITH {_DUCK_SCORED},
+binned AS (
+  SELECT repo, path, lang,
+         cast(CASE WHEN n_pos = 0 THEN {EMPTY_BIN} ELSE
+           floor(cast(sum_lpq AS DOUBLE) / (cast(n_pos AS DOUBLE) * {BIN_Q}.0))
+         END AS BIGINT) AS bin
+  FROM scored
+),
+bins AS (
+  SELECT lang, bin, count(*) AS nb FROM binned GROUP BY lang, bin
+),
+cum AS (
+  SELECT lang, bin,
+         sum(nb) OVER (PARTITION BY lang ORDER BY bin DESC) AS cum,
+         sum(nb) OVER (PARTITION BY lang) AS n
+  FROM bins
+),
+cuts AS (
+  SELECT lang,
+         max(CASE WHEN cum >= (n + 2) // 3 THEN bin END) AS b1,
+         max(CASE WHEN cum >= (2 * n + 2) // 3 THEN bin END) AS b2
+  FROM cum GROUP BY lang
+)
+SELECT b.repo, b.path, b.lang, b.bin,
+       CASE WHEN b.bin >= c.b1 THEN 'head'
+            WHEN b.bin >= c.b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM binned b JOIN cuts c USING (lang)
+ORDER BY b.repo, b.path
+"""
+
+
+def _trained_table(spark):
+    """Train on the fixture corpus's target slice; one bounded collect."""
+    corpus = _corpus(spark)
+    counts = lm_trigram_counts(corpus.filter(F.col("lang") == TARGET_LANG))
+    return lm_table_frame(counts)
+
+
+@register(
+    "lm_train",
+    _Q_LM_TRAIN,
+    "in-engine distributed char-trigram LM training on the target-domain slice: dense add-one-smoothed quantized log-prob grid",
+)
+def lm_train(spark, sf_dir):
+    return _trained_table(spark).orderBy("tri_id")
+
+
+@register(
+    "lm_score_docs",
+    _Q_LM_SCORE,
+    "every doc scored under the in-engine-trained trigram LM: exact integer (n_pos, sum quantized log-prob) — zero-shuffle gather",
+)
+def lm_score_docs(spark, sf_dir):
+    tq = collect_table(_trained_table(spark))
+    return lm_score_frame(_corpus(spark), tq).orderBy("repo", "path")
+
+
+@register(
+    "ppl_buckets",
+    _Q_PPL_BUCKETS,
+    "CCNet head/middle/tail perplexity partition per language under the trained LM — exact histogram cutoffs, no per-language corpus sort",
+)
+def ppl_buckets(spark, sf_dir):
+    tq = collect_table(_trained_table(spark))
+    scored = lm_score_frame(_corpus(spark), tq)
+    return ppl_bucket_frame(scored).orderBy("repo", "path")

@@ -117,8 +117,19 @@ def test_embed_run_stress_commit_granule_with_expensive_model(spark, tmp_path):
     and (c) produce the complete chunk set, which then feeds doc-pooled
     ANN end-to-end. The committed-batch granule is what bounds the model
     cost re-paid after a kill to ONE batch of documents."""
+    import os
     import time
 
+    if not os.path.exists("/root/repo/.stress/documents.parquet"):
+        # the stress fixture is a generated untracked artifact — rebuild it
+        # deterministically if this workspace doesn't carry one
+        sys_path = os.path.join(os.path.dirname(__file__), "..", "scripts")
+        import sys as _sys
+
+        _sys.path.insert(0, sys_path)
+        from make_stress_fixture import build
+
+        build("/root/repo/.stress")
     docs = spark.read.parquet("/root/repo/.stress/documents.parquet")
 
     from curator_spark.functions.embedder import FeatureHashEmbedder

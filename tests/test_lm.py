@@ -1,0 +1,125 @@
+"""In-engine trigram LM training + CCNet perplexity buckets — semantics
+beyond the value-hash oracle: counts match an independent per-char
+tally, in-domain text scores higher than junk under the trained table,
+bucket terciles partition each language completely, and degenerate docs
+land in tail."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from curator_spark.functions.trigram import CHAR_MAP, N_SYM, SEP
+from curator_spark.operators.lm import (
+    collect_table,
+    lm_score_frame,
+    lm_table_frame,
+    lm_trigram_counts,
+    ppl_bucket_frame,
+)
+
+_PY = (
+    "def handler(self, request):\n"
+    "    return self.dispatch(request)\n"
+    "for item in items:\n"
+    "    results.append(process(item))\n"
+)
+_JUNK = "zq9@Zx#kQ!!??~~^^||%%&&zzqqxxjj\x7f\x7f" * 3
+
+
+def _tally(texts):
+    """Independent trigram tally: plain per-char loop over the byte
+    classes, no numpy gather, no BatchEncoding."""
+    counts: dict[int, int] = {}
+    for t in texts:
+        b = t.encode("utf-8", errors="replace")
+        syms = [int(CHAR_MAP[x]) for x in b]
+        for i in range(len(syms) - 2):
+            w = syms[i : i + 3]
+            if SEP in w:
+                continue
+            tri = w[0] * N_SYM * N_SYM + w[1] * N_SYM + w[2]
+            counts[tri] = counts.get(tri, 0) + 1
+    return counts
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, lang string, content string"
+    )
+
+
+def test_counts_match_independent_tally(spark):
+    texts = [_PY, _JUNK, "", "ab", "x" * 5]
+    df = _frame(spark, [("r", f"p{i}", "python", t) for i, t in enumerate(texts)])
+    got = {r.tri_id: r.c for r in lm_trigram_counts(df).collect()}
+    assert got == _tally(texts)
+
+
+def test_trained_table_scores_in_domain_higher(spark):
+    train = _frame(spark, [("r", f"t{i}.py", "python", _PY) for i in range(4)])
+    tq = collect_table(lm_table_frame(lm_trigram_counts(train)))
+    probe = _frame(
+        spark,
+        [("p", "good.py", "python", _PY), ("p", "junk.bin", "python", _JUNK)],
+    )
+    s = {r.path: r for r in lm_score_frame(probe, tq).collect()}
+    # compare means by cross-multiplication: sum_a/n_a > sum_b/n_b
+    a, b = s["good.py"], s["junk.bin"]
+    assert a.n_pos > 0 and b.n_pos > 0
+    assert a.sum_lpq * b.n_pos > b.sum_lpq * a.n_pos
+
+
+def test_score_frame_degenerate_docs(spark):
+    tq = np.zeros(34**3 + 1, dtype=np.int64)
+    df = _frame(
+        spark,
+        [("r", "empty", "python", ""), ("r", "two", "python", "ab")],
+    )
+    s = {r.path: r for r in lm_score_frame(df, tq).collect()}
+    assert s["empty"].n_pos == 0 and s["empty"].sum_lpq == 0
+    assert s["two"].n_pos == 0
+
+
+def test_buckets_partition_each_language(spark):
+    train = _frame(spark, [("r", f"t{i}.py", "python", _PY) for i in range(3)])
+    tq = collect_table(lm_table_frame(lm_trigram_counts(train)))
+    rows = [
+        ("r", f"d{i}.py", "python", _PY * (1 + i % 3) + "z" * (7 * i))
+        for i in range(12)
+    ] + [("r", "null.py", "python", "")]
+    scored = lm_score_frame(_frame(spark, rows), tq)
+    out = ppl_bucket_frame(scored).collect()
+    assert len(out) == 13
+    by_bucket: dict[str, int] = {}
+    for r in out:
+        by_bucket[r.bucket] = by_bucket.get(r.bucket, 0) + 1
+    n = 13
+    # head = all docs in bins >= b1, and cum(b1) >= ceil(n/3) by construction
+    assert by_bucket.get("head", 0) >= (n + 2) // 3
+    assert sum(by_bucket.values()) == n
+    # the empty doc lands in tail (worst sentinel bin)
+    empty = [r for r in out if r.path == "null.py"][0]
+    assert empty.bucket == "tail"
+
+
+def test_bucket_order_follows_score(spark):
+    """Every head doc's mean score >= every tail doc's mean score within
+    a language (bins are monotone in the mean)."""
+    train = _frame(spark, [("r", f"t{i}.py", "python", _PY) for i in range(3)])
+    tq = collect_table(lm_table_frame(lm_trigram_counts(train)))
+    rows = [
+        ("r", f"d{i}.py", "python", (_PY if i % 2 else _JUNK) * (1 + i % 4))
+        for i in range(10)
+    ]
+    scored = lm_score_frame(_frame(spark, rows), tq)
+    joined = (
+        ppl_bucket_frame(scored)
+        .join(scored.select("repo", "path", "n_pos", "sum_lpq"), ["repo", "path"])
+        .collect()
+    )
+    heads = [r for r in joined if r.bucket == "head"]
+    tails = [r for r in joined if r.bucket == "tail"]
+    for h in heads:
+        for t in tails:
+            assert h.sum_lpq * t.n_pos >= t.sum_lpq * h.n_pos
