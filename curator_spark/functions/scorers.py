@@ -119,6 +119,52 @@ class FastTextKenLMScorer(Scorer):
         return lang, ppl
 
 
+class TrainedTrigramScorer(Scorer):
+    """Perplexity from an IN-ENGINE-TRAINED quantized trigram table
+    (operators/lm.py — the train->deploy loop: lm_train's grid, saved
+    with save_lm_table, shipped like any model file and loaded once per
+    worker); language-ID stays the default trigram detector. The saved
+    array is the 1e6-quantized int64 lpq grid; scoring converts back to
+    nats once at load (ZERO_SLOT stays 0 so boundary positions drop
+    out), ppl = exp(-mean logprob), empty docs -> the worst-case score."""
+
+    def __init__(self, table_path: str):
+        from .trigram import N_TRI
+
+        table = np.load(_resolve_model_file(table_path))
+        if table.shape != (N_TRI + 1,):
+            raise ValueError(
+                f"trained LM table {table_path!r} has shape {table.shape}; "
+                f"expected ({N_TRI + 1},) — produce it with "
+                "curator_spark.operators.lm.save_lm_table"
+            )
+        self._table = table.astype(np.float64) / 1e6
+
+    def score(self, texts: pd.Series) -> Tuple[pd.Series, np.ndarray]:
+        from .langid import detect_prog_lang_batch
+        from .perplexity import _EMPTY_PPL, batch_encoding
+
+        enc = batch_encoding(texts)
+        mean_lp = enc.mean_logprob(self._table)
+        ppl = np.where(np.isnan(mean_lp), _EMPTY_PPL, np.exp(-mean_lp))
+        return detect_prog_lang_batch(texts), ppl
+
+
+def trained_lm_loader(table_path: str) -> Loader:
+    """Serializable loader for the in-engine-trained perplexity model:
+    the closure carries only the path; the table loads lazily per worker
+    (SparkFiles-resolvable like the fastText/KenLM paths). cache_key
+    carries the file stamp, so retraining in place invalidates both the
+    executor singleton and any resume fingerprint built on it."""
+
+    def load() -> Scorer:
+        return TrainedTrigramScorer(table_path)
+
+    load.cache_key = f"trained_lm_loader({file_stamp(table_path)!r})"
+    load.__qualname__ = load.cache_key
+    return load
+
+
 def default_scorer_loader() -> Scorer:
     return TrigramScorer()
 

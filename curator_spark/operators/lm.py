@@ -138,6 +138,15 @@ def collect_table(table_df) -> np.ndarray:
 # scoring: trained table -> per-doc exact integer (n_pos, sum_lpq)
 
 
+def save_lm_table(table_df, path: str) -> None:
+    """Persist the trained grid as the .npy model file
+    functions.scorers.TrainedTrigramScorer loads (ship it to executors
+    like any model: spark-submit --files, or a shared path). Driver-side
+    bounded collect; the file is the int64 lpq grid, ZERO_SLOT last."""
+    with open(path, "wb") as f:
+        np.save(f, collect_table(table_df))
+
+
 def lm_score_frame(df, tq: np.ndarray, key_cols=("repo", "path", "lang")):
     """(*key_cols, n_pos, sum_lpq) per document under quantized table
     ``tq`` — zero shuffle, one gather + int64 segment-sum per batch.

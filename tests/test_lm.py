@@ -103,6 +103,54 @@ def test_buckets_partition_each_language(spark):
     assert empty.bucket == "tail"
 
 
+def test_trained_lm_through_scorer_seam(spark, tmp_path):
+    """train -> deploy: lm_train's grid saved as a model file, loaded
+    through the pipeline's pluggable-scorer seam; in-domain text scores
+    lower perplexity than junk under the TRAINED table, the loader's
+    cache identity tracks the file version, and curate() runs end to end
+    with the trained scorer."""
+    import pandas as pd
+
+    from curator_spark.functions.scorers import trained_lm_loader
+    from curator_spark.operators.lm import save_lm_table
+    from curator_spark.plans.quality_pipeline import curate
+
+    train = _frame(spark, [("r", f"t{i}.py", "python", _PY) for i in range(4)])
+    path = str(tmp_path / "lm.npy")
+    save_lm_table(lm_table_frame(lm_trigram_counts(train)), path)
+
+    loader = trained_lm_loader(path)
+    scorer = loader()
+    _, ppl = scorer.score(pd.Series([_PY, _JUNK, ""]))
+    assert ppl[0] < ppl[1]  # in-domain beats junk under the trained table
+    assert ppl[2] == 10_000.0  # empty doc -> worst-case sentinel
+
+    # retraining in place changes the cache identity (file_stamp)
+    key1 = loader.cache_key
+    junk_train = _frame(spark, [("r", "j.py", "python", _JUNK)])
+    import os
+    import time
+
+    time.sleep(0.01)
+    save_lm_table(lm_table_frame(lm_trigram_counts(junk_train)), path)
+    os.utime(path)
+    assert trained_lm_loader(path).cache_key != key1
+
+    # end to end through curate(): same schema as the default scorer
+    corpus = spark.createDataFrame(
+        [("r", f"f{i}.py", "c0", "python", _PY) for i in range(6)]
+        + [("r", "junk.bin", "c0", "python", _JUNK * 40)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    save_lm_table(lm_table_frame(lm_trigram_counts(train)), path)
+    out = curate(corpus, scorer_loader=trained_lm_loader(path))
+    default_out = curate(corpus)
+    assert out.columns == default_out.columns
+    kept = {r.path for r in out.collect()}
+    assert kept  # the well-formed python files survive
+    assert "junk.bin" not in kept  # trained-LM perplexity drops the junk
+
+
 def test_bucket_order_follows_score(spark):
     """Every head doc's mean score >= every tail doc's mean score within
     a language (bins are monotone in the mean)."""
