@@ -115,6 +115,15 @@ def main(argv: list[str] | None = None) -> int:
         "(one distributed pass, bounded model collect) and run it as the "
         "langid stage; mutually exclusive with --fasttext-bin",
     )
+    p.add_argument(
+        "--train-lm", action="store_true",
+        help="train the trigram perplexity LM in-engine on the CHEAP-RULE "
+        "survivors of the input (the CCNet move: clean-ish docs define "
+        "the LM, perplexity then drops outliers), save it to "
+        "<work-dir>/lm_table.npy, and run the perplexity stage with it; "
+        "composes with --train-langid; mutually exclusive with "
+        "--kenlm-model",
+    )
     args = p.parse_args(argv)
     # argument validation BEFORE any Spark work — a bad flag combination
     # must not cost a release run
@@ -170,6 +179,36 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.nb_classifier import train_nb_langid
 
         scorer_loader = nb_scorer_loader(train_nb_langid(spark, corpus))
+    if args.train_lm:
+        if args.fasttext_bin or args.kenlm_model:
+            p.error("--train-lm is mutually exclusive with --fasttext-bin/--kenlm-model")
+        import io
+
+        import numpy as np
+
+        from .functions.scorers import composite_loader, trained_lm_loader
+        from .operators.lm import collect_table, lm_table_frame, lm_trigram_counts
+        from .plans.quality_pipeline import KEY_COLS, cheap_survivors
+
+        os.makedirs(args.work_dir, exist_ok=True)
+        lm_path = os.path.join(args.work_dir, "lm_table.npy")
+        clean = cheap_survivors(corpus.select(*KEY_COLS, "lang", "content"), cfg)
+        buf = io.BytesIO()
+        np.save(buf, collect_table(lm_table_frame(lm_trigram_counts(clean))))
+        data = buf.getvalue()
+        # only rewrite on CONTENT change: trained_lm_loader's identity is
+        # the file stamp, and an idempotent retrain must not break resume
+        if not (os.path.exists(lm_path) and open(lm_path, "rb").read() == data):
+            tmp = lm_path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.rename(tmp, lm_path)
+        ppl_loader = trained_lm_loader(lm_path)
+        scorer_loader = (
+            composite_loader(scorer_loader, ppl_loader)
+            if scorer_loader is not None
+            else ppl_loader
+        )
     if args.crawl_id is not None:
         if not args.state_out:
             p.error("--crawl-id requires --state-out")

@@ -296,6 +296,37 @@ class NBLangidScorer(Scorer):
         return lang, ppl_from_encoding(batch_encoding(texts))
 
 
+class CompositeScorer(Scorer):
+    """lang from one scorer, ppl from another — lets two independently
+    trained in-engine models pair up (e.g. NB language-ID + the trained
+    trigram LM), mirroring how fastText and KenLM are separate models in
+    the production pairing."""
+
+    def __init__(self, lang_scorer: Scorer, ppl_scorer: Scorer) -> None:
+        self._lang = lang_scorer
+        self._ppl = ppl_scorer
+
+    def score(self, texts: pd.Series) -> Tuple[pd.Series, np.ndarray]:
+        lang, _ = self._lang.score(texts)
+        _, ppl = self._ppl.score(texts)
+        return lang, ppl
+
+
+def composite_loader(lang_loader: Loader, ppl_loader: Loader) -> Loader:
+    """Pair a langid-providing loader with a perplexity-providing one;
+    the composite's identity derives from BOTH parts, so swapping either
+    model invalidates the worker singleton and resume fingerprints."""
+
+    def load() -> Scorer:
+        return CompositeScorer(lang_loader(), ppl_loader())
+
+    load.cache_key = (
+        f"composite({_loader_key(lang_loader)},{_loader_key(ppl_loader)})"
+    )
+    load.__qualname__ = load.cache_key
+    return load
+
+
 def nb_scorer_loader(model: dict) -> Loader:
     """Loader factory: ``curate(corpus, scorer_loader=nb_scorer_loader(m))``.
     The dict closes into the loader, so cloudpickle ships the MODEL by

@@ -1,0 +1,77 @@
+"""Spark-free hardware-parallelism probe: N worker processes each run
+identical pure-CPU work (numpy matmul + regex scan, BLAS pinned to one
+thread); aggregate throughput vs N measures the HOST's usable
+parallelism with zero framework overhead.
+
+Why it exists: the north rule's scaling criterion is evidenced in this
+sandbox by running the pipeline at two local[] parallelism levels, but
+a virtualized "32-core" guest need not have 32 cores' worth of host
+CPU behind it. This probe gives the machine's own embarrassingly-
+parallel scaling envelope — the upper bound ANY job on this box can
+show. Pipeline efficiency should be judged against that envelope, not
+against the nominal vCPU count.
+
+Measured on this sandbox (3 interleaved trials, best-per-level,
+2026-08-19): 2->8 processes = 0.97 (hardware linear); 8->32 = 0.53
+(hardware ceiling: 32 vCPUs deliver ~2.1x the work of 8). The
+pipeline's own measured spans — 0.936 at 2->8, 0.70 at 8->32 — sit AT
+or ABOVE the hardware envelope at every span, i.e. the plan is not the
+limiter anywhere; see BENCH.md.
+
+Usage: python scripts/cpu_probe.py [N1 N2 ...]   (default: 2 8 32)
+Writes one line per trial/level; pin BLAS via the env it sets itself.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import re
+import sys
+import time
+
+WORK_ITEMS = 24  # per worker
+
+
+def work(_):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    pat = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\(")
+    s = "def foo(x): return bar(x) + baz(x)\n" * 2000
+    t = 0.0
+    for _i in range(WORK_ITEMS):
+        a = rng.standard_normal((256, 256))
+        t += float(np.linalg.norm(a @ a.T))
+        t += len(pat.findall(s))
+    return t
+
+
+def run(n: int) -> float:
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        p.map(work, range(n))
+    return n * WORK_ITEMS / (time.time() - t0)
+
+
+def main() -> None:
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+    levels = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
+    best: dict[int, float] = {}
+    for trial in range(3):
+        for n in levels:
+            thr = run(n)
+            best[n] = max(best.get(n, 0.0), thr)
+            print(f"trial{trial} n={n} throughput={thr:.1f} items/s", flush=True)
+    for a, b in zip(levels, levels[1:]):
+        eff = best[b] / (best[a] * (b / a))
+        print(
+            f"hardware envelope {a}->{b}: {best[a]:.0f} -> {best[b]:.0f} "
+            f"items/s, efficiency {eff:.3f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -307,3 +307,59 @@ def test_cli_pack_sequences(spark, corpus_df, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["--input", inp, "--work-dir", work, "--pack-sequences", "2"])
+
+
+def test_cli_train_lm(spark, corpus_df, tmp_path, capsys):
+    """--train-lm trains the trigram perplexity LM on the cheap-rule
+    survivors, saves a version-stamped model file, runs the filter with
+    it, and an identical re-invocation RESUMES (idempotent retrain must
+    not rewrite the file and break the stamp-based fingerprint)."""
+    import os
+
+    import numpy as np
+
+    from curator_spark.__main__ import main
+    from curator_spark.functions.trigram import N_TRI
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    work = str(tmp_path / "run")
+    rc = main(["--input", inp, "--work-dir", work, "--n-batches", "2",
+               "--train-lm"])
+    assert rc == 0
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["kept_rows"] > 0
+    lm_path = os.path.join(work, "lm_table.npy")
+    table = np.load(lm_path)
+    assert table.shape == (N_TRI + 1,) and table[N_TRI] == 0
+    assert (table[:N_TRI] != 0).any()  # a real trained grid, not zeros
+    stamp = os.stat(lm_path).st_mtime_ns
+
+    # identical rerun: same model content -> file untouched -> resume
+    rc = main(["--input", inp, "--work-dir", work, "--n-batches", "2",
+               "--train-lm"])
+    assert rc == 0
+    stats2 = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats2["filter_batches_run"] == []
+    assert os.stat(lm_path).st_mtime_ns == stamp
+    assert stats2["kept_rows"] == stats["kept_rows"]
+
+
+def test_cli_train_langid_and_lm_compose(spark, corpus_df, tmp_path, capsys):
+    """--train-langid + --train-lm pair through CompositeScorer: NB
+    language-ID with the trained-LM perplexity, end to end."""
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    rc = main(["--input", inp, "--work-dir", str(tmp_path / "run"),
+               "--n-batches", "2", "--train-langid", "--train-lm"])
+    assert rc == 0
+    stats = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["kept_rows"] > 0
