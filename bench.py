@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "lm_train",
     "lm_score_docs",
     "ppl_buckets",
+    "line_dedup_keep_first",
+    "repo_blocklist_filter",
+    "brace_depth_stats",
+    "scrub_consistent",
+    "dedup_keep_best",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -37,6 +37,7 @@ from . import crawl_delta  # noqa: F401,E402
 from . import license  # noqa: F401,E402
 from . import optout  # noqa: F401,E402
 from . import code_prep  # noqa: F401,E402
+from . import corpus_hygiene  # noqa: F401,E402
 from . import tokenizer_prep  # noqa: F401,E402
 from . import sequence_pack  # noqa: F401,E402
 from . import repo_context  # noqa: F401,E402

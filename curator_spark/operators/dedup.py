@@ -634,3 +634,68 @@ def dedup_embedding_lsh(spark, sf_dir):
         .filter(F.col("cos") >= _EMB_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 3).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware survivor selection: keep the BEST member of each near-dup
+# cluster instead of the min-id one — the RefinedWeb/SlimPajama policy
+# (keep the longest document; ties break to the smaller doc_id so the
+# result is deterministic). Same CC labels as dedup_fuzzy_keep; the only
+# extra work is one argmax aggregate over the cluster-member table (tiny
+# vs the corpus — only clustered docs appear in it), expressed as
+# max(struct(n_chars, -doc_id)) so no per-cluster window or sort exists
+# anywhere. At 10^12 docs: the labels table is |near-dup docs|, the argmax
+# is map-side combinable, and the corpus itself is touched only by the
+# final left-anti of the (even smaller) dropped set.
+# ---------------------------------------------------------------------------
+_Q_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.band = b.band
+           AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+assign AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u),
+ranked AS (
+  SELECT a.doc_id, a.cluster_id,
+         row_number() OVER (PARTITION BY a.cluster_id
+                            ORDER BY length(d.text) DESC, a.doc_id ASC) AS rn
+  FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+),
+dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.text FROM documents d
+LEFT JOIN dropped x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+@register(
+    "dedup_keep_best",
+    _Q_KEEP_BEST_ORACLE,
+    "fuzzy dedup keeping the LONGEST cluster member (RefinedWeb survivor policy)",
+)
+def dedup_keep_best(spark, sf_dir, max_iters: int = 20):
+    labels = dedup_clusters(spark, sf_dir, max_iters=max_iters)
+    d = load(spark, sf_dir, "documents")
+    m = labels.join(d.select("doc_id", F.length("text").alias("n_chars")), "doc_id")
+    surv = (
+        m.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+            ).alias("s")
+        )
+        .select((-F.col("s.neg")).alias("doc_id"))
+    )
+    dropped = labels.select("doc_id").join(surv, "doc_id", "left_anti")
+    return d.join(dropped, "doc_id", "left_anti").select("doc_id", "text")
