@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "brace_depth_stats",
     "scrub_consistent",
     "dedup_keep_best",
+    "mixture_temperature",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

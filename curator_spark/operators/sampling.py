@@ -244,3 +244,84 @@ def mixture_realize(spark, sf_dir):
             F.sum(F.floor(F.length("text") / 4).cast("long")).alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture (XLM-R / mT5 multilingual sampling): sampling
+# probability proportional to tokens^alpha, flattening the language
+# distribution so low-resource languages are not drowned out. alpha = 0.5
+# deliberately: sqrt is CORRECTLY ROUNDED under IEEE 754, so Spark and
+# DuckDB produce bit-identical doubles, whereas a general pow(x, 0.7) may
+# differ in the last ulp between libm implementations — the engine-exact
+# choice of temperature. The sqrt is quantized to an integer (1e6) before
+# the cross-language sum so the normalizer is an exact integer in both
+# engines (double summation order never matters).
+#
+# Realization without upsampling mirrors mixture_weights' binding
+# constraint: lambda = min over languages of tokens_l / target_l, and
+# keep_rate_l = lambda / candidate_l, so the scarcest-relative-to-target
+# language keeps 100%. Shape at 10^12 docs: ONE map-side-combined
+# groupBy(lang) -> two 1-row aggregates broadcast back; the corpus is
+# touched once.
+# ---------------------------------------------------------------------------
+_Q_TEMP_ORACLE = """
+WITH per_lang AS (
+  SELECT lang,
+         cast(sum(cast(floor(length(text) / 4) AS BIGINT)) AS BIGINT) AS tokens,
+         cast(round(sqrt(cast(cast(sum(cast(floor(length(text) / 4) AS BIGINT)) AS BIGINT) AS DOUBLE)) * 1000000) AS BIGINT) AS s_q
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT cast(sum(tokens) AS BIGINT) AS t_total,
+         cast(sum(s_q) AS BIGINT) AS s_total
+  FROM per_lang
+),
+cand AS (
+  SELECT lang, tokens, s_q,
+         tokens / ((s_q * 1.0 / s_total) * t_total) AS candidate,
+         t.t_total, t.s_total
+  FROM per_lang, tot t
+),
+lam AS (SELECT min(candidate) AS lam FROM cand)
+SELECT lang, tokens,
+       tokens * 1.0 / t_total AS p_raw,
+       s_q * 1.0 / s_total AS p_temp,
+       cast(round(l.lam / candidate * 1000000) AS BIGINT) AS rate_ppm,
+       cast(floor(tokens * (l.lam / candidate)) AS BIGINT) AS expected_tokens
+FROM cand, lam l
+"""
+
+
+@register(
+    "mixture_temperature",
+    _Q_TEMP_ORACLE,
+    "temperature-scaled (alpha=0.5) multilingual mixture rates, no upsampling",
+)
+def mixture_temperature(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(F.floor(F.length("text") / 4).cast("long")).cast("long").alias("tokens")
+    )
+    per_lang = per_lang.withColumn(
+        "s_q",
+        F.round(F.sqrt(F.col("tokens").cast("double")) * 1_000_000).cast("long"),
+    )
+    tot = per_lang.agg(
+        F.sum("tokens").cast("long").alias("t_total"),
+        F.sum("s_q").cast("long").alias("s_total"),
+    )
+    cand = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "candidate",
+        F.col("tokens")
+        / ((F.col("s_q") * F.lit(1.0) / F.col("s_total")) * F.col("t_total")),
+    )
+    lam = cand.agg(F.min("candidate").alias("lam"))
+    keep_rate = F.col("lam") / F.col("candidate")
+    return cand.crossJoin(F.broadcast(lam)).select(
+        "lang",
+        "tokens",
+        (F.col("tokens") * F.lit(1.0) / F.col("t_total")).alias("p_raw"),
+        (F.col("s_q") * F.lit(1.0) / F.col("s_total")).alias("p_temp"),
+        F.round(keep_rate * 1_000_000).cast("long").alias("rate_ppm"),
+        F.floor(F.col("tokens") * keep_rate).cast("long").alias("expected_tokens"),
+    )
