@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
         "as a resumable embed+semdedup stage pair",
     )
     p.add_argument(
+        "--line-dedup", action="store_true",
+        help="rewrite content keeping only the FIRST corpus-wide "
+        "occurrence of each duplicated line >= 10 chars (CCNet/RefinedWeb "
+        "line pass) as a resumable global stage; fully-boilerplate files "
+        "drop out",
+    )
+    p.add_argument(
         "--opt-out", default=None,
         help="parquet of opted-out repos (column: repo); every file of a "
         "listed repo is dropped before any other stage (compliance gate — "
@@ -256,7 +263,7 @@ def main(argv: list[str] | None = None) -> int:
     run = QualityFilterRun(
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
         clone_dedup=args.clone_dedup, scorer_loader=scorer_loader,
-        semantic_dedup=args.semantic_dedup,
+        semantic_dedup=args.semantic_dedup, line_dedup=args.line_dedup,
     )
     r1, r2 = run.run(spark, corpus)
     out = run.output(spark)

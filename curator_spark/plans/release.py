@@ -184,6 +184,7 @@ def build_release(
     rates_ppm: dict[str, int] | None = None,
     scorer_loader=None,
     semantic_dedup: bool = False,
+    line_dedup: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full release chain; return (released DataFrame with a
     ``split`` column, manifest dict with per-stage row accounting and the
@@ -193,6 +194,15 @@ def build_release(
     n1 = s1.count()
     s2 = _clone_dedup(s1).localCheckpoint(eager=False)
     n2 = s2.count()
+    n2l = n2
+    if line_dedup:
+        # content-rewriting pass BEFORE any model stage: duplicated lines
+        # (cross-file boilerplate) keep only their first occurrence;
+        # files left with zero lines drop out here
+        from ..operators.corpus_hygiene import line_dedup_rewrite
+
+        s2 = line_dedup_rewrite(s2, KEY_COLS, "content").localCheckpoint(eager=False)
+        n2l = s2.count()
     if semantic_dedup:
         from ..operators.embedding import semantic_doc_dedup_filter
 
@@ -228,13 +238,17 @@ def build_release(
         "input_files": n0,
         "removed_exact_dup": n0 - n1,
         "removed_clone_dup": n1 - n2,
-        "removed_semantic_dup": n2 - n2s,
+        "removed_semantic_dup": n2l - n2s,
         "removed_decontaminated": n2s - n3,
         "removed_quality_filter": n3 - n4,
         "removed_mixture_downsample": n4 - n5,
         "released_files": n5,
         "datacard": card,
     }
+    if line_dedup:
+        # only line-dedup runs carry the key, so plain manifests stay
+        # dict-equal to prior releases (same rule as license/opt-out)
+        manifest["removed_line_dedup"] = n2 - n2l
     return released, manifest
 
 
@@ -250,6 +264,10 @@ class ReleaseRun:
       dedup (n_batches, sharded by content digest)
         -> clonededup (global: the LSH band join pairs files across the
            whole corpus, so the stage IS the granule)
+        -> linededup (global, only when line_dedup=True: content-
+           REWRITING keep-first line dedup — the census must see every
+           line, so the stage is the granule; fully-boilerplate files
+           drop out here)
         -> embed (n_batches, 1:1-per-key pooled doc vectors; only when
            semantic_dedup=True; its config carries the EMBEDDER identity
            + chunk geometry — a model swap re-embeds, same model resumes;
@@ -284,6 +302,7 @@ class ReleaseRun:
         catalog=None,
         scorer_loader=None,
         semantic_dedup: bool = False,
+        line_dedup: bool = False,
         embedder_loader=None,
         license_filter: bool = False,
         opt_out: bool = False,
@@ -381,6 +400,21 @@ class ReleaseRun:
                     "bucket_cap": _CAP, "policy": "drop-later-of-pair"},
             n_batches=1, catalog=self.catalog,
         )
+        # optional cross-file line dedup (content-REWRITING pass): global
+        # (n_batches=1) because the keep-first census must see every line
+        # of the corpus; sits before any model stage so embeddings/ppl
+        # score the deduplicated text
+        if line_dedup:
+            from ..operators.corpus_hygiene import MIN_DEDUP_LINE_CHARS
+
+            self.linededup_stage = ResumableStage(
+                "rel-linededup", KEY_COLS, work_dir,
+                config={"method": "line-keepfirst-md5",
+                        "min_chars": MIN_DEDUP_LINE_CHARS},
+                n_batches=1, catalog=self.catalog,
+            )
+        else:
+            self.linededup_stage = None
         self.embedder_loader = embedder_loader
         if semantic_dedup:
             self.embed_stage, self.semdedup_stage = make_semantic_stages(
@@ -424,6 +458,7 @@ class ReleaseRun:
                 self.optout_stage,
                 self.license_stage,
                 self.dedup_stage, self.clone_stage,
+                self.linededup_stage,
                 self.embed_stage, self.semdedup_stage,
                 self.decontam_stage,
                 self.annotate_stage, self.finalize_stage,
@@ -500,6 +535,17 @@ class ReleaseRun:
         )
         ran["clonededup"] = r.batches_run
         cur = self.clone_stage.output(spark)
+
+        if self.linededup_stage is not None:
+            from ..operators.corpus_hygiene import line_dedup_rewrite
+
+            r = self.linededup_stage.run(
+                spark, cur,
+                lambda df: line_dedup_rewrite(df, KEY_COLS, "content"),
+                fail_after_batches=fail_after_batches,
+            )
+            ran["linededup"] = r.batches_run
+            cur = self.linededup_stage.output(spark)
 
         if self.embed_stage is not None:
             cur, r_e, r_s = run_semantic_pair(
@@ -592,10 +638,15 @@ class ReleaseRun:
         )
         n1 = self.dedup_stage.output(spark).count()
         n2 = self.clone_stage.output(spark).count()
+        n2l = (
+            self.linededup_stage.output(spark).count()
+            if self.linededup_stage is not None
+            else n2
+        )
         n2s = (
             self.semdedup_stage.output(spark).count()
             if self.semdedup_stage is not None
-            else n2
+            else n2l
         )
         n3 = (
             self.decontam_stage.output(spark).count()
@@ -609,13 +660,16 @@ class ReleaseRun:
             "input_files": n0,
             "removed_exact_dup": nl - n1,
             "removed_clone_dup": n1 - n2,
-            "removed_semantic_dup": n2 - n2s,
+            "removed_semantic_dup": n2l - n2s,
             "removed_decontaminated": n2s - n3,
             "removed_quality_filter": n3 - n4,
             "removed_mixture_downsample": n4 - n5,
             "released_files": n5,
             "datacard": build_datacard(annotated),
         }
+        if self.linededup_stage is not None:
+            # only line-dedup runs carry the key (same dict-equality rule)
+            out["removed_line_dedup"] = n2 - n2l
         if self.optout_stage is not None:
             # only opt-out runs carry the key (same dict-equality rule)
             out["removed_opted_out"] = n0 - noo

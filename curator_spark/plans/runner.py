@@ -42,6 +42,7 @@ class QualityFilterRun:
         catalog=None,
         scorer_loader=None,
         semantic_dedup: bool = False,
+        line_dedup: bool = False,
         embedder_loader=None,
     ) -> None:
         """``n_batches=None``: each stage auto-sizes its commit granule
@@ -98,6 +99,20 @@ class QualityFilterRun:
             if clone_dedup
             else None
         )
+        # optional cross-file line dedup (content-rewriting, global for
+        # the same reason as clone dedup: the keep-first census must see
+        # every line of the corpus)
+        if line_dedup:
+            from ..operators.corpus_hygiene import MIN_DEDUP_LINE_CHARS
+
+            self.linededup_stage = ResumableStage(
+                "linededup", KEY_COLS, work_dir,
+                config={"method": "line-keepfirst-md5",
+                        "min_chars": MIN_DEDUP_LINE_CHARS},
+                n_batches=1, catalog=self.catalog,
+            )
+        else:
+            self.linededup_stage = None
         # optional semantic near-dup removal between clone dedup and the
         # filter: committed pooled-doc-vector embed stage + global
         # LSH-cell semdedup (same pair ReleaseRun uses; embedder identity
@@ -198,6 +213,16 @@ class QualityFilterRun:
                 spark, corpus, _clone_dedup, fail_after_batches=fail_after_batches
             )
             corpus = self.clone_stage.output(spark)
+        if self.linededup_stage is not None:
+            from ..operators.corpus_hygiene import line_dedup_rewrite
+
+            self.linededup_stage.run_hash = self.run_hash
+            self.linededup_stage.run(
+                spark, corpus,
+                lambda df: line_dedup_rewrite(df, KEY_COLS, "content"),
+                fail_after_batches=fail_after_batches,
+            )
+            corpus = self.linededup_stage.output(spark)
         if self.embed_stage is not None:
             from .release import run_semantic_pair
 
