@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "scrub_consistent",
     "dedup_keep_best",
     "mixture_temperature",
+    "boilerplate_lines_report",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
