@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
         "as a resumable embed+semdedup stage pair",
     )
     p.add_argument(
+        "--pseudonymize", action="store_true",
+        help="scrub identifier classes (email/AWS key/API key/JWT) to "
+        "STABLE hash-derived tokens instead of categorical placeholders "
+        "(referential integrity preserved); other scrub patterns "
+        "unchanged. Mode is part of the scrub stage fingerprint.",
+    )
+    p.add_argument(
         "--line-dedup", action="store_true",
         help="rewrite content keeping only the FIRST corpus-wide "
         "occurrence of each duplicated line >= 10 chars (CCNet/RefinedWeb "
@@ -264,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
         clone_dedup=args.clone_dedup, scorer_loader=scorer_loader,
         semantic_dedup=args.semantic_dedup, line_dedup=args.line_dedup,
+        pseudonymize=args.pseudonymize,
     )
     r1, r2 = run.run(spark, corpus)
     out = run.output(spark)

@@ -50,20 +50,44 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("toxicity", r"(?i)\b(?:dumbass|moron|idiot)\b", "<TOX>"),
 ]
 
-_COMPILED = [(re.compile(pat), repl) for _, pat, repl in SCRUB_PATTERNS]
+_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SCRUB_PATTERNS]
+
+# identifier classes that PRESERVE referential integrity under the
+# pseudonymize mode: each match maps to a stable hash-derived token
+# (<class:md5[:8]>) instead of the categorical placeholder, so the same
+# email / API key pseudonymizes identically corpus-wide with no shared
+# state. Positional (re.sub) semantics; the registry query
+# scrub_consistent is the fold-semantics face with its own DuckDB oracle.
+PSEUDO_CLASS_NAMES = ("email", "aws_key", "api_key", "jwt")
 
 
-def scrub_one(text: str) -> str:
-    for pat, repl in _COMPILED:
-        text = pat.sub(repl, text)
+def _pseudo_repl(name: str):
+    def repl(m: "re.Match[str]") -> str:
+        return f"<{name}:{hashlib.md5(m.group(0).encode()).hexdigest()[:8]}>"
+
+    return repl
+
+
+def scrub_one(text: str, pseudonymize: bool = False) -> str:
+    for name, pat, repl in _COMPILED:
+        if pseudonymize and name in PSEUDO_CLASS_NAMES:
+            text = pat.sub(_pseudo_repl(name), text)
+        else:
+            text = pat.sub(repl, text)
     return text
 
 
-def scrub_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized scrub: pandas str.replace (C-looped) per pattern."""
+def scrub_batch(texts: pd.Series, pseudonymize: bool = False) -> pd.Series:
+    """Vectorized scrub: pandas str.replace (C-looped) per pattern.
+    ``pseudonymize=True`` swaps the four identifier classes to stable
+    hash-derived tokens (PSEUDO_CLASS_NAMES); all other patterns keep
+    their categorical replacement, in the same contract order."""
     out = texts.fillna("")
-    for pat, repl in _COMPILED:
-        out = out.str.replace(pat, repl, regex=True)
+    for name, pat, repl in _COMPILED:
+        if pseudonymize and name in PSEUDO_CLASS_NAMES:
+            out = out.str.replace(pat, _pseudo_repl(name), regex=True)
+        else:
+            out = out.str.replace(pat, repl, regex=True)
     return out
 
 

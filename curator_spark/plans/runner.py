@@ -44,6 +44,7 @@ class QualityFilterRun:
         semantic_dedup: bool = False,
         line_dedup: bool = False,
         embedder_loader=None,
+        pseudonymize: bool = False,
     ) -> None:
         """``n_batches=None``: each stage auto-sizes its commit granule
         from its own input's bytes/rows (see ResumableStage).
@@ -138,11 +139,19 @@ class QualityFilterRun:
             n_batches=n_batches,
             catalog=self.catalog,
         )
+        # the scrub MODE is part of the stage fingerprint: switching
+        # categorical <-> pseudonymize re-runs the scrub stage (and only
+        # it) from the committed filter output — curator's parse_func_hash
+        # partial-reuse semantics (base_request_processor.py:364-385)
+        self.pseudonymize = pseudonymize
         self.scrub_stage = ResumableStage(
             "scrub",
             KEY_COLS,
             work_dir,
-            config={"patterns": SCRUB_PATTERNS},
+            config={
+                "patterns": SCRUB_PATTERNS,
+                "mode": "pseudonymize" if pseudonymize else "categorical",
+            },
             n_batches=n_batches,
             catalog=self.catalog,
         )
@@ -169,7 +178,13 @@ class QualityFilterRun:
         return survivors.mapInPandas(run, schema=schema)
 
     def _scrub_transform(self, df: DataFrame) -> DataFrame:
-        return df.withColumn("content", scrub_content(F.col("content"))).withColumn(
+        if self.pseudonymize:
+            from .quality_pipeline import make_scrub_udf
+
+            udf = make_scrub_udf(pseudonymize=True)
+        else:
+            udf = scrub_content
+        return df.withColumn("content", udf(F.col("content"))).withColumn(
             "scrubbed_sha256", F.sha2(F.col("content"), 256)
         )
 
