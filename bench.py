@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "mixture_temperature",
     "boilerplate_lines_report",
+    "line_census_incremental",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))
