@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "mixture_temperature",
     "boilerplate_lines_report",
     "line_census_incremental",
+    "secret_entropy_scan",
+    "scrub_entropy",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -113,3 +113,18 @@ def scrub_sql_chain(col_expr: str) -> str:
         sql_pat = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
     return expr
+
+
+def scrub_spark_col(col):
+    """The scrub chain as a Spark Column (chained JVM ``regexp_replace``):
+    the whole-stage-codegen rendering of :func:`scrub_one`, for operators
+    that need scrubbed text INSIDE a larger expression tree (e.g. the
+    entropy secret scan) without paying an Arrow hop. Same patterns, same
+    order, same categorical replacements — Java regex handles every
+    pattern in the contract (portability is the module's invariant)."""
+    from pyspark.sql import functions as F
+
+    out = col
+    for _, pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

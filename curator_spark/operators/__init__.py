@@ -45,3 +45,4 @@ from . import similarity_report  # noqa: F401,E402
 from . import embedding  # noqa: F401,E402
 from . import dsir  # noqa: F401,E402
 from . import lm  # noqa: F401,E402
+from . import secrets  # noqa: F401,E402

@@ -1,0 +1,277 @@
+"""Entropy-based secret detection + redaction over the source-code corpus
+``(repo, path, commit, lang, content)`` — the detector class that regex
+scrubbing CANNOT express: a hardcoded credential is just a high-entropy
+token, whatever its prefix. Every secret-scanning pipeline (detect-secrets'
+HighEntropyStrings plugin, trufflehog, the BigCode/StarCoder PII pass) runs
+one of these AFTER the pattern chain, because patterns only catch secrets
+with known shapes (AKIA…, sk_…, eyJ….eyJ….sig); a bare 32-char random
+token sails straight through `functions/scrub.py`'s chain.
+
+The exactness trick (what makes these full-oracle queries instead of
+float-threshold approximations): instead of Shannon entropy (sum of
+p*log2 p — floats, libm-dependent, not bit-portable across engines) we
+threshold on the **collision index** ``coll = sum(c_i^2)`` over the
+token's character counts, i.e. Rényi-2 entropy ``H2 = -log2(coll/L^2)``.
+``H2 >= log2(K)`` is EXACTLY ``coll * K <= L^2`` — pure int64 arithmetic,
+bit-identical in Spark codegen, DuckDB, and Python. H2 <= Shannon, so the
+thresholds map conservatively onto detect-secrets' published Shannon
+limits (hex 3.0, base64 4.5): we use K=8 (H2 >= 3 bits) for hex-alphabet
+tokens and K=16 (H2 >= 4 bits) for base64-alphabet tokens.
+
+The second trick: ``count(c in t) == length(t) - length(replace(t, c, ''))``,
+so ``coll = sum over POSITIONS of count(char at that position)`` — one
+O(L^2) fold over the token's chars with literal ``replace``, no histogram
+structure needed, and L is capped at 64 by the candidate regex so the
+quadratic term is a constant. Both engines evaluate the identical fold.
+
+Queries:
+
+* ``secret_entropy_scan`` — per-file census: candidates (maximal
+  ``[A-Za-z0-9+/=_-]{16,64}`` runs), how many are entropy-flagged, and —
+  the number that matters — how many flagged tokens SURVIVE the regex
+  scrub chain ("escaped"), with an md5 over the ordered escaped tokens
+  proving both engines flag the exact same strings.
+* ``secret_repo_report`` — repo-granularity rollup of the escape census
+  (files scanned / files with escapes / total escapes / escape ppm), the
+  feed a blocklist pass consumes (see ``repo_blocklist_filter``).
+* ``scrub_entropy`` — the rewrite: replace every entropy-flagged
+  candidate with ``<SECRET>``, rebuilt exactly via split-parts + zip
+  (never literal substring replace, which could corrupt an identical run
+  elsewhere in the file); verified per row by sha256 of the redacted
+  content. Standalone over raw text (the detector's own rewrite);
+  in a pipeline it composes AFTER the regex chain via
+  :func:`with_entropy_redaction` — on this corpus that backstop redacts
+  zero tokens because the chain already catches every planted class,
+  which is exactly what ``secret_entropy_scan``'s escape census records.
+
+Scale shapes (10^12 files): all three are ZERO-shuffle per-row expression
+trees (whole-stage codegen end to end — no Python, no Arrow hop, no
+explode; the candidate arrays live and die inside one projection);
+``secret_repo_report`` adds one map-side-combinable groupBy(repo) on the
+corpus's natural key. The candidate regex's {16,64} bounds cap both the
+array width and the O(L^2) collision fold per token.
+
+Reference anchors: curator's scrub/golden-hash test strategy
+(tests/test_hash_book.py parity style) — the reference has no entropy
+scanner; this is part of the engine's web-scale curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scrub import scrub_spark_col, scrub_sql_chain
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+# maximal runs over the base64-ish alphabet; {16,64} bounds candidate width
+# AND the O(L^2) collision fold. 16 is detect-secrets territory (short
+# enough to see real identifiers, long enough that H2 thresholds separate).
+CAND_PAT = "[A-Za-z0-9+/=_-]{16,64}"
+HEX_FULL = "[0-9a-fA-F]+"
+K_HEX = 8  # flag hex-alphabet tokens at H2 >= 3 bits  (coll*8  <= L^2)
+K_B64 = 16  # flag mixed-alphabet tokens at H2 >= 4 bits (coll*16 <= L^2)
+REDACTED = "<SECRET>"
+
+# Spark-SQL lambda body: collision index of token t via the
+# positions-fold identity (see module docstring).
+_COLL = "aggregate(split(t, ''), 0, (a, c) -> a + length(t) - length(replace(t, c, '')))"
+# t -> boolean: entropy flag with the class-specific K
+_FLAG = (
+    f"t -> ({_COLL}) * (CASE WHEN t rlike '^{HEX_FULL}$' THEN {K_HEX} "
+    f"ELSE {K_B64} END) <= length(t) * length(t)"
+)
+
+
+def _cands(col: str):
+    return F.expr(f"regexp_extract_all({col}, '{CAND_PAT}', 0)")
+
+
+def _flagged(col: str):
+    return F.expr(f"filter(regexp_extract_all({col}, '{CAND_PAT}', 0), {_FLAG})")
+
+
+# DuckDB renderings of the same lambdas (list_* instead of higher-order
+# SQL functions; regexp_full_match instead of anchored rlike).
+_D_COLL = "list_sum(list_transform(str_split(t, ''), c -> length(t) - length(replace(t, c, ''))))"
+_D_FLAG = (
+    f"t -> ({_D_COLL}) * (CASE WHEN regexp_full_match(t, '{HEX_FULL}') THEN {K_HEX} "
+    f"ELSE {K_B64} END) <= length(t) * length(t)"
+)
+
+
+def _d_flagged(col: str) -> str:
+    return f"list_filter(regexp_extract_all({col}, '{CAND_PAT}'), {_D_FLAG})"
+
+
+_SCAN_ORACLE = f"""
+WITH c AS (
+  SELECT repo, path, commit,
+         regexp_extract_all(content, '{CAND_PAT}') AS raw_cands,
+         {_d_flagged("content")} AS raw_flagged,
+         {_d_flagged(scrub_sql_chain("content"))} AS escaped
+  FROM {_CORPUS_DUCK}
+)
+SELECT repo, path, commit,
+       len(raw_cands) AS n_candidates,
+       len(raw_flagged) AS n_flagged,
+       len(escaped) AS n_escaped,
+       md5(coalesce(array_to_string(escaped, chr(1)), '')) AS escaped_md5
+FROM c
+WHERE len(raw_cands) > 0
+ORDER BY repo, path, commit
+"""
+
+
+@register(
+    "secret_entropy_scan",
+    _SCAN_ORACLE,
+    "per-file high-entropy token census: candidates / flagged / escaped-the-regex-chain, Renyi-2 integer thresholds",
+)
+def secret_entropy_scan(spark, sf_dir):
+    d = _corpus(spark).withColumn("scrubbed", scrub_spark_col(F.col("content")))
+    return (
+        d.select(
+            "repo",
+            "path",
+            "commit",
+            F.size(_cands("content")).alias("n_candidates"),
+            F.size(_flagged("content")).alias("n_flagged"),
+            _flagged("scrubbed").alias("esc"),
+        )
+        .filter(F.col("n_candidates") > 0)
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "n_candidates",
+            "n_flagged",
+            F.size("esc").alias("n_escaped"),
+            F.md5(F.expr("array_join(esc, chr(1))")).alias("escaped_md5"),
+        )
+        .orderBy("repo", "path", "commit")
+    )
+
+
+_REPO_ORACLE = f"""
+WITH c AS (
+  SELECT repo,
+         len({_d_flagged("content")}) AS n_flagged,
+         len({_d_flagged(scrub_sql_chain("content"))}) AS n_escaped
+  FROM {_CORPUS_DUCK}
+)
+SELECT repo,
+       count(*) AS n_files,
+       CAST(sum(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_with_secrets,
+       CAST(sum(n_flagged) AS BIGINT) AS n_flagged_total,
+       CAST(sum(n_escaped) AS BIGINT) AS n_escaped_total,
+       CAST(sum(CASE WHEN n_flagged > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS secret_file_ppm
+FROM c
+GROUP BY repo
+ORDER BY repo
+"""
+
+
+@register(
+    "secret_repo_report",
+    _REPO_ORACLE,
+    "repo-level rollup of high-entropy token density + regex-escape count (the blocklist feed)",
+)
+def secret_repo_report(spark, sf_dir):
+    d = _corpus(spark).withColumn("scrubbed", scrub_spark_col(F.col("content")))
+    per_file = d.select(
+        "repo",
+        F.size(_flagged("content")).alias("n_flagged"),
+        F.size(_flagged("scrubbed")).alias("n_escaped"),
+    )
+    hit = (F.col("n_flagged") > 0).cast("long")
+    return (
+        per_file.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(hit).alias("files_with_secrets"),
+            F.sum("n_flagged").alias("n_flagged_total"),
+            F.sum("n_escaped").alias("n_escaped_total"),
+        )
+        .withColumn(
+            "secret_file_ppm",
+            F.expr("files_with_secrets * 1000000 div n_files"),
+        )
+        .orderBy("repo")
+    )
+
+
+# Rebuild-exact redaction: split the scrubbed text on the candidate regex
+# (parts has len(toks)+1 pieces in BOTH engines — Java split(limit=-1)
+# keeps trailing empties, matching RE2's regexp_split_to_array), map each
+# token through the flag, then re-interleave. This touches ONLY the
+# actual match sites; a literal string replace could corrupt an identical
+# character run elsewhere in the file.
+_REDACT_SPARK = f"""
+concat(
+  element_at(parts, 1),
+  array_join(
+    zip_with(
+      transform(toks, t -> CASE WHEN ({_COLL}) * (CASE WHEN t rlike '^{HEX_FULL}$'
+                                    THEN {K_HEX} ELSE {K_B64} END) <= length(t) * length(t)
+                           THEN '{REDACTED}' ELSE t END),
+      slice(parts, 2, size(toks)),
+      (t, p) -> concat(t, p)),
+    ''))
+"""
+
+_REDACT_ORACLE = f"""
+WITH z AS (
+  SELECT repo, path, commit,
+         regexp_split_to_array(content, '{CAND_PAT}') AS parts,
+         list_transform(regexp_extract_all(content, '{CAND_PAT}'),
+           t -> CASE WHEN ({_D_COLL}) * (CASE WHEN regexp_full_match(t, '{HEX_FULL}')
+                          THEN {K_HEX} ELSE {K_B64} END) <= length(t) * length(t)
+                THEN '{REDACTED}' ELSE t END) AS toks
+  FROM {_CORPUS_DUCK}
+)
+SELECT repo, path, commit,
+       len(list_filter(toks, t -> t = '{REDACTED}')) AS n_redacted,
+       sha256(parts[1] || coalesce(array_to_string(
+         list_transform(range(1, len(toks) + 1), i -> toks[i] || parts[i + 1]), ''), ''))
+         AS redacted_sha256
+FROM z
+ORDER BY repo, path, commit
+"""
+
+
+@register(
+    "scrub_entropy",
+    _REDACT_ORACLE,
+    "standalone entropy redaction rewrite, sha256-verified per row (split+zip rebuild, zero shuffle)",
+)
+def scrub_entropy(spark, sf_dir):
+    z = _corpus(spark).select(
+        "repo",
+        "path",
+        "commit",
+        F.expr(f"split(content, '{CAND_PAT}', -1)").alias("parts"),
+        _cands("content").alias("toks"),
+    )
+    return z.select(
+        "repo",
+        "path",
+        "commit",
+        F.size(F.expr(f"filter(toks, {_FLAG})")).alias("n_redacted"),
+        F.sha2(F.expr(_REDACT_SPARK), 256).alias("redacted_sha256"),
+    ).orderBy("repo", "path", "commit")
+
+
+def with_entropy_redaction(df, scrubbed_col: str = "scrubbed", out_col: str = "content"):
+    """Compose the redaction rewrite onto a frame that already carries the
+    regex-scrubbed text: adds ``out_col`` with every entropy-flagged
+    candidate replaced by the sentinel. The reusable form a pipeline
+    stage consumes (still one zero-shuffle projection; the helper columns
+    exist only inside it)."""
+    return (
+        df.withColumn("parts", F.expr(f"split({scrubbed_col}, '{CAND_PAT}', -1)"))
+        .withColumn("toks", F.expr(f"regexp_extract_all({scrubbed_col}, '{CAND_PAT}', 0)"))
+        .withColumn(out_col, F.expr(_REDACT_SPARK))
+        .drop("parts", "toks")
+    )

@@ -1,0 +1,131 @@
+"""Semantic tests for the entropy secret scanner — the oracle gate proves
+Spark/DuckDB value equality; these prove the SEMANTICS (what flags, what
+doesn't, and that the split+zip rewrite equals an independent Python
+reference) are the intended ones."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+import random
+import re
+import string
+
+from pyspark.sql import functions as F
+
+from curator_spark.operators.repo_ops import _corpus
+from curator_spark.operators.secrets import (
+    CAND_PAT,
+    K_B64,
+    K_HEX,
+    REDACTED,
+    scrub_entropy,
+    secret_entropy_scan,
+    secret_repo_report,
+    with_entropy_redaction,
+)
+
+SF = "/root/testdata/sf0.001"  # corpus queries ignore sf_dir (seed=42 corpus)
+
+_CAND_RE = re.compile(CAND_PAT)
+_HEX_RE = re.compile(r"[0-9a-fA-F]+")
+
+
+def _flag_py(t: str) -> bool:
+    """Independent reference: Renyi-2 collision-index threshold."""
+    counts = collections.Counter(t)
+    coll = sum(v * v for v in counts.values())
+    k = K_HEX if _HEX_RE.fullmatch(t) else K_B64
+    return coll * k <= len(t) * len(t)
+
+
+def _redact_py(text: str) -> str:
+    return _CAND_RE.sub(lambda m: REDACTED if _flag_py(m.group(0)) else m.group(0), text)
+
+
+def test_flag_separates_planted_secrets_from_identifiers():
+    # planted-in-corpus shapes: JWT segment and PEM key material flag;
+    # a benign long identifier and a repeated filler run never do
+    assert _flag_py("eyJS0HqbUFPkI28t1jdcZKp")
+    assert _flag_py("MIIpjQwLXzHls9O4B0n7J2i")
+    assert not _flag_py("handler_for_request_batch")
+    assert not _flag_py("AAAAAAAAAAAAAAAAAAAAAAAA")
+    # hex class gets the lower (3-bit) threshold: a random 24-hex flags
+    # under K_HEX but would fail the mixed-alphabet bar
+    t = "ea0fc6e0b7d4de6bc65ea7de"
+    counts = collections.Counter(t)
+    coll = sum(v * v for v in counts.values())
+    assert coll * K_HEX <= len(t) ** 2 < coll * K_B64
+
+
+def test_redaction_rewrite_matches_independent_python_reference(spark):
+    """Fuzz the split+zip rebuild against re.sub-with-callback on the real
+    corpus plus adversarial synthetics (glued tokens, 64-cap overflow,
+    token-at-start/end, repeated identical runs)."""
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "+/=_-"
+    synth = []
+    for i in range(60):
+        n_frag = rng.randint(1, 6)
+        parts = []
+        for _ in range(n_frag):
+            kind = rng.randint(0, 3)
+            if kind == 0:  # random high-entropy token
+                parts.append("".join(rng.choice(alphabet) for _ in range(rng.randint(16, 80))))
+            elif kind == 1:  # low-entropy long run
+                parts.append(rng.choice("Ax_") * rng.randint(16, 70))
+            elif kind == 2:  # plain prose
+                parts.append(" plain text " + str(rng.randint(0, 99)) + " ")
+            else:  # hex token
+                parts.append("".join(rng.choice("0123456789abcdef") for _ in range(rng.randint(16, 48))))
+        glue = rng.choice(["", " ", "\n", ".", ""])
+        synth.append((f"synth/{i}", glue.join(parts)))
+    df = spark.createDataFrame(synth, "path string, content string").withColumn(
+        "repo", F.lit("synth")
+    )
+    got = {
+        r.path: r.content
+        for r in with_entropy_redaction(df, scrubbed_col="content", out_col="content")
+        .select("path", "content")
+        .collect()
+    }
+    for path, content in synth:
+        assert got[path] == _redact_py(content), path
+
+
+def test_scrub_entropy_sha_matches_python_reference_on_corpus(spark):
+    raw = {
+        (r.repo, r.path, r.commit): r.content
+        for r in _corpus(spark).select("repo", "path", "commit", "content").collect()
+    }
+    out = scrub_entropy(spark, SF).collect()
+    assert len(out) == len(raw)
+    n_redacted_total = 0
+    for r in out:
+        want = _redact_py(raw[(r.repo, r.path, r.commit)])
+        assert r.redacted_sha256 == hashlib.sha256(want.encode()).hexdigest()
+        n_redacted_total += r.n_redacted
+    assert n_redacted_total > 0  # the detector genuinely fires on the corpus
+
+
+def test_scan_census_consistency(spark):
+    scan = secret_entropy_scan(spark, SF).toPandas()
+    report = secret_repo_report(spark, SF).toPandas()
+    # raw flags exist (planted JWT/PEM material), and on this corpus the
+    # regex chain catches every planted class -> zero escapes
+    assert scan.n_flagged.sum() > 0
+    assert scan.n_escaped.sum() == 0
+    assert int(report.n_flagged_total.sum()) == int(scan.n_flagged.sum())
+    assert int(report.n_escaped_total.sum()) == 0
+    # per-file counts never exceed candidates
+    assert (scan.n_flagged <= scan.n_candidates).all()
+
+
+def test_zero_shuffle_plan_for_scan_and_rewrite(spark):
+    # the scan and rewrite must stay pure per-row projections: no
+    # Exchange other than the output ordering's range partitioning
+    for q in (secret_entropy_scan, scrub_entropy):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+        assert plan.count("Exchange") <= 1, plan
