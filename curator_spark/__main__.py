@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
         "unchanged. Mode is part of the scrub stage fingerprint.",
     )
     p.add_argument(
+        "--entropy-scrub", action="store_true",
+        help="after the regex chain, redact remaining high-entropy "
+        "candidate tokens (integer Renyi-2 threshold, operators/secrets) "
+        "— the backstop for credentials with no known shape. Mode is "
+        "part of the scrub stage fingerprint.",
+    )
+    p.add_argument(
         "--line-dedup", action="store_true",
         help="rewrite content keeping only the FIRST corpus-wide "
         "occurrence of each duplicated line >= 10 chars (CCNet/RefinedWeb "
@@ -271,7 +278,7 @@ def main(argv: list[str] | None = None) -> int:
         args.work_dir, cfg=cfg, n_batches=n_batches, exact_dedup=args.exact_dedup,
         clone_dedup=args.clone_dedup, scorer_loader=scorer_loader,
         semantic_dedup=args.semantic_dedup, line_dedup=args.line_dedup,
-        pseudonymize=args.pseudonymize,
+        pseudonymize=args.pseudonymize, entropy_redact=args.entropy_scrub,
     )
     r1, r2 = run.run(spark, corpus)
     out = run.output(spark)

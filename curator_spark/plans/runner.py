@@ -45,6 +45,7 @@ class QualityFilterRun:
         line_dedup: bool = False,
         embedder_loader=None,
         pseudonymize: bool = False,
+        entropy_redact: bool = False,
     ) -> None:
         """``n_batches=None``: each stage auto-sizes its commit granule
         from its own input's bytes/rows (see ResumableStage).
@@ -144,13 +145,21 @@ class QualityFilterRun:
         # it) from the committed filter output — curator's parse_func_hash
         # partial-reuse semantics (base_request_processor.py:364-385)
         self.pseudonymize = pseudonymize
+        # the entropy backstop (operators/secrets.py) rides the same mode
+        # token: the suffix only appears when enabled, so fingerprints of
+        # existing committed runs are untouched — enabling it re-runs
+        # scrub (and only scrub) from the committed filter output.
+        self.entropy_redact = entropy_redact
+        mode = "pseudonymize" if pseudonymize else "categorical"
+        if entropy_redact:
+            mode += "+entropy"
         self.scrub_stage = ResumableStage(
             "scrub",
             KEY_COLS,
             work_dir,
             config={
                 "patterns": SCRUB_PATTERNS,
-                "mode": "pseudonymize" if pseudonymize else "categorical",
+                "mode": mode,
             },
             n_batches=n_batches,
             catalog=self.catalog,
@@ -184,9 +193,15 @@ class QualityFilterRun:
             udf = make_scrub_udf(pseudonymize=True)
         else:
             udf = scrub_content
-        return df.withColumn("content", udf(F.col("content"))).withColumn(
-            "scrubbed_sha256", F.sha2(F.col("content"), 256)
-        )
+        out = df.withColumn("content", udf(F.col("content")))
+        if self.entropy_redact:
+            # codegen backstop AFTER the pattern chain: redact the
+            # high-entropy candidates no regex class caught (zero extra
+            # Arrow hop — pure expressions over the scrubbed column)
+            from ..operators.secrets import with_entropy_redaction
+
+            out = with_entropy_redaction(out, scrubbed_col="content", out_col="content")
+        return out.withColumn("scrubbed_sha256", F.sha2(F.col("content"), 256))
 
     @staticmethod
     def _dedup_transform(df: DataFrame) -> DataFrame:

@@ -1,0 +1,87 @@
+"""The pipeline's entropy-scrub mode: after the regex chain, the codegen
+backstop (operators/secrets.py) redacts remaining high-entropy candidates
+through the committed scrub stage. The mode rides the scrub stage
+fingerprint (enabling it re-runs scrub, and only scrub, from the committed
+filter output) and the redaction matches the independent Python reference
+byte-for-byte."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from pyspark.sql import functions as F
+
+from curator_spark.functions.scrub import scrub_one
+from curator_spark.operators.secrets import CAND_PAT, K_B64, K_HEX, REDACTED
+from curator_spark.plans.runner import QualityFilterRun
+
+_CAND_RE = re.compile(CAND_PAT)
+_HEX_RE = re.compile(r"[0-9a-fA-F]+")
+
+# a bare 40-char random token with NO known prefix: every regex class
+# misses it; only the entropy backstop can catch it
+BARE_SECRET = "q7Zx2mVf9Lw1Rc4Ts6Ud8Gh3Jk5Np0Bq2Wy4Ez61"
+
+
+def _redact_ref(t: str) -> str:
+    def flag(tok: str) -> bool:
+        counts = collections.Counter(tok)
+        coll = sum(v * v for v in counts.values())
+        k = K_HEX if _HEX_RE.fullmatch(tok) else K_B64
+        return coll * k <= len(tok) * len(tok)
+
+    return _CAND_RE.sub(lambda m: REDACTED if flag(m.group(0)) else m.group(0), t)
+
+
+def test_entropy_mode_fingerprint_isolation(tmp_path):
+    base = QualityFilterRun(str(tmp_path / "a"), n_batches=2)
+    ent = QualityFilterRun(str(tmp_path / "a"), n_batches=2, entropy_redact=True)
+    # the mode enters the scrub fingerprint but NOT the filter's, and the
+    # plain mode token is unchanged (existing committed runs untouched)
+    assert base.scrub_stage.fingerprint != ent.scrub_stage.fingerprint
+    assert base.filter_stage.fingerprint == ent.filter_stage.fingerprint
+    both = QualityFilterRun(
+        str(tmp_path / "a"), n_batches=2, pseudonymize=True, entropy_redact=True
+    )
+    assert both.scrub_stage.fingerprint != ent.scrub_stage.fingerprint
+
+
+def test_entropy_backstop_fires_through_the_committed_stage(spark, corpus_df, tmp_path):
+    # doctor one file: append a bare random token no regex class knows
+    donor = corpus_df.orderBy("repo", "path").limit(1).first()
+    doctored = corpus_df.unionByName(
+        spark.createDataFrame(
+            [
+                (
+                    "synthetic/leaky",
+                    "src/config.py",
+                    donor.commit,
+                    donor.lang,
+                    donor.content + f"\nDEPLOY_TOKEN = '{BARE_SECRET}'\n",
+                )
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    run = QualityFilterRun(str(tmp_path / "w"), n_batches=2, entropy_redact=True)
+    run.run(spark, doctored)
+    out = run.output(spark)
+    leaky = out.filter(F.col("repo") == "synthetic/leaky").collect()
+    assert leaky, "doctored file was filtered out — pick a different donor"
+    assert BARE_SECRET not in leaky[0].content
+    assert REDACTED in leaky[0].content
+    # every kept row equals scrub_one + entropy reference, byte for byte
+    raw = {
+        (r.repo, r.path): r.content
+        for r in doctored.select("repo", "path", "content").collect()
+    }
+    rows = out.select("repo", "path", "content").collect()
+    assert rows, "pipeline kept nothing — fixture broke"
+    for r in rows:
+        assert r.content == _redact_ref(scrub_one(raw[(r.repo, r.path)])), (r.repo, r.path)
+    # keep/drop decisions are mode-independent
+    plain = QualityFilterRun(str(tmp_path / "wp"), n_batches=2)
+    plain.run(spark, doctored)
+    keys = lambda df: {tuple(r) for r in df.select("repo", "path").collect()}
+    assert keys(out) == keys(plain.output(spark))
