@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "line_census_incremental",
     "secret_entropy_scan",
     "scrub_entropy",
+    "secret_detector_report",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

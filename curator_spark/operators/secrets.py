@@ -73,14 +73,24 @@ K_HEX = 8  # flag hex-alphabet tokens at H2 >= 3 bits  (coll*8  <= L^2)
 K_B64 = 16  # flag mixed-alphabet tokens at H2 >= 4 bits (coll*16 <= L^2)
 REDACTED = "<SECRET>"
 
-# Spark-SQL lambda body: collision index of token t via the
-# positions-fold identity (see module docstring).
-_COLL = "aggregate(split(t, ''), 0, (a, c) -> a + length(t) - length(replace(t, c, '')))"
+# Spark-SQL collision index of a token variable via the positions-fold
+# identity (see module docstring), and the boolean flag predicate built
+# on it — both parameterized on the variable name so they can be used as
+# a lambda body (var "t") or over a column (var "tok").
+def _coll(v: str) -> str:
+    return f"aggregate(split({v}, ''), 0, (a, c) -> a + length({v}) - length(replace({v}, c, '')))"
+
+
+def _flag_pred(v: str) -> str:
+    return (
+        f"({_coll(v)}) * (CASE WHEN {v} rlike '^{HEX_FULL}$' THEN {K_HEX} "
+        f"ELSE {K_B64} END) <= length({v}) * length({v})"
+    )
+
+
+_COLL = _coll("t")
 # t -> boolean: entropy flag with the class-specific K
-_FLAG = (
-    f"t -> ({_COLL}) * (CASE WHEN t rlike '^{HEX_FULL}$' THEN {K_HEX} "
-    f"ELSE {K_B64} END) <= length(t) * length(t)"
-)
+_FLAG = f"t -> {_flag_pred('t')}"
 
 
 def _cands(col: str):
@@ -91,13 +101,21 @@ def _flagged(col: str):
     return F.expr(f"filter(regexp_extract_all({col}, '{CAND_PAT}', 0), {_FLAG})")
 
 
-# DuckDB renderings of the same lambdas (list_* instead of higher-order
-# SQL functions; regexp_full_match instead of anchored rlike).
-_D_COLL = "list_sum(list_transform(str_split(t, ''), c -> length(t) - length(replace(t, c, ''))))"
-_D_FLAG = (
-    f"t -> ({_D_COLL}) * (CASE WHEN regexp_full_match(t, '{HEX_FULL}') THEN {K_HEX} "
-    f"ELSE {K_B64} END) <= length(t) * length(t)"
-)
+# DuckDB renderings of the same expressions (list_* instead of
+# higher-order SQL functions; regexp_full_match instead of anchored rlike).
+def _d_coll(v: str) -> str:
+    return f"list_sum(list_transform(str_split({v}, ''), c -> length({v}) - length(replace({v}, c, ''))))"
+
+
+def _d_flag_pred(v: str) -> str:
+    return (
+        f"({_d_coll(v)}) * (CASE WHEN regexp_full_match({v}, '{HEX_FULL}') THEN {K_HEX} "
+        f"ELSE {K_B64} END) <= length({v}) * length({v})"
+    )
+
+
+_D_COLL = _d_coll("t")
+_D_FLAG = f"t -> {_d_flag_pred('t')}"
 
 
 def _d_flagged(col: str) -> str:
@@ -261,6 +279,97 @@ def scrub_entropy(spark, sf_dir):
         F.size(F.expr(f"filter(toks, {_FLAG})")).alias("n_redacted"),
         F.sha2(F.expr(_REDACT_SPARK), 256).alias("redacted_sha256"),
     ).orderBy("repo", "path", "commit")
+
+
+# ---------------------------------------------------------------------------
+# Detector evaluation — the measurable-quality face, like ann_recall_report
+# and nb_quality_report: how does the entropy detector relate to the regex
+# chain, per planted secret class? Ground-truth classes come from the
+# corpus generator's own template prefixes (sources/corpus.py _PII_SNIPPETS);
+# "chain-covered" is measured per OCCURRENCE by multiset difference — a
+# token's raw candidate count minus its count in the scrubbed text (the
+# chain consumed the difference). Expected shape on this corpus: the
+# detector independently re-finds the unprefixed random material (JWT/PEM
+# segments), misses the prefixed short-hex classes (sk_/AKIA — genuinely
+# lower-entropy, the chain's job), and adds zero false escapes.
+# ---------------------------------------------------------------------------
+
+_CLS_CASE_SQL = (
+    "CASE WHEN tok LIKE 'eyJ%' THEN 'jwt_segment' "
+    "WHEN tok LIKE 'MII%' THEN 'pem_material' "
+    "WHEN tok LIKE 'AKIA%' THEN 'aws_key' "
+    "WHEN {api_match} THEN 'api_key' "
+    "ELSE 'other' END"
+)
+_CLS_SPARK = _CLS_CASE_SQL.format(
+    api_match="tok rlike '^(sk|pk|api|key|token|secret)[-_]'"
+)
+_CLS_DUCK = _CLS_CASE_SQL.format(
+    api_match="regexp_matches(tok, '^(sk|pk|api|key|token|secret)[-_]')"
+)
+
+_DETECTOR_ORACLE = f"""
+WITH raw_t AS (
+  SELECT unnest(regexp_extract_all(content, '{CAND_PAT}')) AS tok FROM {_CORPUS_DUCK}
+),
+scr_t AS (
+  SELECT unnest(regexp_extract_all({scrub_sql_chain("content")}, '{CAND_PAT}')) AS tok
+  FROM {_CORPUS_DUCK}
+),
+r AS (SELECT tok, count(*) AS n_raw FROM raw_t GROUP BY tok),
+s AS (SELECT tok, count(*) AS n_scr FROM scr_t GROUP BY tok),
+jj AS (
+  SELECT r.tok AS tok, r.n_raw, coalesce(s.n_scr, 0) AS n_scr
+  FROM r LEFT JOIN s ON r.tok = s.tok
+),
+j AS (
+  SELECT tok, n_raw, n_scr,
+         {_CLS_DUCK} AS cls,
+         CASE WHEN {_d_flag_pred("tok")} THEN 1 ELSE 0 END AS entropy_flagged
+  FROM jj
+)
+SELECT cls, entropy_flagged,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_raw) AS BIGINT) AS n_occurrences,
+       CAST(sum(n_raw - n_scr) AS BIGINT) AS n_chain_covered
+FROM j
+GROUP BY cls, entropy_flagged
+ORDER BY cls, entropy_flagged
+"""
+
+
+@register(
+    "secret_detector_report",
+    _DETECTOR_ORACLE,
+    "entropy detector vs regex chain per planted class: tokens / occurrences / chain-covered confusion",
+)
+def secret_detector_report(spark, sf_dir):
+    d = _corpus(spark).withColumn("scrubbed", scrub_spark_col(F.col("content")))
+    raw_t = d.select(F.explode(_cands("content")).alias("tok"))
+    scr_t = d.select(F.explode(_cands("scrubbed")).alias("tok"))
+    r = raw_t.groupBy("tok").agg(F.count(F.lit(1)).alias("n_raw"))
+    s = scr_t.groupBy("tok").agg(F.count(F.lit(1)).alias("n_scr"))
+    j = (
+        r.join(s, "tok", "left")
+        .na.fill({"n_scr": 0})
+        .select(
+            F.expr(_CLS_SPARK).alias("cls"),
+            F.expr(
+                f"CASE WHEN {_flag_pred('tok')} THEN 1 ELSE 0 END"
+            ).alias("entropy_flagged"),
+            "n_raw",
+            "n_scr",
+        )
+    )
+    return (
+        j.groupBy("cls", "entropy_flagged")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_raw").alias("n_occurrences"),
+            F.sum(F.col("n_raw") - F.col("n_scr")).alias("n_chain_covered"),
+        )
+        .orderBy("cls", "entropy_flagged")
+    )
 
 
 def with_entropy_redaction(df, scrubbed_col: str = "scrubbed", out_col: str = "content"):

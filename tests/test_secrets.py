@@ -122,6 +122,23 @@ def test_scan_census_consistency(spark):
     assert (scan.n_flagged <= scan.n_candidates).all()
 
 
+def test_detector_report_confusion_is_consistent(spark):
+    from curator_spark.operators.secrets import secret_detector_report
+
+    rep = secret_detector_report(spark, SF).toPandas()
+    # every planted class is fully chain-covered (occurrences == covered)
+    planted = rep[rep.cls.isin(["jwt_segment", "pem_material", "aws_key", "api_key"])]
+    assert (planted.n_occurrences == planted.n_chain_covered).all()
+    # the detector independently re-finds unprefixed random material...
+    flagged = rep[rep.entropy_flagged == 1]
+    assert set(flagged.cls) >= {"jwt_segment", "pem_material"}
+    # ...and (by design) misses the prefixed short-hex classes the chain owns
+    assert rep[(rep.cls == "api_key") & (rep.entropy_flagged == 1)].empty
+    assert rep[(rep.cls == "aws_key") & (rep.entropy_flagged == 1)].empty
+    # zero escapes corpus-wide: every flagged occurrence is chain-covered
+    assert (flagged.n_occurrences == flagged.n_chain_covered).all()
+
+
 def test_zero_shuffle_plan_for_scan_and_rewrite(spark):
     # the scan and rewrite must stay pure per-row projections: no
     # Exchange other than the output ordering's range partitioning
