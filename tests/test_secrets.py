@@ -81,6 +81,16 @@ def test_redaction_rewrite_matches_independent_python_reference(spark):
                 parts.append("".join(rng.choice("0123456789abcdef") for _ in range(rng.randint(16, 48))))
         glue = rng.choice(["", " ", "\n", ".", ""])
         synth.append((f"synth/{i}", glue.join(parts)))
+    # adversarial shapes the generator loop can't hit: unicode borders
+    # (non-ASCII terminates a candidate run), CRLF, token-at-both-ends,
+    # and a candidate whose left half is hex and right half is not
+    synth += [
+        ("synth/unicode", "café eyJS0HqbUFPkI28t1jdcZKp über 中文 MIIpjQwLXzHls9O4B0n7J2i"),
+        ("synth/crlf", "line1\r\neyJS0HqbUFPkI28t1jdcZKp\r\nline2\r\n"),
+        ("synth/ends", "eyJS0HqbUFPkI28t1jdcZKp mid MIIpjQwLXzHls9O4B0n7J2i"),
+        ("synth/hexish", "deadbeef0123456789abcdefXYZW_mixed_tail_here"),
+        ("synth/empty", ""),
+    ]
     df = spark.createDataFrame(synth, "path string, content string").withColumn(
         "repo", F.lit("synth")
     )
