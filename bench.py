@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "secret_entropy_scan",
     "scrub_entropy",
     "secret_detector_report",
+    "function_spans",
+    "function_clones_type2",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

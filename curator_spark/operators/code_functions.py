@@ -1,0 +1,179 @@
+"""Function-granularity extraction + clone census over the source-code
+corpus — the finer-grained leg of the clone family (file-level:
+``vendored_files`` / ``cross_repo_clones``; line-level:
+``line_dedup_keep_first``). Code-corpus pipelines dedup at FUNCTION
+granularity because copy-paste travels as functions, not files
+(CodeParrot's near-dedup ablations; BigCode/StarCoder function-level
+analyses); type-2 (identifier-renamed) clones are the classic clone
+taxonomy step up from type-1 (exact).
+
+Extraction is ONE combined alternation regex over every file — no
+dependence on the corpus's ``lang`` column (which is deliberately wrong
+~10% of the time): the function's own syntax identifies its language.
+A lightweight regex extractor is the honest tool at 10^12-file scale
+(a parser pool per language would be an Arrow-UDF stage); its known
+limitation — a foreign line injected mid-body truncates (python) or
+drops (brace languages) that function — is deterministic and identical
+in both engines, so the oracle still proves bit-equality.
+
+Type-2 normalization masks the corpus's identifier shape
+(``[a-z]+[0-9]+`` → ``<ID>``) before hashing, so two functions that
+differ only by renamed identifiers share a ``type2_md5``.
+
+Scale shapes (10^12 files): extraction is a zero-shuffle per-row
+``regexp_extract_all`` + posexplode (no Python, no join); both clone
+censuses are single map-side-combinable hash-aggregates on a content
+hash — uniform keys by construction for type-1. Type-2 keys ARE hot by
+design (a popular template is one giant renamed family), but Spark's
+countDistinct plans as a two-phase (type2_md5, body_md5) pair-dedup
+whose COMPOSITE key is uniform, so the hot key is already split before
+the final roll-up — the same finer-natural-key skew fix repo_dir_rollup
+documents.
+
+Reference anchors: clone detection re-expressed Spark-first; see
+``repo_ops.py`` (file-level MinHash clones) for the shared design notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .repo_ops import _CORPUS_DUCK, _corpus
+
+# one alternative per language surface the corpus generator emits
+# (sources/corpus.py _gen_*): python def-block (indent-terminated),
+# js/c/go brace blocks (lazy to the column-0 closing brace), java
+# 4-space-indented static methods.
+FN_PAT = (
+    r"(?m)(?:"
+    r"^def \w+\([^)\n]*\):\n(?:    .*\n)*"
+    r"|^function \w+\([^)\n]*\) \{\n(?:    .*\n)*?\}\n"
+    r"|^int \w+\(int \w+\) \{\n(?:    .*\n)*?\}\n"
+    r"|^func \w+\(\w+ int\) int \{\n(?:    .*\n)*?\}\n"
+    r"|^    public static int \w+\(int \w+\) \{\n(?:        .*\n)*?    \}\n"
+    r")"
+)
+NAME_PAT = r"(\w+)\("  # first identifier directly before '(' is the name
+TYPE2_PAT = r"\b[a-z]+[0-9]+\b"  # the generator's identifier shape
+TYPE2_SUB = "<ID>"
+
+_LANG_CASE_SPARK = (
+    "CASE WHEN body LIKE 'def %' THEN 'python' "
+    "WHEN body LIKE 'function %' THEN 'javascript' "
+    "WHEN body LIKE 'int %' THEN 'c' "
+    "WHEN body LIKE 'func %' THEN 'go' "
+    "ELSE 'java' END"
+)
+_LANG_CASE_DUCK = _LANG_CASE_SPARK  # identical ANSI CASE/LIKE
+
+
+def _spans_frame(spark):
+    """(repo, path, fn_idx, fn_lang, fn_name, n_lines, body_md5,
+    type2_md5) — zero-shuffle extraction; patterns go through the Column
+    API (F.lit) so backslashes never pass through a SQL literal."""
+    d = _corpus(spark)
+    fns = d.select(
+        "repo",
+        "path",
+        F.posexplode(
+            F.regexp_extract_all(F.col("content"), F.lit(FN_PAT), F.lit(0))
+        ).alias("fn_idx", "body"),
+    )
+    return fns.select(
+        "repo",
+        "path",
+        "fn_idx",
+        F.expr(_LANG_CASE_SPARK).alias("fn_lang"),
+        F.regexp_extract(F.col("body"), NAME_PAT, 1).alias("fn_name"),
+        (F.length("body") - F.length(F.regexp_replace(F.col("body"), F.lit("\n"), F.lit(""))))
+        .cast("long")
+        .alias("n_lines"),
+        F.md5("body").alias("body_md5"),
+        F.md5(F.regexp_replace(F.col("body"), F.lit(TYPE2_PAT), F.lit(TYPE2_SUB))).alias(
+            "type2_md5"
+        ),
+    )
+
+
+_SPANS_CTE = f"""
+x AS (
+  SELECT repo, path, p.i - 1 AS fn_idx, p.body
+  FROM {_CORPUS_DUCK},
+       LATERAL (SELECT unnest(regexp_extract_all(content, '{FN_PAT}')) AS body,
+                       generate_subscripts(regexp_extract_all(content, '{FN_PAT}'), 1) AS i) p
+),
+spans AS (
+  SELECT repo, path, fn_idx,
+         {_LANG_CASE_DUCK} AS fn_lang,
+         regexp_extract(body, '{NAME_PAT}', 1) AS fn_name,
+         length(body) - length(replace(body, chr(10), '')) AS n_lines,
+         md5(body) AS body_md5,
+         md5(regexp_replace(body, '{TYPE2_PAT}', '{TYPE2_SUB}', 'g')) AS type2_md5
+  FROM x
+)
+"""
+
+
+@register(
+    "function_spans",
+    f"WITH {_SPANS_CTE} SELECT * FROM spans ORDER BY repo, path, fn_idx",
+    "function-granularity extraction: one alternation regex, zero shuffle; type-1/type-2 hashes per function",
+)
+def function_spans(spark, sf_dir):
+    return _spans_frame(spark).orderBy("repo", "path", "fn_idx")
+
+
+@register(
+    "function_clones",
+    f"""WITH {_SPANS_CTE}
+SELECT body_md5,
+       CAST(count(*) AS BIGINT) AS n_funcs,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       min(repo) AS first_repo,
+       min(fn_name) AS a_name
+FROM spans GROUP BY body_md5 HAVING count(DISTINCT repo) >= 2
+ORDER BY body_md5""",
+    "type-1 (exact) cross-repo function clones: one hash-agg on the body hash",
+)
+def function_clones(spark, sf_dir):
+    return (
+        _spans_frame(spark)
+        .groupBy("body_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_funcs"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.min("repo").alias("first_repo"),
+            F.min("fn_name").alias("a_name"),
+        )
+        .filter(F.col("n_repos") >= 2)
+        .orderBy("body_md5")
+    )
+
+
+@register(
+    "function_clones_type2",
+    f"""WITH {_SPANS_CTE}
+SELECT type2_md5,
+       CAST(count(*) AS BIGINT) AS n_funcs,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(DISTINCT body_md5) AS BIGINT) AS n_distinct_bodies,
+       min(fn_name) AS a_name
+FROM spans GROUP BY type2_md5
+HAVING count(DISTINCT repo) >= 2 AND count(DISTINCT body_md5) >= 2
+ORDER BY type2_md5""",
+    "type-2 (identifier-renamed) cross-repo function clones: identifier-masked body hash",
+)
+def function_clones_type2(spark, sf_dir):
+    return (
+        _spans_frame(spark)
+        .groupBy("type2_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_funcs"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.countDistinct("body_md5").alias("n_distinct_bodies"),
+            F.min("fn_name").alias("a_name"),
+        )
+        .filter((F.col("n_repos") >= 2) & (F.col("n_distinct_bodies") >= 2))
+        .orderBy("type2_md5")
+    )
