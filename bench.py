@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "secret_detector_report",
     "function_spans",
     "function_clones_type2",
+    "function_dedup_rewrite",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -49,6 +49,41 @@ def test_fn_lang_is_derived_from_syntax_not_claimed_lang(spark):
     assert not spans.fn_name.isin(["def", "function", "func", "int", "static"]).any()
 
 
+def test_function_dedup_rewrite_matches_python_reference(spark):
+    from curator_spark.operators.code_functions import function_dedup_rewrite
+
+    raw = _corpus(spark).select("repo", "path", "commit", "content").collect()
+    # independent reference: global keep-first over (repo, path, idx)
+    occ = []
+    for r in raw:
+        for i, m in enumerate(_FN_RE.findall(r.content)):
+            occ.append((r.repo, r.path, i, m))
+    seen, keep = set(), {}
+    for repo, path, i, m in sorted(occ):
+        h = hashlib.md5(m.encode()).hexdigest()
+        keep[(repo, path, i)] = h not in seen
+        seen.add(h)
+    want = {}
+    for r in raw:
+        j = 0
+
+        def sub(m):
+            nonlocal j
+            out = m.group(0) if keep[(r.repo, r.path, j)] else ""
+            j += 1
+            return out
+
+        want[(r.repo, r.path)] = _FN_RE.sub(sub, r.content)
+    out = function_dedup_rewrite(spark, SF).collect()
+    assert len(out) == len(raw)
+    removed = 0
+    for r in out:
+        exp = want[(r.repo, r.path)]
+        assert r.content_sha256 == hashlib.sha256(exp.encode()).hexdigest(), (r.repo, r.path)
+        removed += r.n_funcs_removed
+    assert removed == sum(1 for v in keep.values() if not v)
+
+
 def test_type2_families_strictly_generalize_type1(spark):
     spans = function_spans(spark, SF).toPandas()
     # identical bodies always share a type2 hash
