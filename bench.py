@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "function_spans",
     "function_clones_type2",
     "function_dedup_rewrite",
+    "repo_rank",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

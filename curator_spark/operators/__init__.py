@@ -47,3 +47,4 @@ from . import dsir  # noqa: F401,E402
 from . import lm  # noqa: F401,E402
 from . import secrets  # noqa: F401,E402
 from . import code_functions  # noqa: F401,E402
+from . import graph_rank  # noqa: F401,E402

@@ -1,0 +1,200 @@
+"""Repo-graph centrality over the clone graph — the "origin selection"
+leg of the dedup family.
+
+When the same file lives in many repositories, dropping duplicates needs a
+survivor POLICY. ``dedup_keep_best`` picks the best member per cluster by a
+local property (length); production code-corpus pipelines (Software
+Heritage / The Stack's origin selection) instead prefer the copy in the
+most AUTHORITATIVE repository — the repo other repos copy FROM. With no
+star counts in the corpus, authority is derivable from the data itself:
+the clone graph (repos joined by confirmed near-duplicate files) ranked by
+PageRank. A vendoring repo links to everything it vendors; the upstream
+library accumulates rank from every downstream copy.
+
+Reference anchor: the reference has no graph analytics (its unit is one
+request row — reference: src/bespokelabs/curator/llm/llm.py:187); these are
+Spark-native corpus extensions in the BigCode/StarCoder preprocessing
+spirit, like the rest of repo_ops.
+
+Determinism: ranks are exact integers. r0 = 1_000_000 per node; each of
+the K=3 iterations computes
+
+    r'(v) = 150_000 + sum over edges (u,v,w) of
+            (85 * r(u) * w) div (100 * degw(u))
+
+with 64-bit floor division in BOTH engines (Spark ``div``, DuckDB ``//`` —
+all operands positive, truncation == floor). This is quantized PageRank
+with damping 0.85 over the weighted undirected clone graph; floor loss and
+dangling (isolated-repo) mass are deliberately NOT redistributed — the
+variant is deterministic and rank-order-faithful, which is what a survivor
+policy needs. Overflow headroom: rank is bounded by
+150_000 + 0.85 * N_repos * 1e6; at 1e9 repos the 85*r*w product needs
+DECIMAL(38) — at that scale switch the multiply to decimal, the shapes
+below are unchanged.
+
+Scale shapes (1e12 files, 1e8 repos):
+
+* ``repo_clone_graph`` — clone_pairs (bucket-capped MinHash LSH + exact
+  confirm; see repo_ops) then ONE hash-aggregate on the unordered repo
+  pair. Edges <= confirmed pairs; the repo-pair key is far coarser than
+  the file-pair key, so map-side combine collapses hard.
+* ``repo_rank`` — per iteration: one broadcast-or-shuffle join of the
+  |repos|-row rank table to the edge list on src + one hash-aggregate on
+  dst + one left join back to nodes. Three iterations = three bounded
+  shuffles over repo-keyed tables (each orders of magnitude smaller than
+  the corpus). The edge table is persisted query-scoped — without it,
+  every iteration would re-run clone detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register, scratch
+from .repo_ops import _CORPUS_DUCK, _corpus, clone_pairs, clone_pairs_sql
+
+_N_ITERS = 3
+_R0 = 1_000_000
+_TELEPORT = 150_000  # 0.15 * _R0, integer
+
+
+# ---------------------------------------------------------------------------
+# repo_clone_graph: the weighted undirected repo-repo edge list
+# ---------------------------------------------------------------------------
+_Q_GRAPH_ORACLE = f"""
+WITH pairsrc AS ({clone_pairs_sql(_CORPUS_DUCK)})
+SELECT least(repo_a, repo_b) AS repo_a,
+       greatest(repo_a, repo_b) AS repo_b,
+       count(*) AS n_pairs,
+       max(jaccard_bp) AS max_jaccard_bp
+FROM pairsrc
+GROUP BY 1, 2
+"""
+
+
+def clone_graph_edges(corpus_df):
+    """Weighted undirected clone-graph edge list (repo_a < repo_b) for any
+    (repo, path, commit, lang, content) frame: one hash-aggregate over the
+    confirmed clone pairs."""
+    p = clone_pairs(corpus_df)
+    return (
+        p.select(
+            F.least("repo_a", "repo_b").alias("repo_a"),
+            F.greatest("repo_a", "repo_b").alias("repo_b"),
+            "jaccard_bp",
+        )
+        .groupBy("repo_a", "repo_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard_bp").alias("max_jaccard_bp"),
+        )
+    )
+
+
+@register(
+    "repo_clone_graph",
+    _Q_GRAPH_ORACLE,
+    "weighted repo-repo edge list from confirmed cross-repo clone pairs",
+)
+def repo_clone_graph(spark, sf_dir):
+    return clone_graph_edges(_corpus(spark))
+
+
+# ---------------------------------------------------------------------------
+# repo_rank: integer PageRank over the clone graph
+# ---------------------------------------------------------------------------
+def _rank_iterations_sql() -> str:
+    """The K unrolled iteration CTEs, r0..r{K}: generated so Spark and the
+    oracle can never disagree about K."""
+    ctes = [f"r0 AS (SELECT repo, CAST({_R0} AS BIGINT) AS rank FROM nodes)"]
+    for t in range(_N_ITERS):
+        ctes.append(
+            f"""r{t + 1} AS (
+  SELECT n.repo,
+         CAST({_TELEPORT} + coalesce(
+           (SELECT sum((85 * r.rank * e.w) // (100 * e.degw))
+            FROM e JOIN r{t} r ON e.src = r.repo
+            WHERE e.dst = n.repo), 0) AS BIGINT) AS rank
+  FROM nodes n)"""
+        )
+    return ",\n".join(ctes)
+
+
+_Q_RANK_ORACLE = f"""
+WITH pairsrc AS ({clone_pairs_sql(_CORPUS_DUCK)}),
+und AS (
+  SELECT least(repo_a, repo_b) AS ra, greatest(repo_a, repo_b) AS rb,
+         count(*) AS w
+  FROM pairsrc GROUP BY 1, 2
+),
+edges AS (
+  SELECT ra AS src, rb AS dst, w FROM und
+  UNION ALL
+  SELECT rb AS src, ra AS dst, w FROM und
+),
+deg AS (SELECT src, sum(w) AS degw FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w, deg.degw
+      FROM edges JOIN deg USING (src)),
+nodes AS (SELECT DISTINCT repo FROM {_CORPUS_DUCK}),
+{_rank_iterations_sql()},
+degout AS (SELECT src AS repo, degw FROM deg)
+SELECT n.repo,
+       r.rank,
+       CAST(coalesce(d.degw, 0) AS BIGINT) AS clone_degree
+FROM nodes n
+JOIN r{_N_ITERS} r USING (repo)
+LEFT JOIN degout d USING (repo)
+"""
+
+
+def repo_rank_frame(corpus_df):
+    """Quantized PageRank over the clone graph of any corpus frame.
+
+    Returns (repo, rank, clone_degree) for EVERY repo in the corpus —
+    isolated repos (no confirmed clones) settle at the teleport floor, so
+    the frame is directly usable as a survivor-policy side table (join on
+    repo, keep the copy in the max-rank repo).
+    """
+    und = clone_graph_edges(corpus_df).select(
+        F.col("repo_a").alias("ra"),
+        F.col("repo_b").alias("rb"),
+        F.col("n_pairs").alias("w"),
+    )
+    edges = und.select(F.col("ra").alias("src"), F.col("rb").alias("dst"), "w").union(
+        und.select(F.col("rb").alias("src"), F.col("ra").alias("dst"), "w")
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("degw"))
+    # persisted query-scoped: three rank iterations re-read this edge list,
+    # and without the persist each iteration would re-run the whole
+    # MinHash-LSH clone detection upstream of it.
+    e = scratch(edges.join(deg, "src").persist())
+    nodes = scratch(corpus_df.select("repo").distinct().persist())
+
+    r = nodes.withColumn("rank", F.lit(_R0).cast("long"))
+    for _ in range(_N_ITERS):
+        contrib = (
+            e.join(r.withColumnRenamed("repo", "src"), "src")
+            .groupBy("dst")
+            .agg(F.expr("sum((85 * rank * w) div (100 * degw))").alias("c"))
+            .withColumnRenamed("dst", "repo")
+        )
+        r = nodes.join(contrib, "repo", "left").select(
+            "repo",
+            (F.lit(_TELEPORT) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+    return r.join(
+        deg.withColumnRenamed("src", "repo"), "repo", "left"
+    ).select(
+        "repo", "rank", F.coalesce(F.col("degw"), F.lit(0)).alias("clone_degree")
+    )
+
+
+@register(
+    "repo_rank",
+    _Q_RANK_ORACLE,
+    "integer PageRank over the repo clone graph (origin-selection authority)",
+)
+def repo_rank(spark, sf_dir):
+    return repo_rank_frame(_corpus(spark))

@@ -1,0 +1,101 @@
+"""Clone-graph centrality (repo_clone_graph / repo_rank) vs an
+INDEPENDENT imperative Python PageRank over the same pairs, plus the
+determinism/fixed-point properties a survivor policy relies on."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.operators.graph_rank import (
+    _N_ITERS,
+    _R0,
+    _TELEPORT,
+    clone_graph_edges,
+    repo_rank_frame,
+)
+from curator_spark.operators.repo_ops import clone_pairs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, corpus_pdf):
+    return spark.createDataFrame(corpus_pdf).localCheckpoint(eager=True)
+
+
+def _python_pagerank(pairs, repos):
+    """Dict-and-loop reference: quantized PageRank exactly as documented
+    in graph_rank.py, written with none of the Spark machinery."""
+    w = defaultdict(int)
+    for ra, rb in pairs:
+        a, b = min(ra, rb), max(ra, rb)
+        w[(a, b)] += 1
+    adj = defaultdict(list)  # src -> [(dst, w)]
+    degw = defaultdict(int)
+    for (a, b), k in w.items():
+        adj[a].append((b, k))
+        adj[b].append((a, k))
+        degw[a] += k
+        degw[b] += k
+    rank = {r: _R0 for r in repos}
+    for _ in range(_N_ITERS):
+        nxt = {r: _TELEPORT for r in repos}
+        for u, outs in adj.items():
+            for v, k in outs:
+                nxt[v] += (85 * rank[u] * k) // (100 * degw[u])
+        rank = nxt
+    return rank, degw
+
+
+def test_repo_rank_matches_python_reference(spark, corpus):
+    pairs = [
+        (r["repo_a"], r["repo_b"])
+        for r in clone_pairs(corpus).select("repo_a", "repo_b").collect()
+    ]
+    repos = [r["repo"] for r in corpus.select("repo").distinct().collect()]
+    want_rank, want_deg = _python_pagerank(pairs, repos)
+
+    got = {
+        r["repo"]: (r["rank"], r["clone_degree"])
+        for r in repo_rank_frame(corpus).collect()
+    }
+    assert set(got) == set(repos)
+    for repo in repos:
+        assert got[repo] == (want_rank[repo], want_deg.get(repo, 0)), repo
+
+
+def test_isolated_repos_settle_at_teleport_floor(spark, corpus):
+    rows = repo_rank_frame(corpus).collect()
+    isolated = [r for r in rows if r["clone_degree"] == 0]
+    connected = [r for r in rows if r["clone_degree"] > 0]
+    assert isolated, "fixture should contain clone-free repos"
+    assert connected, "fixture should contain cloned repos"
+    # an isolated node receives only the teleport term every iteration
+    assert {r["rank"] for r in isolated} == {_TELEPORT}
+    # authority accrues only through clone edges
+    assert max(r["rank"] for r in connected) > _TELEPORT
+
+
+def test_edge_list_is_unordered_and_positive(spark, corpus):
+    edges = clone_graph_edges(corpus)
+    bad = edges.filter(
+        (F.col("repo_a") >= F.col("repo_b")) | (F.col("n_pairs") <= 0)
+    ).count()
+    assert bad == 0
+    # undirected: no duplicate unordered pair
+    n = edges.count()
+    assert edges.select("repo_a", "repo_b").distinct().count() == n
+
+
+def test_rank_total_mass_is_bounded(spark, corpus):
+    """Floor division only LOSES mass: total rank after any iteration is
+    <= N * teleport + 0.85 * previous total — the divergence guard that
+    makes the fixed K iterations safe at any graph size."""
+    rows = repo_rank_frame(corpus).collect()
+    n = len(rows)
+    total = sum(r["rank"] for r in rows)
+    bound = n * _R0
+    for _ in range(_N_ITERS):
+        bound = n * _TELEPORT + (85 * bound) // 100
+    assert total <= bound
