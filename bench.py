@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "function_clones_type2",
     "function_dedup_rewrite",
     "repo_rank",
+    "dedup_keep_ranked",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -72,11 +72,13 @@ GROUP BY 1, 2
 """
 
 
-def clone_graph_edges(corpus_df):
+def clone_graph_edges(corpus_df, pairs=None):
     """Weighted undirected clone-graph edge list (repo_a < repo_b) for any
     (repo, path, commit, lang, content) frame: one hash-aggregate over the
-    confirmed clone pairs."""
-    p = clone_pairs(corpus_df)
+    confirmed clone pairs. Pass ``pairs`` when the caller already holds a
+    (persisted) clone_pairs frame — clone detection is the expensive part
+    and must run once per query, not once per consumer."""
+    p = clone_pairs(corpus_df) if pairs is None else pairs
     return (
         p.select(
             F.least("repo_a", "repo_b").alias("repo_a"),
@@ -147,7 +149,7 @@ LEFT JOIN degout d USING (repo)
 """
 
 
-def repo_rank_frame(corpus_df):
+def repo_rank_frame(corpus_df, pairs=None):
     """Quantized PageRank over the clone graph of any corpus frame.
 
     Returns (repo, rank, clone_degree) for EVERY repo in the corpus —
@@ -155,7 +157,7 @@ def repo_rank_frame(corpus_df):
     the frame is directly usable as a survivor-policy side table (join on
     repo, keep the copy in the max-rank repo).
     """
-    und = clone_graph_edges(corpus_df).select(
+    und = clone_graph_edges(corpus_df, pairs=pairs).select(
         F.col("repo_a").alias("ra"),
         F.col("repo_b").alias("rb"),
         F.col("n_pairs").alias("w"),
@@ -198,3 +200,87 @@ def repo_rank_frame(corpus_df):
 )
 def repo_rank(spark, sf_dir):
     return repo_rank_frame(_corpus(spark))
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_ranked: the rank made actionable — origin-selection survivor
+# policy. For every confirmed cross-repo clone pair, drop the member in the
+# LOWER-authority repo (ties broken by repo name — pairs are cross-repo so
+# (rank, repo) is a total order). Contrast: clone_dedup_keep drops the
+# string-later fid (arbitrary), dedup_keep_best keeps the longest member
+# (local property); this keeps the upstream copy. Same greedy pairwise
+# drop shape as clone_dropped_fids; the rank table joins in as a broadcast
+# (|repos| rows).
+# ---------------------------------------------------------------------------
+_Q_KEEP_RANKED_ORACLE = f"""
+WITH ranks AS ({_Q_RANK_ORACLE}),
+pairsrc AS ({clone_pairs_sql(_CORPUS_DUCK)}),
+losers AS (
+  SELECT DISTINCT CASE
+    WHEN (ra.rank, p.repo_a) < (rb.rank, p.repo_b) THEN p.fid_a
+    ELSE p.fid_b END AS fid
+  FROM pairsrc p
+  JOIN ranks ra ON p.repo_a = ra.repo
+  JOIN ranks rb ON p.repo_b = rb.repo
+),
+dropped AS (
+  SELECT c.repo, count(*) AS n_dropped
+  FROM {_CORPUS_DUCK} c JOIN losers l ON c.commit = l.fid
+  GROUP BY c.repo
+),
+files AS (SELECT repo, count(*) AS n_files FROM {_CORPUS_DUCK} GROUP BY repo)
+SELECT f.repo, r.rank, f.n_files,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM files f
+JOIN ranks r ON f.repo = r.repo
+LEFT JOIN dropped d ON f.repo = d.repo
+"""
+
+
+@register(
+    "dedup_keep_ranked",
+    _Q_KEEP_RANKED_ORACLE,
+    "clone dedup with rank-based origin-selection survivor policy, per-repo impact",
+)
+def dedup_keep_ranked(spark, sf_dir):
+    corpus = _corpus(spark)
+    # ONE clone-detection pass feeds both the rank and the drop decision
+    pairs = scratch(clone_pairs(corpus).persist())
+    ranks = repo_rank_frame(corpus, pairs=pairs)
+    ra = ranks.select(
+        F.col("repo").alias("repo_a"), F.col("rank").alias("rank_a")
+    )
+    rb = ranks.select(
+        F.col("repo").alias("repo_b"), F.col("rank").alias("rank_b")
+    )
+    losers = (
+        pairs.join(F.broadcast(ra), "repo_a")
+        .join(F.broadcast(rb), "repo_b")
+        .select(
+            F.when(
+                F.struct(F.col("rank_a"), F.col("repo_a"))
+                < F.struct(F.col("rank_b"), F.col("repo_b")),
+                F.col("fid_a"),
+            )
+            .otherwise(F.col("fid_b"))
+            .alias("fid")
+        )
+        .distinct()
+    )
+    dropped = (
+        _corpus(spark)
+        .join(losers.withColumnRenamed("fid", "commit"), "commit")
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    files = corpus.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        files.join(ranks.select("repo", "rank"), "repo")
+        .join(dropped, "repo", "left")
+        .select(
+            "repo",
+            "rank",
+            "n_files",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        )
+    )
