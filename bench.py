@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "function_dedup_rewrite",
     "repo_rank",
     "dedup_keep_ranked",
+    "repo_tfidf_keywords",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -825,3 +825,81 @@ def dedup_exact_incremental(spark, sf_dir):
     curr = _corpus_w400(spark)
     # stands in for the committed digest-index table of the previous crawl
     return incremental_exact_keep(curr, digest_index(prev))
+
+
+# ---------------------------------------------------------------------------
+# repo_tfidf_keywords: the top-5 DISTINCTIVE identifiers per repository —
+# the corpus-understanding report behind domain labeling and mixture
+# decisions (which repos are "parser code", which are "network code").
+# tf = occurrences of the identifier in the repo; idf quantized to
+# round(1e6 * ln(N_repos / df)) so the score is an exact BIGINT in both
+# engines (ln-on-rational precedent: lm.py / bm25). A token present in
+# every repo scores 0 — exactly the "not distinctive" reading.
+#
+# Scale shapes (1e12 files): explode -> (repo, token) hash-aggregate with
+# map-side combine (the identifier domain per repo is tiny vs occurrences);
+# df = second hash-aggregate over the (repo, token) table (NOT the raw
+# occurrences); token-keyed shuffle join tf x df; top-5 window partitioned
+# by repo gets WindowGroupLimit pushdown (rank <= k prunes before the
+# full sort).
+# ---------------------------------------------------------------------------
+_TFIDF_TOKEN_RE = "[a-z]+[0-9]{1,2}"
+_TFIDF_TOPK = 5
+
+_Q_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT repo,
+         unnest(regexp_extract_all(content, '{_TFIDF_TOKEN_RE}')) AS token
+  FROM {_CORPUS_DUCK}
+),
+tf AS (SELECT repo, token, count(*) AS tf FROM toks GROUP BY repo, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT repo) AS n_repos FROM {_CORPUS_DUCK}),
+scored AS (
+  SELECT tf.repo, tf.token, tf.tf,
+         tf.tf * CAST(round(1000000 * ln(CAST(n.n_repos AS DOUBLE) / df.df))
+                      AS BIGINT) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT repo, token, tf, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY repo ORDER BY score DESC, token)
+        <= {_TFIDF_TOPK}
+"""
+
+
+@register(
+    "repo_tfidf_keywords",
+    _Q_TFIDF_ORACLE,
+    "top-5 distinctive identifiers per repo: integer-quantized TF-IDF + group-limit window",
+)
+def repo_tfidf_keywords(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    corpus = _corpus(spark)
+    toks = corpus.select(
+        "repo",
+        F.explode(
+            F.expr(f"regexp_extract_all(content, '{_TFIDF_TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("repo", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = corpus.agg(F.countDistinct("repo").alias("n_repos"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.expr(
+                "tf * cast(round(1000000 * ln(cast(n_repos as double) / df))"
+                " as bigint)"
+            ),
+        )
+    )
+    w = W.partitionBy("repo").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .select("repo", "token", "tf", "score")
+    )

@@ -144,6 +144,71 @@ def test_keep_ranked_drops_the_lower_authority_member(spark, corpus):
     assert got_losers != greedy, "rank policy should change at least one survivor"
 
 
+def test_tfidf_keywords_match_python_reference(spark, corpus_pdf):
+    """repo_tfidf_keywords' scoring vs a dict-and-regex reference over the
+    same rows (library path replayed on the fixture corpus via the oracle
+    gate; here we check the MATH on the raw pandas frame)."""
+    import math
+    import re
+
+    from curator_spark.operators.repo_ops import (
+        _TFIDF_TOKEN_RE,
+        _TFIDF_TOPK,
+    )
+
+    tf = defaultdict(int)
+    for repo, content in zip(corpus_pdf["repo"], corpus_pdf["content"]):
+        for tok in re.findall(_TFIDF_TOKEN_RE, content):
+            tf[(repo, tok)] += 1
+    df = defaultdict(int)
+    for (repo, tok) in tf:
+        df[tok] += 1
+    n_repos = corpus_pdf["repo"].nunique()
+    want = defaultdict(list)
+    for (repo, tok), k in tf.items():
+        idf_q = round(1_000_000 * math.log(n_repos / df[tok]))
+        want[repo].append((-k * idf_q, tok, k))
+    want_top = {
+        repo: [(t, k, -s) for s, t, k in sorted(rows)[:_TFIDF_TOPK]]
+        for repo, rows in want.items()
+    }
+
+    sdf = spark.createDataFrame(corpus_pdf)
+    from curator_spark.operators import repo_ops as ro
+
+    # replay the registered query body on the test frame
+    from pyspark.sql import Window as W
+
+    toks = sdf.select(
+        "repo",
+        F.explode(
+            F.expr(f"regexp_extract_all(content, '{_TFIDF_TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    tfs = toks.groupBy("repo", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = tfs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = sdf.agg(F.countDistinct("repo").alias("n_repos"))
+    w = W.partitionBy("repo").orderBy(F.desc("score"), F.asc("token"))
+    got_rows = (
+        tfs.join(dfs, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.expr(
+                "tf * cast(round(1000000 * ln(cast(n_repos as double) / df)) as bigint)"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
+        .select("repo", "token", "tf", "score")
+        .collect()
+    )
+    got = defaultdict(list)
+    for r in sorted(got_rows, key=lambda r: (r["repo"], -r["score"], r["token"])):
+        got[r["repo"]].append((r["token"], r["tf"], r["score"]))
+    assert dict(got) == dict(want_top)
+
+
 def test_rank_total_mass_is_bounded(spark, corpus):
     """Floor division only LOSES mass: total rank after any iteration is
     <= N * teleport + 0.85 * previous total — the divergence guard that
