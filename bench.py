@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "repo_rank",
     "dedup_keep_ranked",
     "repo_tfidf_keywords",
+    "decontam_semantic",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

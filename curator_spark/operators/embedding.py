@@ -1034,3 +1034,87 @@ def semdedup_incremental(spark, sf_dir):
 
 
 _QQ["semdedup_incremental"].oracle = _semdedup_incr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# decontam_semantic: embedding-based decontamination — the semantic leg of
+# the decontamination family. decontaminate (operators/decontaminate.py)
+# drops docs sharing exact n-grams with the benchmark suite; paraphrased or
+# lightly-edited benchmark leakage survives that. Here both sides get the
+# in-engine pooled doc vector and a corpus doc is dropped when its cosine
+# against ANY benchmark vector clears the threshold.
+#
+# Scale shape: the benchmark suite is SMALL BY NATURE (a test set, not a
+# crawl), so the bench vector table is explicitly broadcast and the
+# comparison is an exact cosine against every corpus vector — no LSH, no
+# cap, no candidate loss: a missed contamination costs more than the
+# extra multiplies. Corpus-side work is the one generation pass (per-row
+# expressions + bounded two-level aggregate) and a map-side broadcast
+# join; NOTHING shuffles on the corpus side except the pooled-vector
+# aggregation itself. Same benchmark stand-in as decontaminate
+# (first _N_BENCH doc_ids) so the two queries' drop sets are comparable.
+# ---------------------------------------------------------------------------
+_DECON_SEM_N_BENCH = 5  # keep aligned with decontaminate._N_BENCH
+_DECON_SEM_T = _SEM_THRESHOLD
+
+_Q_DECON_SEM_ORACLE = f"""
+WITH {semdedup_capped_duck(f'(SELECT * FROM documents WHERE doc_id < {_DECON_SEM_N_BENCH})', 'cast(doc_id AS VARCHAR)', 'text', prefix='dcb_')},
+{semdedup_capped_duck(f'(SELECT * FROM documents WHERE doc_id >= {_DECON_SEM_N_BENCH})', 'cast(doc_id AS VARCHAR)', 'text', prefix='dcc_')},
+dropped AS (
+  SELECT DISTINCT c._sid AS drop_id
+  FROM dcc_quant c, dcb_quant b
+  WHERE {_DOT_DUCK.format(a='c.pq', b='b.pq')} /
+        (sqrt({_DOT_DUCK.format(a='c.pq', b='c.pq')}) *
+         sqrt({_DOT_DUCK.format(a='b.pq', b='b.pq')})) >= {_DECON_SEM_T}
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id >= {_DECON_SEM_N_BENCH}
+  AND cast(d.doc_id AS VARCHAR) NOT IN (SELECT drop_id FROM dropped)
+"""
+
+
+def semantic_decontaminate_filter(
+    corpus,
+    benchmarks,
+    key_cols,
+    text_col: str = "content",
+    threshold: float = _DECON_SEM_T,
+):
+    """Drop every corpus row whose pooled doc vector is cosine-near ANY
+    benchmark row's vector. Exact (no LSH): the benchmark side is
+    broadcast. Rows without a vector (empty text) are never dropped."""
+    key_cols = list(key_cols)
+    cv = pooled_vectors_of(corpus, key_cols, text_col=text_col).select(
+        *key_cols, F.col("pq").alias("c_pq")
+    )
+    bv = pooled_vectors_of(benchmarks, key_cols, text_col=text_col).select(
+        F.col("pq").alias("b_pq")
+    )
+    cos = F.expr(_DOT.format(a="c_pq", b="b_pq")) / (
+        F.sqrt(F.expr(_DOT.format(a="c_pq", b="c_pq")))
+        * F.sqrt(F.expr(_DOT.format(a="b_pq", b="b_pq")))
+    )
+    dropped = (
+        cv.join(F.broadcast(bv), cos >= threshold)
+        .select(*key_cols)
+        .distinct()
+    )
+    return corpus.join(dropped, key_cols, "left_anti")
+
+
+@register(
+    "decontam_semantic",
+    _Q_DECON_SEM_ORACLE,
+    "semantic decontamination: pooled doc vectors, exact cosine vs broadcast benchmark suite",
+)
+def decontam_semantic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < _DECON_SEM_N_BENCH).select(
+        "doc_id", "lang", "text"
+    )
+    corp = d.filter(F.col("doc_id") >= _DECON_SEM_N_BENCH).select(
+        "doc_id", "lang", "text"
+    )
+    kept = semantic_decontaminate_filter(corp, bench, ["doc_id"], text_col="text")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")

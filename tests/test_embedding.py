@@ -221,3 +221,35 @@ def test_embed_documents_digest_is_stable(spark):
     r1 = {r["vec_id"]: r["emb_md5"] for r in embed_documents(spark, SF).collect()}
     r2 = {r["vec_id"]: r["emb_md5"] for r in embed_documents(spark, SF).collect()}
     assert r1 == r2 and r1
+
+
+def test_semantic_decontaminate_filter_drops_paraphrased_leakage(spark):
+    from curator_spark.operators.embedding import semantic_decontaminate_filter
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while the data "
+        "pipeline shuffles every partition of the corpus twice"
+    )
+    # paraphrase: word-level edits, same dominant vocabulary
+    leaked = (
+        "the quick brown fox jumps over the lazy dog while the data "
+        "pipeline shuffles every partition of the corpus once more"
+    )
+    unrelated = (
+        "xylophone quartz zebra bagpipe onyx fjord waltz kumquat "
+        "sphinx glyph vexed jackdaw quiz nymph blitz"
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, leaked), (11, unrelated), (12, "")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in semantic_decontaminate_filter(
+            corpus, bench, ["doc_id"], text_col="text"
+        ).collect()
+    }
+    assert 10 not in kept, "paraphrased benchmark leakage must be dropped"
+    assert 11 in kept, "unrelated doc must survive"
+    assert 12 in kept, "empty doc (no vector) is never dropped"
