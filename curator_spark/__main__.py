@@ -83,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet of benchmark docs (content column): drop corpus rows "
         "sharing any word 8-gram with them before filtering",
     )
+    p.add_argument(
+        "--semantic-decontam", action="store_true",
+        help="with --decontaminate: ALSO drop corpus rows whose pooled doc "
+        "vector is cosine-near any benchmark doc (paraphrase-leakage "
+        "backstop behind the exact n-gram probe)",
+    )
     p.add_argument("--min-chars", type=int, default=None)
     p.add_argument("--max-perplexity", type=float, default=None)
     p.add_argument(
@@ -182,10 +188,18 @@ def main(argv: list[str] | None = None) -> int:
     bench = (
         spark.read.parquet(args.decontaminate) if args.decontaminate else None
     )
+    if args.semantic_decontam and bench is None:
+        p.error("--semantic-decontam needs --decontaminate <benchmarks parquet>")
     if bench is not None and args.crawl_id is None:
         from .operators.decontaminate import decontaminate_against
 
         corpus = decontaminate_against(corpus, bench, text_col="content")
+        if args.semantic_decontam:
+            from .operators.embedding import semantic_decontaminate_filter
+
+            corpus = semantic_decontaminate_filter(
+                corpus, bench, ["repo", "path", "commit"], text_col="content"
+            )
     scorer_loader = None
     if args.fasttext_bin or args.kenlm_model:
         if not (args.fasttext_bin and args.kenlm_model):

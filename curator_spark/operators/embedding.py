@@ -1083,12 +1083,20 @@ def semantic_decontaminate_filter(
 ):
     """Drop every corpus row whose pooled doc vector is cosine-near ANY
     benchmark row's vector. Exact (no LSH): the benchmark side is
-    broadcast. Rows without a vector (empty text) are never dropped."""
+    broadcast. Rows without a vector (empty text) are never dropped.
+
+    The benchmark frame needs NO key columns: its rows are keyed by
+    md5(text) for the pooling group-by (only the vector VALUES enter the
+    drop decision; identical-content benchmark rows pooling together
+    yields the same direction, hence the same cosine)."""
     key_cols = list(key_cols)
     cv = pooled_vectors_of(corpus, key_cols, text_col=text_col).select(
         *key_cols, F.col("pq").alias("c_pq")
     )
-    bv = pooled_vectors_of(benchmarks, key_cols, text_col=text_col).select(
+    bench_keyed = benchmarks.select(
+        F.md5(F.col(text_col)).alias("__bid"), F.col(text_col)
+    )
+    bv = pooled_vectors_of(bench_keyed, ["__bid"], text_col=text_col).select(
         F.col("pq").alias("b_pq")
     )
     cos = F.expr(_DOT.format(a="c_pq", b="b_pq")) / (

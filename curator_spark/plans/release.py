@@ -185,6 +185,7 @@ def build_release(
     scorer_loader=None,
     semantic_dedup: bool = False,
     line_dedup: bool = False,
+    semantic_decontaminate: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full release chain; return (released DataFrame with a
     ``split`` column, manifest dict with per-stage row accounting and the
@@ -219,6 +220,16 @@ def build_release(
     else:
         s3 = s2
     n3 = s3.count()
+    n3s = n3
+    if semantic_decontaminate:
+        if benchmarks is None:
+            raise ValueError("semantic_decontaminate=True needs a benchmarks frame")
+        from ..operators.embedding import semantic_decontaminate_filter
+
+        s3 = semantic_decontaminate_filter(
+            s3, benchmarks, KEY_COLS, text_col="content"
+        ).localCheckpoint(eager=False)
+        n3s = s3.count()
     annotated = annotate(s3, cfg, scorer_loader=scorer_loader).localCheckpoint(
         eager=False
     )
@@ -240,11 +251,14 @@ def build_release(
         "removed_clone_dup": n1 - n2,
         "removed_semantic_dup": n2l - n2s,
         "removed_decontaminated": n2s - n3,
-        "removed_quality_filter": n3 - n4,
+        "removed_quality_filter": n3s - n4,
         "removed_mixture_downsample": n4 - n5,
         "released_files": n5,
         "datacard": card,
     }
+    if semantic_decontaminate:
+        # only semantic-decontam runs carry the key (dict-equality rule)
+        manifest["removed_semantic_decontaminated"] = n3 - n3s
     if line_dedup:
         # only line-dedup runs carry the key, so plain manifests stay
         # dict-equal to prior releases (same rule as license/opt-out)
@@ -278,6 +292,12 @@ class ReleaseRun:
            semdedup never regenerates them)
         -> decontam (global, only when benchmarks given; its config
            carries the benchmark set's identity token)
+        -> semdecontam (n_batches, only when semantic_decontaminate=True:
+           per-row drop vs the BROADCAST benchmark vector table — the
+           paraphrase-leakage backstop behind the exact n-gram probe;
+           row-local given the broadcast side, so it batches; the
+           benchmark identity rides its input token exactly like
+           decontam's)
         -> annotate (n_batches, 1:1 map — full rule/model/scrub
            annotation of every surviving row, keep column included;
            the datacard reads this committed table)
@@ -298,6 +318,7 @@ class ReleaseRun:
         rates_ppm: dict[str, int] | None = None,
         n_batches: int | None = 4,
         decontaminate: bool = False,
+        semantic_decontaminate: bool = False,
         benchmarks_token: str | None = None,
         catalog=None,
         scorer_loader=None,
@@ -438,6 +459,24 @@ class ReleaseRun:
             if decontaminate
             else None
         )
+        if semantic_decontaminate:
+            from ..operators.embedding import _DECON_SEM_T, DIM
+            from ..operators.relational import CHUNK_S, CHUNK_W
+
+            self.semdecontam_stage = ResumableStage(
+                "rel-semdecontam", KEY_COLS, work_dir,
+                # per-row given the broadcast bench vectors -> batches like
+                # any row-local stage; geometry/threshold in the config so
+                # a chunk-window or threshold change re-runs it in place
+                config={
+                    "method": "pooled-cosine-vs-bench",
+                    "threshold": _DECON_SEM_T,
+                    "geometry": f"w{CHUNK_W}-s{CHUNK_S}-dim{DIM}-q1e6",
+                },
+                n_batches=n_batches, catalog=self.catalog,
+            )
+        else:
+            self.semdecontam_stage = None
         self.annotate_stage = ResumableStage(
             "rel-annotate", KEY_COLS, work_dir,
             config={
@@ -460,7 +499,7 @@ class ReleaseRun:
                 self.dedup_stage, self.clone_stage,
                 self.linededup_stage,
                 self.embed_stage, self.semdedup_stage,
-                self.decontam_stage,
+                self.decontam_stage, self.semdecontam_stage,
                 self.annotate_stage, self.finalize_stage,
             )
             if s is not None
@@ -576,6 +615,29 @@ class ReleaseRun:
             ran["decontam"] = r.batches_run
             cur = self.decontam_stage.output(spark)
 
+        if self.semdecontam_stage is not None:
+            if benchmarks is None:
+                raise ValueError("semantic_decontaminate=True needs a benchmarks frame")
+            from ..engine.fingerprint import input_identity
+            from ..operators.decontaminate import bench_identity
+            from ..operators.embedding import semantic_decontaminate_filter
+
+            bench_id = (
+                self._bench_token
+                if self._bench_token is not None
+                else bench_identity(benchmarks)
+            )
+            r = self.semdecontam_stage.run(
+                spark, cur,
+                lambda df: semantic_decontaminate_filter(
+                    df, benchmarks, KEY_COLS, text_col="content"
+                ),
+                fail_after_batches=fail_after_batches,
+                input_token=f"{input_identity(cur)}|bench:{bench_id}",
+            )
+            ran["semdecontam"] = r.batches_run
+            cur = self.semdecontam_stage.output(spark)
+
         r = self.annotate_stage.run(
             spark, cur, self._annotate_transform,
             fail_after_batches=fail_after_batches,
@@ -653,6 +715,11 @@ class ReleaseRun:
             if self.decontam_stage is not None
             else n2s
         )
+        n3s = (
+            self.semdecontam_stage.output(spark).count()
+            if self.semdecontam_stage is not None
+            else n3
+        )
         annotated = self.annotate_stage.output(spark)
         n4 = annotated.filter("keep").count()
         n5 = self.output(spark).count()
@@ -662,11 +729,14 @@ class ReleaseRun:
             "removed_clone_dup": n1 - n2,
             "removed_semantic_dup": n2l - n2s,
             "removed_decontaminated": n2s - n3,
-            "removed_quality_filter": n3 - n4,
+            "removed_quality_filter": n3s - n4,
             "removed_mixture_downsample": n4 - n5,
             "released_files": n5,
             "datacard": build_datacard(annotated),
         }
+        if self.semdecontam_stage is not None:
+            # only semantic-decontam runs carry the key (dict-equality rule)
+            out["removed_semantic_decontaminated"] = n3 - n3s
         if self.linededup_stage is not None:
             # only line-dedup runs carry the key (same dict-equality rule)
             out["removed_line_dedup"] = n2 - n2l

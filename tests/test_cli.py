@@ -74,6 +74,44 @@ def test_cli_decontaminate(spark, corpus_df, tmp_path, capsys):
     assert decon["kept_rows"] < base["kept_rows"]
 
 
+def test_cli_semantic_decontam(spark, corpus_df, tmp_path, capsys):
+    """--semantic-decontam composes the pooled-vector cosine backstop after
+    the exact n-gram probe; needs --decontaminate."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    bench_pdf = corpus_df.limit(3).select("content").toPandas()
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(bench_pdf).write.parquet(bench)
+
+    main(
+        ["--input", inp, "--work-dir", str(tmp_path / "r1"), "--n-batches", "2",
+         "--decontaminate", bench]
+    )
+    exact = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    main(
+        ["--input", inp, "--work-dir", str(tmp_path / "r2"), "--n-batches", "2",
+         "--decontaminate", bench, "--semantic-decontam"]
+    )
+    sem = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    # the semantic backstop can only remove MORE than the exact probe
+    assert sem["kept_rows"] <= exact["kept_rows"]
+
+    # flag without a benchmark parquet is a usage error (argparse exits 2)
+    with _pytest.raises(SystemExit):
+        main(["--input", inp, "--work-dir", str(tmp_path / "r3"),
+              "--n-batches", "2", "--semantic-decontam"])
+
+
 def test_cli_train_langid(spark, corpus_df, tmp_path, capsys):
     """--train-langid fits the NB model on the input and uses it as the
     langid stage; distinct trained models get distinct loader identities

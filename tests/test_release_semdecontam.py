@@ -1,0 +1,91 @@
+"""ReleaseRun's optional semantic-decontamination stage (pooled-vector
+cosine vs a broadcast benchmark suite, after the exact n-gram probe):
+single-session parity with build_release, nonzero paraphrase-leakage
+removal, and kill/resume convergence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.plans.release import ReleaseRun, build_release
+from curator_spark.sources.corpus import generate_spark
+
+ROWS = 300
+RATES = {"python": 600_000}
+
+
+def _corpus(spark, tmp_path):
+    p = str(tmp_path / "sd_corpus.parquet")
+    generate_spark(spark, ROWS, seed=42, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return spark.read.parquet(p)
+
+
+def _benchmarks(spark, corpus):
+    # a benchmark suite that provably overlaps the corpus: three of its
+    # own files' content verbatim (their near-dups must then drop too)
+    return (
+        corpus.orderBy("commit")
+        .limit(3)
+        .select("content")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _released_set(df):
+    return {
+        tuple(r)
+        for r in df.select(
+            "repo", "path", "commit", "scrubbed_sha256", "split"
+        ).collect()
+    }
+
+
+def test_semdecontam_release_matches_single_session_and_resumes(spark, tmp_path):
+    corpus = _corpus(spark, tmp_path)
+    bench = _benchmarks(spark, corpus)
+
+    # the composed chain: exact n-gram probe THEN the semantic backstop
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3,
+        decontaminate=True, semantic_decontaminate=True,
+    )
+    ran = run.run(spark, corpus, benchmarks=bench)
+    assert len(ran["semdecontam"]) >= 1  # row-local stage: batches
+
+    released, manifest = build_release(
+        corpus, benchmarks=bench, rates_ppm=RATES, semantic_decontaminate=True,
+    )
+    assert _released_set(run.output(spark)) == _released_set(released)
+    m = run.manifest(spark, corpus)
+    m.pop("datacard"), manifest.pop("datacard")
+    assert m == manifest
+    assert "removed_semantic_decontaminated" in m
+
+    # the semantic stage catches leakage the exact probe let through:
+    # committed semdecontam output strictly smaller than decontam's
+    staged = run.semdecontam_stage.output(spark)
+    n_before = run.decontam_stage.output(spark).count()
+    assert staged.count() < n_before
+
+    # kill-after-every-batch in a fresh work dir converges to the same set
+    run2 = ReleaseRun(
+        str(tmp_path / "w2"), rates_ppm=RATES, n_batches=3,
+        decontaminate=True, semantic_decontaminate=True,
+    )
+    for _ in range(60):
+        try:
+            run2.run(spark, corpus, benchmarks=bench, fail_after_batches=1)
+            break
+        except StageInterrupted:
+            continue
+    else:
+        pytest.fail("kill/resume loop did not converge")
+    assert _released_set(run2.output(spark)) == _released_set(run.output(spark))
+
+    # plain manifests never carry the key
+    _, plain = build_release(corpus, rates_ppm=RATES)
+    assert "removed_semantic_decontaminated" not in plain
