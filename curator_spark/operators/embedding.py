@@ -1126,3 +1126,82 @@ def decontam_semantic(spark, sf_dir):
     )
     kept = semantic_decontaminate_filter(corp, bench, ["doc_id"], text_col="text")
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+# contamination_report_semantic: the audit view of decontam_semantic —
+# decontaminate.py's contamination_report answers "which benchmark doc
+# leaked, and how badly?" for the EXACT n-gram probe; this answers the
+# same question for the semantic (pooled-cosine) leg. Per benchmark doc:
+# how many corpus docs sit inside its cosine drop-radius. Zero-hit
+# benchmark rows are kept (a benchmark that leaked nothing is a finding
+# too). Only integer counts cross the result boundary — the cosine
+# itself stays internal to the threshold test, so the oracle compare
+# never hashes a float.
+#
+# Scale shape: identical to decontam_semantic (one corpus generation
+# pass, broadcast bench vectors, map-side nested-loop probe); the only
+# added shuffle is the groupBy on bench_id — at most n_bench distinct
+# keys, i.e. KBs.
+_Q_CONTAM_SEM_ORACLE = f"""
+WITH {{crb}},
+{{crc}},
+hits AS (
+  SELECT b._sid AS bench_sid, count(DISTINCT c._sid) AS n_docs_hit
+  FROM crc_quant c, crb_quant b
+  WHERE {_DOT_DUCK.format(a='c.pq', b='b.pq')} /
+        (sqrt({_DOT_DUCK.format(a='c.pq', b='c.pq')}) *
+         sqrt({_DOT_DUCK.format(a='b.pq', b='b.pq')})) >= {_DECON_SEM_T}
+  GROUP BY 1
+)
+SELECT d.doc_id AS bench_id, coalesce(h.n_docs_hit, 0) AS n_docs_hit
+FROM documents d
+LEFT JOIN hits h ON cast(d.doc_id AS VARCHAR) = h.bench_sid
+WHERE d.doc_id < {_DECON_SEM_N_BENCH}
+""".format(
+    crb=semdedup_capped_duck(
+        f"(SELECT * FROM documents WHERE doc_id < {_DECON_SEM_N_BENCH})",
+        "cast(doc_id AS VARCHAR)",
+        "text",
+        prefix="crb_",
+    ),
+    crc=semdedup_capped_duck(
+        f"(SELECT * FROM documents WHERE doc_id >= {_DECON_SEM_N_BENCH})",
+        "cast(doc_id AS VARCHAR)",
+        "text",
+        prefix="crc_",
+    ),
+)
+
+
+@register(
+    "contamination_report_semantic",
+    _Q_CONTAM_SEM_ORACLE,
+    "per-benchmark-doc semantic-contamination audit (corpus docs inside the cosine drop-radius; zero-hit rows kept)",
+)
+def contamination_report_semantic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < _DECON_SEM_N_BENCH)
+    corp = d.filter(F.col("doc_id") >= _DECON_SEM_N_BENCH)
+    bv = pooled_vectors_of(bench, ["doc_id"], text_col="text").select(
+        F.col("doc_id").alias("bench_id"), F.col("pq").alias("b_pq")
+    )
+    cv = pooled_vectors_of(corp, ["doc_id"], text_col="text").select(
+        "doc_id", F.col("pq").alias("c_pq")
+    )
+    cos = F.expr(_DOT.format(a="c_pq", b="b_pq")) / (
+        F.sqrt(F.expr(_DOT.format(a="c_pq", b="c_pq")))
+        * F.sqrt(F.expr(_DOT.format(a="b_pq", b="b_pq")))
+    )
+    hits = (
+        cv.join(F.broadcast(bv), cos >= _DECON_SEM_T)
+        .groupBy("bench_id")
+        .agg(F.countDistinct("doc_id").alias("n_docs_hit"))
+    )
+    return (
+        bench.select(F.col("doc_id").cast("long").alias("bench_id"))
+        .join(F.broadcast(hits), "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+        )
+    )
