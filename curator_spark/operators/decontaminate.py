@@ -443,3 +443,122 @@ def contamination_report(spark, sf_dir):
             F.coalesce("n_bench_grams", F.lit(0)).cast("long").alias("n_bench_grams"),
         )
     )
+
+
+_SPAN_N = 4  # span-probe width: the synthetic corpus's cross-doc shared
+# runs are short (n=8 finds nothing at sf0.01; n=4 hits 11 docs), so the
+# REGISTERED query probes at 4 to exercise real span surgery; width is a
+# real parameter — production decontamination uses _N (8) or 13 (GPT-3).
+
+# decontam_span_removal: surgical decontamination — the scrub-not-drop
+# policy. decontaminate() discards a whole document when ANY word n-gram
+# matches the benchmark suite; for long files where the leak is one
+# embedded snippet, that throws away megabytes to remove bytes. Here the
+# matching gram POSITIONS are located per doc and only the covered word
+# spans are cut, keeping the rest of the file (the ExactSubstr span-cut
+# idiom from para_dedup.dedup_substring_remove, pointed at a benchmark
+# gram set instead of the corpus's own duplicate census).
+#
+# Scale shape — BETTER than the self-dedup variant: the probe side is the
+# benchmark gram set (small by nature: a test suite, not a crawl), so the
+# membership test is a map-side broadcast semi-join; the only corpus
+# shuffle is the per-doc position collect, whose rows are just the HITS
+# (rare by construction). At bloom scale the same two-step prefilter as
+# decontaminate() applies; the broadcast form is exact as-is.
+_Q_DECON_SPAN_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_DUCK} AS ws FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < {_SPAN_N} THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(0, len(ws) - {_SPAN_N - 1}),
+                i -> md5(array_to_string(ws[i+1:i+{_SPAN_N}], ' '))) END AS ghs,
+         ws
+  FROM w
+),
+bench_g AS MATERIALIZED (
+  SELECT DISTINCT unnest(ghs) AS gh FROM b WHERE doc_id < {_N_BENCH}
+),
+cg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(ghs)),
+                i -> {{'pos': i, 'gh': ghs[i+1]}})) AS u
+  FROM b WHERE doc_id >= {_N_BENCH}
+),
+hits AS (
+  SELECT doc_id, list_sort(list(u.pos)) AS P
+  FROM cg JOIN bench_g ON u.gh = bench_g.gh
+  GROUP BY doc_id
+),
+cut AS (
+  SELECT b.doc_id, b.ws,
+         coalesce(h.P, CAST([] AS BIGINT[])) AS P
+  FROM b LEFT JOIN hits h USING (doc_id)
+  WHERE b.doc_id >= {_N_BENCH}
+),
+kept AS (
+  SELECT doc_id, ws,
+         list_filter(range(0, len(ws)),
+           j -> len(list_filter(P, p -> p <= j AND j <= p + {_SPAN_N - 1})) = 0
+         ) AS kj
+  FROM cut
+)
+SELECT doc_id,
+       cast(len(ws) AS BIGINT) AS n_words,
+       cast(len(ws) - len(kj) AS BIGINT) AS n_words_removed,
+       md5(array_to_string(list_transform(kj, j -> ws[j+1]), ' ')) AS clean_md5
+FROM kept
+"""
+
+
+@register(
+    "decontam_span_removal",
+    _Q_DECON_SPAN_ORACLE,
+    "surgical decontamination: cut only benchmark-overlapping n-gram word spans, keep the rest of the doc",
+)
+def decontam_span_removal(spark, sf_dir, n: int = _SPAN_N):
+    d = load(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", F.expr(words_expr("text")).alias("ws"))
+        .withColumn(
+            "ghs",
+            F.expr(
+                f"CASE WHEN size(ws) < {n} THEN cast(array() as array<string>)"
+                f" ELSE transform(sequence(0, size(ws) - {n}),"
+                f" i -> md5(concat_ws(' ', slice(ws, i + 1, {n})))) END"
+            ),
+        )
+        .localCheckpoint(eager=False)  # shared by the bench set, probe, rebuild
+    )
+    bench_g = (
+        base.filter(F.col("doc_id") < _N_BENCH)
+        .select(F.explode("ghs").alias("gh"))
+        .distinct()
+    )
+    corp = base.filter(F.col("doc_id") >= _N_BENCH)
+    g = corp.select("doc_id", F.posexplode("ghs").alias("pos", "gh"))
+    hits = (
+        g.join(F.broadcast(bench_g), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("P"))
+    )
+    rebuilt = corp.join(hits, "doc_id", "left").withColumn(
+        "P", F.coalesce(F.col("P"), F.expr("cast(array() as array<int>)"))
+    )
+    # sequence(0, -1) is a DESCENDING ramp, not empty — empty docs must
+    # short-circuit to an empty index list (the round-1 ANSI gotcha)
+    kept_expr = (
+        f"CASE WHEN size(ws) = 0 THEN cast(array() as array<int>)"
+        f" ELSE filter(sequence(0, size(ws) - 1),"
+        f" j -> NOT exists(P, p -> p <= j AND j <= p + {n - 1})) END"
+    )
+    rebuilt = rebuilt.withColumn("kept", F.expr(kept_expr))
+    return rebuilt.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        (F.size("ws") - F.size("kept")).cast("long").alias("n_words_removed"),
+        F.md5(
+            F.expr("concat_ws(' ', transform(kept, j -> element_at(ws, j + 1)))")
+        ).alias("clean_md5"),
+    )

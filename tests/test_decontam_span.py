@@ -1,0 +1,46 @@
+"""decontam_span_removal must do real surgery: cut words in SOME docs
+(the width-4 probe is non-vacuous on the sf0.01 fixture), never cut a
+doc with no benchmark overlap, and keep every cut doc's word count
+consistent (0 <= removed <= n_words). The value-level truth is the
+DuckDB oracle; this guards the query against silently going vacuous
+(e.g. a probe-width or bench-set change that finds zero spans)."""
+
+from pyspark.sql import functions as F
+
+from curator_spark.operators.decontaminate import decontam_span_removal
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_span_removal_is_nonvacuous_and_bounded(spark):
+    df = decontam_span_removal(spark, SF_DIR).localCheckpoint(eager=True)
+    agg = df.agg(
+        F.count("*").alias("docs"),
+        F.sum((F.col("n_words_removed") > 0).cast("int")).alias("docs_cut"),
+        F.min("n_words_removed").alias("mn"),
+        F.max(F.expr("n_words_removed - n_words")).alias("over"),
+    ).collect()[0]
+    assert agg["docs"] > 0
+    assert agg["docs_cut"] > 0, "probe went vacuous: no doc had a span cut"
+    assert agg["docs_cut"] < agg["docs"], "every doc cut: probe too wide"
+    assert agg["mn"] >= 0 and agg["over"] <= 0
+
+    # surgical, not drop: an uncut doc's clean text hashes to its own
+    # full word join (clean_md5 == md5 of all words)
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.md5(
+            F.expr(
+                "concat_ws(' ', filter(split(text, '[ \\t\\n]+'), w -> w != ''))"
+            )
+        ).alias("full_md5"),
+    )
+    j = df.join(base, "doc_id")
+    mismatched_uncut = j.filter(
+        (F.col("n_words_removed") == 0) & (F.col("clean_md5") != F.col("full_md5"))
+    ).count()
+    changed_cut = j.filter(
+        (F.col("n_words_removed") > 0) & (F.col("clean_md5") == F.col("full_md5"))
+    ).count()
+    assert mismatched_uncut == 0
+    assert changed_cut == 0
