@@ -84,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
         "sharing any word 8-gram with them before filtering",
     )
     p.add_argument(
+        "--decontam-policy", choices=("drop", "span"), default="drop",
+        help="with --decontaminate: 'drop' discards any row sharing a "
+        "benchmark n-gram (default); 'span' surgically cuts only the "
+        "overlapping word spans and keeps the file (fully-covered rows "
+        "still drop)",
+    )
+    p.add_argument(
         "--semantic-decontam", action="store_true",
         help="with --decontaminate: ALSO drop corpus rows whose pooled doc "
         "vector is cosine-near any benchmark doc (paraphrase-leakage "
@@ -190,10 +197,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.semantic_decontam and bench is None:
         p.error("--semantic-decontam needs --decontaminate <benchmarks parquet>")
+    if args.decontam_policy != "drop" and bench is None:
+        p.error("--decontam-policy needs --decontaminate <benchmarks parquet>")
     if bench is not None and args.crawl_id is None:
-        from .operators.decontaminate import decontaminate_against
+        if args.decontam_policy == "span":
+            from .operators.decontaminate import decontaminate_spans_against
 
-        corpus = decontaminate_against(corpus, bench, text_col="content")
+            corpus = decontaminate_spans_against(
+                corpus, bench, ["repo", "path", "commit"], text_col="content"
+            )
+        else:
+            from .operators.decontaminate import decontaminate_against
+
+            corpus = decontaminate_against(corpus, bench, text_col="content")
         if args.semantic_decontam:
             from .operators.embedding import semantic_decontaminate_filter
 

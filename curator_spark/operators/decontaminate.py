@@ -562,3 +562,72 @@ def decontam_span_removal(spark, sf_dir, n: int = _SPAN_N):
             F.expr("concat_ws(' ', transform(kept, j -> element_at(ws, j + 1)))")
         ).alias("clean_md5"),
     )
+
+
+def decontaminate_spans_against(
+    corpus, benchmarks, key_cols, text_col: str = "content", n: int = _N
+):
+    """Surgical decontamination over ANY keyed frame — the release
+    pipeline's ``decontam_policy="span"``: rewrite ``text_col`` in place,
+    cutting ONLY the word spans covered by a benchmark n-gram, instead of
+    dropping the whole row like :func:`decontaminate_against`.
+
+    Contract:
+    - rows with NO benchmark overlap pass through byte-identical (the
+      per-row sha256 invariant holds for every uncut row);
+    - overlapping rows are rebuilt from their surviving words joined by
+      single spaces (whitespace normalization is the standard cost of
+      span surgery — flagged by the changed content, never silent);
+    - rows whose content is FULLY covered (e.g. a verbatim benchmark
+      copy) come back empty and are dropped — they are 100% benchmark.
+
+    Scale shape: the benchmark gram set is small by nature and broadcast,
+    so the membership probe is map-side; the only corpus shuffle is the
+    per-key position collect over the HIT rows only (rare by
+    construction), re-joined to the corpus via a second broadcast."""
+    key_cols = list(key_cols)
+    gh_expr = (
+        f"CASE WHEN size(wz) < {n} THEN cast(array() as array<string>)"
+        f" ELSE transform(sequence(0, size(wz) - {n}),"
+        f" i -> md5(concat_ws(' ', slice(wz, i + 1, {n})))) END"
+    )
+    bench_g = (
+        benchmarks.select(
+            F.explode(
+                F.expr(_let(words_expr(text_col), "wz", gh_expr))
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    g = corpus.select(
+        *key_cols,
+        F.posexplode(F.expr(_let(words_expr(text_col), "wz", gh_expr))).alias(
+            "pos", "gh"
+        ),
+    )
+    hits = (
+        g.join(F.broadcast(bench_g), "gh", "left_semi")
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__P"))
+    )
+    # __P arrives only on hit rows; uncut rows keep text_col untouched
+    rebuilt_expr = _let(
+        words_expr(text_col),
+        "wz",
+        f"concat_ws(' ', transform("
+        f" filter(CASE WHEN size(wz) = 0 THEN cast(array() as array<int>)"
+        f"              ELSE sequence(0, size(wz) - 1) END,"
+        f"        j -> NOT exists(__P, p -> p <= j AND j <= p + {n - 1})),"
+        f" j -> element_at(wz, j + 1)))",
+    )
+    out = corpus.join(F.broadcast(hits), key_cols, "left").withColumn(
+        text_col,
+        F.when(F.col("__P").isNull(), F.col(text_col)).otherwise(
+            F.expr(rebuilt_expr)
+        ),
+    )
+    # fully-covered rows (verbatim benchmark copies) rebuilt to '' drop;
+    # rows that were ALREADY empty never had a hit, so they pass through
+    return out.filter(
+        F.col("__P").isNull() | (F.col(text_col) != F.lit(""))
+    ).drop("__P")

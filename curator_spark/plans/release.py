@@ -186,6 +186,7 @@ def build_release(
     semantic_dedup: bool = False,
     line_dedup: bool = False,
     semantic_decontaminate: bool = False,
+    decontam_policy: str = "drop",
 ) -> tuple[DataFrame, dict]:
     """Run the full release chain; return (released DataFrame with a
     ``split`` column, manifest dict with per-stage row accounting and the
@@ -211,12 +212,23 @@ def build_release(
             s2, KEY_COLS, text_col="content"
         ).localCheckpoint(eager=False)
     n2s = s2.count()
+    if decontam_policy not in ("drop", "span"):
+        raise ValueError(f"decontam_policy must be 'drop' or 'span', got {decontam_policy!r}")
     if benchmarks is not None:
-        from ..operators.decontaminate import decontaminate_against
+        if decontam_policy == "span":
+            # surgical: cut only the overlapping spans, keep the file
+            # (fully-covered rows — verbatim benchmark copies — drop)
+            from ..operators.decontaminate import decontaminate_spans_against
 
-        s3 = decontaminate_against(s2, benchmarks, text_col="content").localCheckpoint(
-            eager=False
-        )
+            s3 = decontaminate_spans_against(
+                s2, benchmarks, KEY_COLS, text_col="content"
+            ).localCheckpoint(eager=False)
+        else:
+            from ..operators.decontaminate import decontaminate_against
+
+            s3 = decontaminate_against(
+                s2, benchmarks, text_col="content"
+            ).localCheckpoint(eager=False)
     else:
         s3 = s2
     n3 = s3.count()
@@ -259,6 +271,11 @@ def build_release(
     if semantic_decontaminate:
         # only semantic-decontam runs carry the key (dict-equality rule)
         manifest["removed_semantic_decontaminated"] = n3 - n3s
+    if decontam_policy != "drop":
+        # only span-policy runs carry the key; removed_decontaminated then
+        # counts ONLY fully-covered rows (verbatim benchmark copies) —
+        # partially-overlapping rows are rewritten in place, not removed
+        manifest["decontam_policy"] = decontam_policy
     if line_dedup:
         # only line-dedup runs carry the key, so plain manifests stay
         # dict-equal to prior releases (same rule as license/opt-out)
@@ -291,7 +308,10 @@ class ReleaseRun:
            consumes the embed stage's committed vectors, so a resumed
            semdedup never regenerates them)
         -> decontam (global, only when benchmarks given; its config
-           carries the benchmark set's identity token)
+           carries the benchmark set's identity token and the POLICY —
+           "drop" discards overlapping rows, "span" surgically cuts only
+           the overlapping word spans and keeps the file, dropping only
+           fully-covered rows)
         -> semdecontam (n_batches, only when semantic_decontaminate=True:
            per-row drop vs the BROADCAST benchmark vector table — the
            paraphrase-leakage backstop behind the exact n-gram probe;
@@ -319,6 +339,7 @@ class ReleaseRun:
         n_batches: int | None = 4,
         decontaminate: bool = False,
         semantic_decontaminate: bool = False,
+        decontam_policy: str = "drop",
         benchmarks_token: str | None = None,
         catalog=None,
         scorer_loader=None,
@@ -351,6 +372,11 @@ class ReleaseRun:
         self.rates_ppm = dict(rates_ppm or {})
         self.scorer_loader = scorer_loader
         self.decontaminate = decontaminate
+        if decontam_policy not in ("drop", "span"):
+            raise ValueError(
+                f"decontam_policy must be 'drop' or 'span', got {decontam_policy!r}"
+            )
+        self.decontam_policy = decontam_policy
         self.catalog = catalog if catalog is not None else ParquetDirCatalog(work_dir)
 
         # optional trailing tokenizer-training step: the released corpus
@@ -452,8 +478,9 @@ class ReleaseRun:
                 # (resolved at run(), where the frame exists) rather than
                 # the config fingerprint, so a benchmark swap invalidates
                 # committed batches in-place instead of forking a new
-                # stage dir that leaks the old one
-                config={"method": "ngram-probe"},
+                # stage dir that leaks the old one; the POLICY is config
+                # (a drop<->span switch re-runs the stage in place)
+                config={"method": "ngram-probe", "policy": decontam_policy},
                 n_batches=1, catalog=self.catalog,
             )
             if decontaminate
@@ -598,7 +625,10 @@ class ReleaseRun:
             if benchmarks is None:
                 raise ValueError("decontaminate=True needs a benchmarks frame")
             from ..engine.fingerprint import input_identity
-            from ..operators.decontaminate import decontaminate_against
+            from ..operators.decontaminate import (
+                decontaminate_against,
+                decontaminate_spans_against,
+            )
 
             if self._bench_token is not None:
                 bench_id = self._bench_token
@@ -606,9 +636,17 @@ class ReleaseRun:
                 from ..operators.decontaminate import bench_identity
 
                 bench_id = bench_identity(benchmarks)
+            if self.decontam_policy == "span":
+                decon_fn = lambda df: decontaminate_spans_against(
+                    df, benchmarks, KEY_COLS, text_col="content"
+                )
+            else:
+                decon_fn = lambda df: decontaminate_against(
+                    df, benchmarks, text_col="content"
+                )
             r = self.decontam_stage.run(
                 spark, cur,
-                lambda df: decontaminate_against(df, benchmarks, text_col="content"),
+                decon_fn,
                 fail_after_batches=fail_after_batches,
                 input_token=f"{input_identity(cur)}|bench:{bench_id}",
             )
@@ -737,6 +775,9 @@ class ReleaseRun:
         if self.semdecontam_stage is not None:
             # only semantic-decontam runs carry the key (dict-equality rule)
             out["removed_semantic_decontaminated"] = n3 - n3s
+        if self.decontam_policy != "drop":
+            # only span-policy runs carry the key (same dict-equality rule)
+            out["decontam_policy"] = self.decontam_policy
         if self.linededup_stage is not None:
             # only line-dedup runs carry the key (same dict-equality rule)
             out["removed_line_dedup"] = n2 - n2l

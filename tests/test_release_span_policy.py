@@ -1,0 +1,129 @@
+"""decontam_policy="span": the release chain's surgical decontamination —
+partially-overlapping files are rewritten (spans cut) instead of dropped,
+verbatim benchmark copies still drop, uncut rows pass byte-identical, and
+flipping the policy in an existing work dir re-runs the stage in place
+(the policy lives in the stage config fingerprint)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.plans.release import KEY_COLS, ReleaseRun, build_release
+from curator_spark.sources.corpus import generate_spark
+
+ROWS = 300
+RATES = {"python": 600_000}
+
+
+def _corpus(spark, tmp_path):
+    p = str(tmp_path / "sp_corpus.parquet")
+    generate_spark(spark, ROWS, seed=42, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return spark.read.parquet(p)
+
+
+def _released_set(df):
+    return {
+        tuple(r)
+        for r in df.select(
+            "repo", "path", "commit", "scrubbed_sha256", "split"
+        ).collect()
+    }
+
+
+def test_span_policy_release(spark, tmp_path):
+    corpus = _corpus(spark, tmp_path)
+
+    # benchmarks that provably exercise BOTH span outcomes, built from the
+    # decontam stage's actual INPUT (the clone-dedup survivors) so dedup
+    # can't eat the planted overlap: two verbatim copies (fully covered ->
+    # must still drop) + the first 40 words of the LONGEST survivor
+    # (partial cover -> must be rewritten, not dropped)
+    plain = ReleaseRun(str(tmp_path / "wp"), rates_ppm=RATES, n_batches=2)
+    plain.run(spark, corpus)
+    survivors = plain.clone_stage.output(spark)
+    verbatim = [
+        r["content"]
+        for r in survivors.orderBy("commit").limit(2).select("content").collect()
+    ]
+    longest = survivors.orderBy(
+        F.size(F.split("content", r"[ \t\n]+")).desc(), "commit"
+    ).first()
+    lw = [w for w in longest["content"].split() if w]
+    assert len(lw) > 60, "fixture needs a long survivor"
+    partial = " ".join(lw[:40])
+    bench = spark.createDataFrame(
+        [(c,) for c in verbatim + [partial]], "content string"
+    ).localCheckpoint(eager=True)
+    longest_key = tuple(longest[k] for k in KEY_COLS)
+
+    drop_run = ReleaseRun(
+        str(tmp_path / "wd"), rates_ppm=RATES, n_batches=2, decontaminate=True,
+    )
+    drop_run.run(spark, corpus, benchmarks=bench)
+    span_run = ReleaseRun(
+        str(tmp_path / "ws"), rates_ppm=RATES, n_batches=2, decontaminate=True,
+        decontam_policy="span",
+    )
+    span_run.run(spark, corpus, benchmarks=bench)
+
+    d_out = drop_run.decontam_stage.output(spark)
+    s_out = span_run.decontam_stage.output(spark)
+    n_in = drop_run.clone_stage.output(spark).count()
+
+    # drop discards the partial-overlap file; span keeps (rewrites) it
+    assert s_out.count() > d_out.count()
+    assert d_out.count() < n_in  # drop removed something
+    key_pred = " AND ".join(f"{k} = '{v}'" for k, v in zip(KEY_COLS, longest_key))
+    assert d_out.filter(key_pred).count() == 0
+    rewritten = s_out.filter(key_pred).collect()
+    assert len(rewritten) == 1
+    new_words = rewritten[0]["content"].split()
+    assert 0 < len(new_words) < len(lw)  # cut, not dropped, not emptied
+    assert not set(lw[:33]) & {" ".join(new_words[i : i + 4]) for i in range(1)}
+
+    # verbatim benchmark copies are fully covered -> dropped by BOTH
+    for c in verbatim:
+        assert s_out.filter(F.col("content") == c).count() == 0
+
+    # rows with NO overlap pass through byte-identical under span policy
+    changed = (
+        span_run.clone_stage.output(spark)
+        .select(*KEY_COLS, F.col("content").alias("before"))
+        .join(s_out.select(*KEY_COLS, "content"), KEY_COLS)
+        .filter(F.col("before") != F.col("content"))
+        .count()
+    )
+    # the planted partial overlap is rewritten; the verbatim copies'
+    # near-dups may legitimately be rewritten too (they share real
+    # 8-gram runs with the benchmark) — but a rewrite may never touch
+    # MOST of the corpus
+    assert 1 <= changed <= 5
+
+    # parity with the un-staged chain + the manifest policy key
+    released, manifest = build_release(
+        corpus, benchmarks=bench, rates_ppm=RATES, decontam_policy="span",
+    )
+    assert _released_set(span_run.output(spark)) == _released_set(released)
+    m = span_run.manifest(spark, corpus)
+    m.pop("datacard"), manifest.pop("datacard")
+    assert m == manifest
+    assert m["decontam_policy"] == "span"
+    dm = drop_run.manifest(spark, corpus)
+    assert "decontam_policy" not in dm
+
+    # flipping the policy in the SAME work dir re-runs the stage in place
+    # (policy rides the config fingerprint) and converges to the span set
+    flip = ReleaseRun(
+        str(tmp_path / "wd"), rates_ppm=RATES, n_batches=2, decontaminate=True,
+        decontam_policy="span",
+    )
+    flip.run(spark, corpus, benchmarks=bench)
+    assert _released_set(flip.output(spark)) == _released_set(span_run.output(spark))
+
+    with pytest.raises(ValueError):
+        ReleaseRun(str(tmp_path / "bad"), decontam_policy="scrub")
+    with pytest.raises(ValueError):
+        build_release(corpus, rates_ppm=RATES, decontam_policy="scrub")
