@@ -171,3 +171,111 @@ def release_manifest_semantic(spark, sf_dir):
 from .registry import QUERIES as _Q  # noqa: E402
 
 _Q["release_manifest_semantic"].oracle = _release_sem_oracle()
+
+
+# ---------------------------------------------------------------------------
+# The SPAN-POLICY decontamination chain (exact dedup -> clone dedup ->
+# surgical span-cut decontamination vs a 3-doc benchmark suite) as a third
+# composed 1-row manifest. The annotate/golden stages are deliberately NOT
+# composed here: the pre-materialized keep/scrub golden is keyed by the
+# ORIGINAL content, and span surgery rewrites content — so this manifest
+# instead fingerprints the post-surgery corpus bit-exactly
+# (sum of md5(content) prefixes), which is the strongest possible check on
+# the rewrite itself: a single mis-cut word anywhere flips content_hash_sum.
+# Bench = the 3 lowest-commit RAW corpus docs verbatim: their dedup
+# survivors are fully covered (must drop); their near-dup clones share
+# real 8-gram runs (must be REWRITTEN, not dropped).
+# ---------------------------------------------------------------------------
+_SPAN_GHS_DUCK = """CASE WHEN len(ws) < 8 THEN CAST([] AS VARCHAR[])
+  ELSE list_transform(range(0, len(ws) - 7),
+                      i -> md5(array_to_string(ws[i+1:i+8], ' '))) END"""
+
+_Q_SPAN_MANIFEST_ORACLE = f"""
+WITH base AS (SELECT * FROM {_CORPUS_DUCK}),
+ded AS (
+  SELECT * FROM base
+  QUALIFY row_number() OVER (PARTITION BY content ORDER BY repo, path, commit) = 1
+),
+pairs AS ({clone_pairs_sql("ded")}),
+dropped AS (SELECT DISTINCT fid_b AS c FROM pairs),
+cloned AS (SELECT * FROM ded WHERE commit NOT IN (SELECT c FROM dropped)),
+bench AS (SELECT content FROM base ORDER BY commit LIMIT 3),
+bg AS MATERIALIZED (
+  SELECT DISTINCT unnest({_SPAN_GHS_DUCK}) AS gh
+  FROM (SELECT list_filter(str_split_regex(content, '[ \\t\\n]+'), x -> x != '') AS ws
+        FROM bench)
+),
+cw AS (
+  SELECT repo, path, commit, content,
+         list_filter(str_split_regex(content, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM cloned
+),
+cg AS (
+  SELECT repo, path, commit,
+         unnest(list_transform(range(0, len(ghs)),
+                i -> {{'pos': i, 'gh': ghs[i+1]}})) AS u
+  FROM (SELECT repo, path, commit, {_SPAN_GHS_DUCK} AS ghs FROM cw)
+),
+hits AS (
+  SELECT repo, path, commit, list_sort(list(u.pos)) AS P
+  FROM cg JOIN bg ON u.gh = bg.gh
+  GROUP BY 1, 2, 3
+),
+rebuilt AS (
+  SELECT c.repo, c.path, c.commit, h.P IS NOT NULL AS hit,
+         CASE WHEN h.P IS NULL THEN c.content
+              ELSE array_to_string(list_transform(
+                list_filter(range(0, len(c.ws)),
+                  j -> len(list_filter(h.P, p -> p <= j AND j <= p + 7)) = 0),
+                j -> c.ws[j+1]), ' ') END AS content
+  FROM cw c LEFT JOIN hits h USING (repo, path, commit)
+),
+surv AS (SELECT * FROM rebuilt WHERE NOT hit OR content != '')
+SELECT (SELECT count(*) FROM base) AS input_files,
+       (SELECT count(*) FROM base) - (SELECT count(*) FROM ded) AS removed_exact_dup,
+       (SELECT count(*) FROM ded) - (SELECT count(*) FROM cloned) AS removed_clone_dup,
+       (SELECT count(*) FROM cloned) - (SELECT count(*) FROM surv) AS span_dropped,
+       (SELECT cast(count(*) AS BIGINT) FROM surv WHERE hit) AS span_rewritten,
+       (SELECT count(*) FROM surv) AS post_decontam_files,
+       (SELECT cast(sum(('0x' || substr(md5(content), 1, 12))::BIGINT) AS BIGINT)
+        FROM surv) AS content_hash_sum
+"""
+
+
+@register(
+    "decontam_span_manifest",
+    _Q_SPAN_MANIFEST_ORACLE,
+    "composed dedup->clone dedup->surgical span decontamination, 1-row manifest with bit-exact post-surgery content fingerprint",
+)
+def decontam_span_manifest(spark, sf_dir):
+    from ..plans.release import KEY_COLS, _clone_dedup, _exact_dedup
+    from .decontaminate import decontaminate_spans_against
+
+    base = _corpus(spark)
+    n0 = base.count()
+    s1 = _exact_dedup(base).localCheckpoint(eager=False)
+    n1 = s1.count()
+    s2 = _clone_dedup(s1).localCheckpoint(eager=False)
+    n2 = s2.count()
+    bench = base.orderBy("commit").limit(3).select("content")
+    out = decontaminate_spans_against(
+        s2, bench, KEY_COLS, text_col="content"
+    ).localCheckpoint(eager=False)
+    n3 = out.count()
+    n_rewritten = (
+        s2.select(*KEY_COLS, F.col("content").alias("__before"))
+        .join(out.select(*KEY_COLS, "content"), KEY_COLS)
+        .filter(F.col("__before") != F.col("content"))
+        .count()
+    )
+    return out.agg(
+        F.lit(n0).cast("long").alias("input_files"),
+        F.lit(n0 - n1).cast("long").alias("removed_exact_dup"),
+        F.lit(n1 - n2).cast("long").alias("removed_clone_dup"),
+        F.lit(n2 - n3).cast("long").alias("span_dropped"),
+        F.lit(n_rewritten).cast("long").alias("span_rewritten"),
+        F.lit(n3).cast("long").alias("post_decontam_files"),
+        F.sum(
+            F.conv(F.substring(F.md5("content"), 1, 12), 16, 10).cast("bigint")
+        ).alias("content_hash_sum"),
+    )
