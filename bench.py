@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "dedup_keep_ranked",
     "repo_tfidf_keywords",
     "decontam_semantic",
+    "contamination_report_semantic",
+    "decontam_span_removal",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -631,3 +631,62 @@ def decontaminate_spans_against(
     return out.filter(
         F.col("__P").isNull() | (F.col(text_col) != F.lit(""))
     ).drop("__P")
+
+
+# ---------------------------------------------------------------------------
+# span_cut_stats: the POLICY-COST audit for span decontamination — before
+# choosing decontam_policy="drop" vs "span" a data team wants the corpus-
+# side damage distribution: how many files the surgery leaves untouched,
+# how many lose a sliver vs half their text, and how many are verbatim
+# benchmark copies (100% covered -> dropped either way). One rollup over
+# the per-doc (n_words, n_words_removed) surface of decontam_span_removal;
+# all bucket arithmetic is INTEGER (10*removed <= words etc.), so Spark
+# and DuckDB agree bit-exactly with no float thresholds. Reference analog
+# for audit-style rollups: curator's status-tracker summaries
+# (event_loop status counts), re-expressed as a declarative aggregate.
+# ---------------------------------------------------------------------------
+_Q_SPAN_STATS_ORACLE = f"""
+WITH per_doc AS ({_Q_DECON_SPAN_ORACLE}),
+b AS (
+  SELECT CASE
+           WHEN n_words_removed = 0 THEN 'untouched'
+           WHEN n_words_removed = n_words THEN 'dropped'
+           WHEN 10 * n_words_removed <= n_words THEN 'light'
+           WHEN 2 * n_words_removed <= n_words THEN 'moderate'
+           ELSE 'heavy'
+         END AS cut_bucket,
+         n_words, n_words_removed
+  FROM per_doc
+)
+SELECT cut_bucket,
+       count(*) AS n_files,
+       cast(sum(n_words) AS BIGINT) AS words_total,
+       cast(sum(n_words_removed) AS BIGINT) AS words_removed
+FROM b GROUP BY cut_bucket ORDER BY cut_bucket
+"""
+
+
+@register(
+    "span_cut_stats",
+    _Q_SPAN_STATS_ORACLE,
+    "span-decontamination policy-cost audit: corpus damage distribution in integer-exact removal-fraction buckets",
+)
+def span_cut_stats(spark, sf_dir):
+    per_doc = decontam_span_removal(spark, sf_dir)
+    bucket = (
+        F.when(F.col("n_words_removed") == 0, F.lit("untouched"))
+        .when(F.col("n_words_removed") == F.col("n_words"), F.lit("dropped"))
+        .when(10 * F.col("n_words_removed") <= F.col("n_words"), F.lit("light"))
+        .when(2 * F.col("n_words_removed") <= F.col("n_words"), F.lit("moderate"))
+        .otherwise(F.lit("heavy"))
+    )
+    return (
+        per_doc.withColumn("cut_bucket", bucket)
+        .groupBy("cut_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_words").cast("long").alias("words_total"),
+            F.sum("n_words_removed").cast("long").alias("words_removed"),
+        )
+        .orderBy("cut_bucket")
+    )
