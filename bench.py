@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "decontam_semantic",
     "contamination_report_semantic",
     "decontam_span_removal",
+    "fork_pairs",
+    "fork_dedup_keep",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

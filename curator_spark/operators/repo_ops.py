@@ -903,3 +903,156 @@ def repo_tfidf_keywords(spark, sf_dir):
         .filter(F.col("rn") <= _TFIDF_TOPK)
         .select("repo", "token", "tf", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fork detection — repo-GRANULARITY dedup, the #1 duplication source in
+# code corpora (The Stack drops forks before any file-level pass; the
+# reference has no repo-level notion at all — this is the Spark-native
+# extension, reference anchor for the drop-then-keep shape:
+# llm/llm.py:187's filter loop). Two repos are a fork pair when they
+# share >= FORK_MIN_SHARED byte-identical files AND the shared set covers
+# >= 60% of the smaller repo's distinct files (exact integer containment:
+# 5*shared >= 3*min(na, nb) — no float crosses an engine boundary).
+#
+# Scale shape (10^12 files):
+# * rd         — ONE distinct on (repo, digest): hash-agg, map-side combine.
+# * fan-out cap — digests living in > FORK_FANOUT_CAP repos are license/
+#   boilerplate noise and carry no fork signal; EXCLUDING them (not
+#   truncating) bounds the self-join width per digest, so one viral file
+#   cannot go quadratic — the dedup BUCKET_CAP idiom with exclusion
+#   semantics, mirrored exactly in the oracle.
+# * pair agg   — keyed by the repo PAIR, far coarser than the file pair:
+#   map-side combine collapses the counts before the shuffle.
+# * rf         — per-repo distinct-file counts: a |repos|-row table,
+#   broadcast to the pair frame (repos << files by definition).
+# * keep       — broadcast left-anti of the tiny loser-repo set.
+# ---------------------------------------------------------------------------
+FORK_MIN_SHARED = 2
+FORK_FANOUT_CAP = 10
+
+_FORK_PAIRS_DUCK = f"""
+rd AS (SELECT DISTINCT repo, md5(content) AS d FROM {_CORPUS_DUCK}),
+rf AS (SELECT repo, count(*) AS nf FROM rd GROUP BY repo),
+elig AS (
+  SELECT repo, d FROM rd
+  WHERE d IN (SELECT d FROM rd GROUP BY d
+              HAVING count(*) BETWEEN 2 AND {FORK_FANOUT_CAP})
+),
+shared AS (
+  SELECT a.repo AS ra, b.repo AS rb, count(*) AS shared_files
+  FROM elig a JOIN elig b ON a.d = b.d AND a.repo < b.repo
+  GROUP BY 1, 2
+),
+forks AS (
+  SELECT s.ra, s.rb, s.shared_files,
+         fa.nf AS na, fb.nf AS nb,
+         CAST((1000000 * s.shared_files) // least(fa.nf, fb.nf) AS BIGINT)
+           AS containment_ppm,
+         CASE WHEN fa.nf > fb.nf THEN s.ra
+              WHEN fb.nf > fa.nf THEN s.rb
+              ELSE least(s.ra, s.rb) END AS winner
+  FROM shared s
+  JOIN rf fa ON fa.repo = s.ra
+  JOIN rf fb ON fb.repo = s.rb
+  WHERE s.shared_files >= {FORK_MIN_SHARED}
+    AND 5 * s.shared_files >= 3 * least(fa.nf, fb.nf)
+)"""
+
+_Q_FORK_PAIRS_ORACLE = f"""
+WITH {_FORK_PAIRS_DUCK}
+SELECT ra, rb, CAST(shared_files AS BIGINT) AS shared_files,
+       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       containment_ppm, winner
+FROM forks
+"""
+
+
+def fork_pairs_frame(corpus_df):
+    """The fork-pair table over ANY corpus-shaped frame (repo, …, content):
+    (ra, rb, shared_files, na, nb, containment_ppm, winner)."""
+    rd = corpus_df.select("repo", F.md5("content").alias("d")).distinct()
+    rf = rd.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    fan = rd.groupBy("d").agg(F.count(F.lit(1)).alias("__w"))
+    elig = (
+        rd.join(
+            fan.filter(
+                (F.col("__w") >= 2) & (F.col("__w") <= FORK_FANOUT_CAP)
+            ).select("d"),
+            "d",
+            "left_semi",
+        )
+    )
+    a = elig.select(F.col("repo").alias("ra"), "d")
+    b = elig.select(F.col("repo").alias("rb"), "d")
+    shared = (
+        a.join(b, "d")
+        .filter(F.col("ra") < F.col("rb"))
+        .groupBy("ra", "rb")
+        .agg(F.count(F.lit(1)).alias("shared_files"))
+    )
+    pairs = (
+        shared.join(
+            F.broadcast(rf.select(F.col("repo").alias("ra"), F.col("nf").alias("na"))),
+            "ra",
+        )
+        .join(
+            F.broadcast(rf.select(F.col("repo").alias("rb"), F.col("nf").alias("nb"))),
+            "rb",
+        )
+        .filter(
+            (F.col("shared_files") >= FORK_MIN_SHARED)
+            & (5 * F.col("shared_files") >= 3 * F.least("na", "nb"))
+        )
+    )
+    return pairs.select(
+        "ra",
+        "rb",
+        F.col("shared_files").cast("long").alias("shared_files"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.expr("1000000 * shared_files div least(na, nb)")
+        .cast("long")
+        .alias("containment_ppm"),
+        F.when(F.col("na") > F.col("nb"), F.col("ra"))
+        .when(F.col("nb") > F.col("na"), F.col("rb"))
+        .otherwise(F.least("ra", "rb"))
+        .alias("winner"),
+    )
+
+
+@register(
+    "fork_pairs",
+    _Q_FORK_PAIRS_ORACLE,
+    "repo-granularity fork detection: exact-file containment >= 60% of the smaller repo (fan-out-capped digest join, integer ppm)",
+)
+def fork_pairs(spark, sf_dir):
+    return fork_pairs_frame(_corpus(spark))
+
+
+_Q_FORK_KEEP_ORACLE = f"""
+WITH {_FORK_PAIRS_DUCK},
+losers AS (
+  SELECT DISTINCT CASE WHEN winner = ra THEN rb ELSE ra END AS repo FROM forks
+)
+SELECT repo, path, commit FROM {_CORPUS_DUCK}
+WHERE repo NOT IN (SELECT repo FROM losers)
+"""
+
+
+@register(
+    "fork_dedup_keep",
+    _Q_FORK_KEEP_ORACLE,
+    "fork dedup made actionable: drop every file of the losing repo of each fork pair (broadcast anti-join of the loser set)",
+)
+def fork_dedup_keep(spark, sf_dir):
+    c = _corpus(spark)
+    pairs = fork_pairs_frame(c)
+    losers = pairs.select(
+        F.when(F.col("winner") == F.col("ra"), F.col("rb"))
+        .otherwise(F.col("ra"))
+        .alias("repo")
+    ).distinct()
+    return c.join(F.broadcast(losers), "repo", "left_anti").select(
+        "repo", "path", "commit"
+    )

@@ -1,0 +1,136 @@
+"""Fork detection (fork_pairs / fork_dedup_keep) vs an INDEPENDENT
+dict-and-loop Python reference over the same corpus, plus the policy
+invariants a repo-granularity drop relies on."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+from curator_spark.operators.repo_ops import (
+    FORK_FANOUT_CAP,
+    FORK_MIN_SHARED,
+    fork_pairs_frame,
+)
+
+
+@pytest.fixture(scope="module")
+def fork_pdf(corpus_pdf):
+    """The shared corpus fixture plus a PLANTED fork and a viral
+    boilerplate file: src repo with >= 4 files -> 'forkorg/fork' copies
+    all but one of them (containment > 60% of the smaller side) and adds
+    one unique file; a LICENSE-like blob lands in FORK_FANOUT_CAP + 2
+    repos so the fan-out exclusion is exercised (it must create no
+    pairs on its own)."""
+    import pandas as pd
+
+    pdf = corpus_pdf.copy()
+    counts = pdf.groupby("repo").size()
+    src = counts[counts >= 4].index.sort_values()[0]
+    src_rows = pdf[pdf.repo == src].sort_values("path")
+    forked = src_rows.iloc[:-1].copy()
+    forked["repo"] = "forkorg/fork"
+    unique = src_rows.iloc[[0]].copy()
+    unique["repo"] = "forkorg/fork"
+    unique["path"] = "FORK_ONLY.py"
+    unique["content"] = "fork only marker content"
+    viral_repos = sorted(counts.index)[: FORK_FANOUT_CAP + 2]
+    viral = pd.DataFrame(
+        {
+            "repo": viral_repos,
+            "path": ["LICENSE"] * len(viral_repos),
+            "commit": [f"c{i}" for i in range(len(viral_repos))],
+            "lang": ["text"] * len(viral_repos),
+            "content": ["the same viral license blob"] * len(viral_repos),
+        }
+    )
+    return pd.concat([pdf, forked, unique, viral], ignore_index=True)[
+        list(pdf.columns)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, fork_pdf):
+    return spark.createDataFrame(fork_pdf).localCheckpoint(eager=True)
+
+
+def _python_forks(pdf):
+    """Imperative reference: none of the Spark machinery, plain dicts."""
+    repo_digests = defaultdict(set)
+    for r in pdf.itertuples():
+        repo_digests[r.repo].add(hashlib.md5(r.content.encode()).hexdigest())
+    nf = {repo: len(ds) for repo, ds in repo_digests.items()}
+    fanout = defaultdict(set)
+    for repo, ds in repo_digests.items():
+        for d in ds:
+            fanout[d].add(repo)
+    elig = {d: rs for d, rs in fanout.items() if 2 <= len(rs) <= FORK_FANOUT_CAP}
+    shared = defaultdict(int)
+    for rs in elig.values():
+        rl = sorted(rs)
+        for i in range(len(rl)):
+            for j in range(i + 1, len(rl)):
+                shared[(rl[i], rl[j])] += 1
+    out = {}
+    for (ra, rb), s in shared.items():
+        if s < FORK_MIN_SHARED or 5 * s < 3 * min(nf[ra], nf[rb]):
+            continue
+        if nf[ra] > nf[rb]:
+            winner = ra
+        elif nf[rb] > nf[ra]:
+            winner = rb
+        else:
+            winner = min(ra, rb)
+        out[(ra, rb)] = (s, nf[ra], nf[rb], winner)
+    return out
+
+
+def test_fork_pairs_match_python_reference(corpus, fork_pdf):
+    got = {
+        (r.ra, r.rb): (r.shared_files, r.na, r.nb, r.winner)
+        for r in fork_pairs_frame(corpus).collect()
+    }
+    want = _python_forks(fork_pdf)
+    assert got == want
+    assert len(got) > 0  # the fixture corpus must actually exercise the op
+
+
+def test_fork_invariants(corpus):
+    rows = fork_pairs_frame(corpus).collect()
+    for r in rows:
+        assert r.ra < r.rb
+        assert r.winner in (r.ra, r.rb)
+        assert r.shared_files >= FORK_MIN_SHARED
+        assert 5 * r.shared_files >= 3 * min(r.na, r.nb)
+        assert r.containment_ppm == 1_000_000 * r.shared_files // min(r.na, r.nb)
+        # winner is the larger repo (ties to the smaller name)
+        if r.na != r.nb:
+            assert r.winner == (r.ra if r.na > r.nb else r.rb)
+
+
+def test_fork_keep_drops_whole_losers(corpus):
+    pairs = fork_pairs_frame(corpus).collect()
+    losers = {(r.rb if r.winner == r.ra else r.ra) for r in pairs}
+    from pyspark.sql import functions as F
+
+    kept_repos = {
+        r.repo
+        for r in corpus.join(
+            F.broadcast(
+                corpus.sparkSession.createDataFrame(
+                    [(x,) for x in sorted(losers)], "repo string"
+                )
+            ),
+            "repo",
+            "left_anti",
+        )
+        .select("repo")
+        .distinct()
+        .collect()
+    }
+    assert losers and not (kept_repos & losers)
+    # winners all survive
+    winners = {r.winner for r in pairs}
+    assert winners - losers <= kept_repos
