@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "decontam_span_removal",
     "fork_pairs",
     "fork_dedup_keep",
+    "fork_incremental",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

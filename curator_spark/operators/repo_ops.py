@@ -968,29 +968,43 @@ FROM forks
 """
 
 
-def fork_pairs_frame(corpus_df):
-    """The fork-pair table over ANY corpus-shaped frame (repo, …, content):
-    (ra, rb, shared_files, na, nb, containment_ppm, winner)."""
-    rd = corpus_df.select("repo", F.md5("content").alias("d")).distinct()
-    rf = rd.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+def fork_rd(corpus_df):
+    """Distinct (repo, content-digest) postings of a corpus frame — the
+    ONLY state fork detection ever consumes (content never travels past
+    this hash-aggregate)."""
+    return corpus_df.select("repo", F.md5("content").alias("d")).distinct()
+
+
+def _fork_shared(rd):
+    """Per-repo-pair shared-file counts over a (repo, d) posting frame,
+    with the fan-out EXCLUSION applied within that frame: digests whose
+    fan (count of repos in ``rd``) is outside [2, FORK_FANOUT_CAP]
+    contribute nothing. Eligibility is frame-local on purpose — the
+    incremental path exploits that a touched digest's postings are
+    always passed in FULL, so frame-local fan == global fan."""
     fan = rd.groupBy("d").agg(F.count(F.lit(1)).alias("__w"))
-    elig = (
-        rd.join(
-            fan.filter(
-                (F.col("__w") >= 2) & (F.col("__w") <= FORK_FANOUT_CAP)
-            ).select("d"),
-            "d",
-            "left_semi",
-        )
+    elig = rd.join(
+        fan.filter((F.col("__w") >= 2) & (F.col("__w") <= FORK_FANOUT_CAP)).select(
+            "d"
+        ),
+        "d",
+        "left_semi",
     )
     a = elig.select(F.col("repo").alias("ra"), "d")
     b = elig.select(F.col("repo").alias("rb"), "d")
-    shared = (
+    return (
         a.join(b, "d")
         .filter(F.col("ra") < F.col("rb"))
         .groupBy("ra", "rb")
         .agg(F.count(F.lit(1)).alias("shared_files"))
     )
+
+
+def _fork_threshold(shared, rf):
+    """Apply the fork decision (min-shared + 60% integer containment of
+    the smaller repo) to a (ra, rb, shared_files) frame given the
+    per-repo distinct-file counts ``rf`` (repo, nf) — broadcast twice,
+    repos << files by definition."""
     pairs = (
         shared.join(
             F.broadcast(rf.select(F.col("repo").alias("ra"), F.col("nf").alias("na"))),
@@ -1019,6 +1033,14 @@ def fork_pairs_frame(corpus_df):
         .otherwise(F.least("ra", "rb"))
         .alias("winner"),
     )
+
+
+def fork_pairs_frame(corpus_df):
+    """The fork-pair table over ANY corpus-shaped frame (repo, …, content):
+    (ra, rb, shared_files, na, nb, containment_ppm, winner)."""
+    rd = fork_rd(corpus_df)
+    rf = rd.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    return _fork_threshold(_fork_shared(rd), rf)
 
 
 @register(
@@ -1056,3 +1078,122 @@ def fork_dedup_keep(spark, sf_dir):
     return c.join(F.broadcast(losers), "repo", "left_anti").select(
         "repo", "path", "commit"
     )
+
+
+# ---------------------------------------------------------------------------
+# fork_incremental: fork detection ACROSS crawl snapshots without
+# recomputing the full digest self-join — the repo-granularity leg of the
+# incremental family (exact = dedup_exact_incremental, fuzzy =
+# clone_incremental, semantic = embed_incremental). A rolling pipeline
+# commits three tables per crawl: the (repo, digest) posting index, the
+# per-repo distinct-file counts rf, and the THRESHOLD-FREE pair counts
+# `shared` (thresholds are cheap to re-apply; committing pre-threshold
+# counts is what makes deltas additive). Per crawl:
+#
+#   delta    = curr postings not in the committed index (one anti-join).
+#   touched  = the delta's digests — the ONLY digests whose fan-out, and
+#              therefore eligibility and pair contributions, can change.
+#   update   = one signed-count union:   + committed shared
+#                                        -  shared(prev postings of touched)
+#                                        +  shared(union postings of touched)
+#              summed per (ra, rb); pairs on untouched digests ride the
+#              committed counts unchanged.
+#
+# The subtract/add pair handles RETRACTION exactly: a digest whose union
+# fan-out crosses FORK_FANOUT_CAP (boilerplate going viral in the new
+# crawl) has its previously-counted contribution removed, and a digest
+# entering eligibility (fan 1 -> 2) contributes for the first time. The
+# per-crawl joins touch only the postings of delta digests — prior
+# crawls' content is never rescanned, and the frame-local-fan property of
+# _fork_shared makes the touched-only recompute exact (a touched digest's
+# postings are passed in full, so local fan == global fan).
+#
+# The oracle is the NON-incremental full fork computation over the union
+# of both snapshot windows — the same equivalence contract the other
+# incremental queries carry.
+# ---------------------------------------------------------------------------
+def incremental_fork_pairs(prev_rd, prev_shared, prev_rf, delta_rd):
+    """Fork pairs over (prev ∪ delta) from committed prev state plus the
+    delta postings only. ``delta_rd`` must be disjoint from ``prev_rd``
+    (the caller anti-joins the committed index)."""
+    touched = delta_rd.select("d").distinct()
+    prev_touched = prev_rd.join(touched, "d", "left_semi")
+    union_touched = prev_touched.unionByName(delta_rd)
+    signed = (
+        prev_shared.withColumn("sgn", F.lit(1))
+        .unionByName(_fork_shared(prev_touched).withColumn("sgn", F.lit(-1)))
+        .unionByName(_fork_shared(union_touched).withColumn("sgn", F.lit(1)))
+    )
+    shared = (
+        signed.groupBy("ra", "rb")
+        .agg(F.sum(F.col("sgn") * F.col("shared_files")).alias("shared_files"))
+        .filter(F.col("shared_files") > 0)
+    )
+    rf = (
+        prev_rf.unionByName(
+            delta_rd.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+        )
+        .groupBy("repo")
+        .agg(F.sum("nf").alias("nf"))
+    )
+    return _fork_threshold(shared, rf)
+
+
+_Q_FORK_INCR_ORACLE = f"""
+WITH u AS (
+  SELECT repo, content FROM {_CORPUS_DUCK}
+  UNION ALL
+  SELECT repo, content FROM read_parquet('{_RAW_W400}')
+),
+rd AS (SELECT DISTINCT repo, md5(content) AS d FROM u),
+rf AS (SELECT repo, count(*) AS nf FROM rd GROUP BY repo),
+elig AS (
+  SELECT repo, d FROM rd
+  WHERE d IN (SELECT d FROM rd GROUP BY d
+              HAVING count(*) BETWEEN 2 AND {FORK_FANOUT_CAP})
+),
+shared AS (
+  SELECT a.repo AS ra, b.repo AS rb, count(*) AS shared_files
+  FROM elig a JOIN elig b ON a.d = b.d AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT s.ra, s.rb, CAST(s.shared_files AS BIGINT) AS shared_files,
+       CAST(fa.nf AS BIGINT) AS na, CAST(fb.nf AS BIGINT) AS nb,
+       CAST((1000000 * s.shared_files) // least(fa.nf, fb.nf) AS BIGINT)
+         AS containment_ppm,
+       CASE WHEN fa.nf > fb.nf THEN s.ra
+            WHEN fb.nf > fa.nf THEN s.rb
+            ELSE least(s.ra, s.rb) END AS winner
+FROM shared s
+JOIN rf fa ON fa.repo = s.ra
+JOIN rf fb ON fb.repo = s.rb
+WHERE s.shared_files >= {FORK_MIN_SHARED}
+  AND 5 * s.shared_files >= 3 * least(fa.nf, fb.nf)
+"""
+
+
+@register(
+    "fork_incremental",
+    _Q_FORK_INCR_ORACLE,
+    "incremental fork detection across crawl snapshots: signed-count update touching only delta digests, with fan-out-cap retraction",
+)
+def fork_incremental(spark, sf_dir):
+    # prev_rd / prev_shared / prev_rf stand in for the three COMMITTED
+    # tables of the previous crawl, so they are MATERIALIZED here
+    # (eager localCheckpoint, lineage truncated) exactly as production
+    # would read them from the catalog — the executed plan then shows
+    # only the true per-crawl work: one anti-join for the delta plus the
+    # touched-digest recomputes and the signed-count aggregate.
+    prev_rd = fork_rd(_corpus(spark)).localCheckpoint(eager=True)
+    prev_shared = _fork_shared(prev_rd).localCheckpoint(eager=True)
+    prev_rf = (
+        prev_rd.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .localCheckpoint(eager=True)
+    )
+    delta_rd = (
+        fork_rd(_corpus_w400(spark))
+        .join(prev_rd, ["repo", "d"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    return incremental_fork_pairs(prev_rd, prev_shared, prev_rf, delta_rd)

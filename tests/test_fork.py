@@ -134,3 +134,98 @@ def test_fork_keep_drops_whole_losers(corpus):
     # winners all survive
     winners = {r.winner for r in pairs}
     assert winners - losers <= kept_repos
+
+# ---------------------------------------------------------------------------
+# Incremental fork detection: the signed-count update over (committed
+# state + delta postings) must equal the direct full recompute over the
+# union — including RETRACTION (a digest whose union fan-out crosses
+# FORK_FANOUT_CAP loses its previously-counted contribution) and ENTRY
+# (fan 1 -> 2 contributes for the first time).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def incr_pdfs(fork_pdf):
+    """(prev, delta_corpus) with all three transition kinds planted:
+
+    * entry     — 'incr/entry' copies >= 60% of a small repo's files in
+                  the DELTA only (its digests go fan 1 -> 2).
+    * retraction — a blob planted in exactly FORK_FANOUT_CAP repos in
+                  prev (eligible, at the cap) gains one more repo in the
+                  delta -> fan CAP+1, contribution must be retracted.
+    * dilution  — the delta adds unique files to the planted fork from
+                  the prev fixture, growing its nf (denominator shifts).
+    """
+    import pandas as pd
+
+    prev = fork_pdf.copy()
+    counts = prev.groupby("repo").size()
+    capped_repos = sorted(counts.index)[:FORK_FANOUT_CAP]
+    at_cap = pd.DataFrame(
+        {
+            "repo": capped_repos,
+            "path": ["vendor/at_cap.h"] * len(capped_repos),
+            "commit": [f"cap{i}" for i in range(len(capped_repos))],
+            "lang": ["c"] * len(capped_repos),
+            "content": ["blob exactly at the fan-out cap"] * len(capped_repos),
+        }
+    )
+    prev = pd.concat([prev, at_cap], ignore_index=True)
+
+    src = counts[counts >= 4].index.sort_values()[-1]
+    entry = prev[prev.repo == src].sort_values("path").iloc[:-1].copy()
+    entry["repo"] = "incr/entry"
+    overflow = at_cap.iloc[[0]].copy()
+    overflow["repo"] = "incr/overflow"
+    dilute = pd.DataFrame(
+        {
+            "repo": ["forkorg/fork"] * 3,
+            "path": [f"new_{i}.py" for i in range(3)],
+            "commit": [f"d{i}" for i in range(3)],
+            "lang": ["python"] * 3,
+            "content": [f"delta-only unique content {i}" for i in range(3)],
+        }
+    )
+    delta = pd.concat([entry, overflow, dilute], ignore_index=True)[
+        list(prev.columns)
+    ]
+    return prev, delta
+
+
+def test_fork_incremental_equals_full_recompute(spark, incr_pdfs):
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.repo_ops import (
+        fork_rd,
+        _fork_shared,
+        incremental_fork_pairs,
+    )
+
+    prev_pdf, delta_pdf = incr_pdfs
+    prev = spark.createDataFrame(prev_pdf).localCheckpoint(eager=True)
+    curr = spark.createDataFrame(delta_pdf).localCheckpoint(eager=True)
+
+    prev_rd = fork_rd(prev)
+    delta_rd = fork_rd(curr).join(prev_rd, ["repo", "d"], "left_anti")
+    got = incremental_fork_pairs(
+        prev_rd,
+        _fork_shared(prev_rd),
+        prev_rd.groupBy("repo").agg(F.count(F.lit(1)).alias("nf")),
+        delta_rd,
+    )
+    want = fork_pairs_frame(prev.unionByName(curr))
+    key = lambda r: (r.ra, r.rb)  # noqa: E731
+    got_rows = {key(r): r.asDict() for r in got.collect()}
+    want_rows = {key(r): r.asDict() for r in want.collect()}
+    assert got_rows == want_rows
+
+    # the fixture really exercised all three transitions:
+    prev_pairs = {key(r) for r in fork_pairs_frame(prev).collect()}
+    union_pairs = set(want_rows)
+    assert any("incr/entry" in k for k in union_pairs - prev_pairs), "entry"
+    # retraction: the at-cap blob created no pair by itself, but its
+    # fan-out crossing the cap must not leave phantom counts behind —
+    # every union pair's shared_files matches the from-scratch value
+    # (covered by the dict equality above); assert the overflow repo
+    # formed no pair (its single shared blob is now ineligible)
+    assert not any("incr/overflow" in k for k in union_pairs), "retraction"
