@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cores", type=int, default=None, help="local[] cores (local runs)")
     p.add_argument("--exact-dedup", action="store_true", help="dedup identical content first")
     p.add_argument(
+        "--fork-dedup", action="store_true",
+        help="drop forked repos before any file-level pass (repo pairs "
+        "sharing >=60%% of the smaller side's files byte-identically: "
+        "the losing repo's every file goes)",
+    )
+    p.add_argument(
         "--clone-dedup", action="store_true",
         help="drop cross-repo near-duplicate files (capped MinHash LSH + "
         "exact Jaccard confirm) as a resumable global stage",
@@ -192,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.optout import opt_out_release_filter
 
         corpus = opt_out_release_filter(corpus, spark.read.parquet(args.opt_out))
+    if args.fork_dedup:
+        from .operators.repo_ops import fork_dedup_filter
+
+        corpus = fork_dedup_filter(corpus)
     bench = (
         spark.read.parquet(args.decontaminate) if args.decontaminate else None
     )

@@ -1062,22 +1062,25 @@ WHERE repo NOT IN (SELECT repo FROM losers)
 """
 
 
+def fork_dedup_filter(corpus_df):
+    """Drop every file of the losing repo of each fork pair — all input
+    columns preserved (release-stage form). The loser set is tiny
+    (repo-granular) and broadcast into one left-anti join."""
+    losers = fork_pairs_frame(corpus_df).select(
+        F.when(F.col("winner") == F.col("ra"), F.col("rb"))
+        .otherwise(F.col("ra"))
+        .alias("repo")
+    ).distinct()
+    return corpus_df.join(F.broadcast(losers), "repo", "left_anti")
+
+
 @register(
     "fork_dedup_keep",
     _Q_FORK_KEEP_ORACLE,
     "fork dedup made actionable: drop every file of the losing repo of each fork pair (broadcast anti-join of the loser set)",
 )
 def fork_dedup_keep(spark, sf_dir):
-    c = _corpus(spark)
-    pairs = fork_pairs_frame(c)
-    losers = pairs.select(
-        F.when(F.col("winner") == F.col("ra"), F.col("rb"))
-        .otherwise(F.col("ra"))
-        .alias("repo")
-    ).distinct()
-    return c.join(F.broadcast(losers), "repo", "left_anti").select(
-        "repo", "path", "commit"
-    )
+    return fork_dedup_filter(_corpus(spark)).select("repo", "path", "commit")
 
 
 # ---------------------------------------------------------------------------

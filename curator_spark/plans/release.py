@@ -187,11 +187,21 @@ def build_release(
     line_dedup: bool = False,
     semantic_decontaminate: bool = False,
     decontam_policy: str = "drop",
+    fork_dedup: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full release chain; return (released DataFrame with a
     ``split`` column, manifest dict with per-stage row accounting and the
     data card of the post-filter corpus)."""
     n0 = corpus.count()
+    n0f = n0
+    if fork_dedup:
+        # repo-GRANULARITY pass first (The Stack's ordering: forks are
+        # dropped before any file-level dedup sees them — the loser
+        # repo's every file goes, including its non-duplicated ones)
+        from ..operators.repo_ops import fork_dedup_filter
+
+        corpus = fork_dedup_filter(corpus).localCheckpoint(eager=False)
+        n0f = corpus.count()
     s1 = _exact_dedup(corpus).localCheckpoint(eager=False)
     n1 = s1.count()
     s2 = _clone_dedup(s1).localCheckpoint(eager=False)
@@ -259,7 +269,7 @@ def build_release(
     released = s5.withColumn("split", _split_col())
     manifest = {
         "input_files": n0,
-        "removed_exact_dup": n0 - n1,
+        "removed_exact_dup": n0f - n1,
         "removed_clone_dup": n1 - n2,
         "removed_semantic_dup": n2l - n2s,
         "removed_decontaminated": n2s - n3,
@@ -280,6 +290,9 @@ def build_release(
         # only line-dedup runs carry the key, so plain manifests stay
         # dict-equal to prior releases (same rule as license/opt-out)
         manifest["removed_line_dedup"] = n2 - n2l
+    if fork_dedup:
+        # only fork-dedup runs carry the key (same dict-equality rule)
+        manifest["removed_fork_dedup"] = n0 - n0f
     return released, manifest
 
 
@@ -348,6 +361,7 @@ class ReleaseRun:
         embedder_loader=None,
         license_filter: bool = False,
         opt_out: bool = False,
+        fork_dedup: bool = False,
         train_tokenizer: int | None = None,
         pack_sequences: int | None = None,
         pack_seq_len: int = 128,
@@ -436,6 +450,22 @@ class ReleaseRun:
             if license_filter
             else None
         )
+        # optional repo-granularity fork dedup FIRST of the content
+        # stages (The Stack's ordering); global (n_batches=1) because
+        # containment needs every file of every repo in one view
+        if fork_dedup:
+            from ..operators.repo_ops import FORK_FANOUT_CAP, FORK_MIN_SHARED
+
+            self.fork_stage = ResumableStage(
+                "rel-forkdedup", KEY_COLS, work_dir,
+                config={"method": "exact-containment-drop-loser",
+                        "min_shared": FORK_MIN_SHARED,
+                        "fanout_cap": FORK_FANOUT_CAP,
+                        "containment": "3/5"},
+                n_batches=1, catalog=self.catalog,
+            )
+        else:
+            self.fork_stage = None
         self.dedup_stage = ResumableStage(
             "rel-dedup", ["content"], work_dir,
             config={"method": "exact-sha256-min-key"},
@@ -523,6 +553,7 @@ class ReleaseRun:
             for s in (
                 self.optout_stage,
                 self.license_stage,
+                self.fork_stage,
                 self.dedup_stage, self.clone_stage,
                 self.linededup_stage,
                 self.embed_stage, self.semdedup_stage,
@@ -589,6 +620,15 @@ class ReleaseRun:
             )
             ran["license"] = r.batches_run
             cur = self.license_stage.output(spark)
+        if self.fork_stage is not None:
+            from ..operators.repo_ops import fork_dedup_filter
+
+            r = self.fork_stage.run(
+                spark, cur, fork_dedup_filter,
+                fail_after_batches=fail_after_batches,
+            )
+            ran["forkdedup"] = r.batches_run
+            cur = self.fork_stage.output(spark)
         r = self.dedup_stage.run(
             spark, cur, QualityFilterRun._dedup_transform,
             fail_after_batches=fail_after_batches,
@@ -736,6 +776,11 @@ class ReleaseRun:
             if self.license_stage is not None
             else noo
         )
+        nfk = (
+            self.fork_stage.output(spark).count()
+            if self.fork_stage is not None
+            else nl
+        )
         n1 = self.dedup_stage.output(spark).count()
         n2 = self.clone_stage.output(spark).count()
         n2l = (
@@ -763,7 +808,7 @@ class ReleaseRun:
         n5 = self.output(spark).count()
         out = {
             "input_files": n0,
-            "removed_exact_dup": nl - n1,
+            "removed_exact_dup": nfk - n1,
             "removed_clone_dup": n1 - n2,
             "removed_semantic_dup": n2l - n2s,
             "removed_decontaminated": n2s - n3,
@@ -788,6 +833,9 @@ class ReleaseRun:
             # only licensed runs carry the key, so license-less manifests
             # stay dict-equal to build_release's (test_release_resume)
             out["removed_nonpermissive_license"] = noo - nl
+        if self.fork_stage is not None:
+            # only fork-dedup runs carry the key (same dict-equality rule)
+            out["removed_fork_dedup"] = nl - nfk
         if self.tokenizer_run is not None:
             # the release artifact itself (tiny by construction); only
             # tokenizer runs carry the key (same dict-equality rule)

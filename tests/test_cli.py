@@ -401,3 +401,57 @@ def test_cli_train_langid_and_lm_compose(spark, corpus_df, tmp_path, capsys):
         [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     )
     assert stats["kept_rows"] > 0
+
+
+def test_cli_fork_dedup(spark, corpus_df, tmp_path, capsys):
+    """--fork-dedup drops every file of a planted fork's losing repo
+    before any stage, and the kept count equals a run over the
+    pre-filtered corpus."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.__main__ import main
+    from curator_spark.operators.repo_ops import fork_dedup_filter
+
+    src = (
+        corpus_df.groupBy("repo")
+        .count()
+        .orderBy(F.desc("count"), "repo")
+        .first()
+        .repo
+    )
+    forked = (
+        corpus_df.filter(F.col("repo") == src)
+        .orderBy("path")
+        .limit(10)
+        .withColumn("repo", F.lit("forkorg/planted"))
+    )
+    full = corpus_df.unionByName(forked)
+    inp = str(tmp_path / "corpus")
+    full.write.parquet(inp)
+    full = spark.read.parquet(inp)
+
+    rc = main(
+        [
+            "--input", inp,
+            "--work-dir", str(tmp_path / "run"),
+            "--output", str(tmp_path / "out"),
+            "--fork-dedup",
+            "--n-batches", "2",
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.filter(out.repo == "forkorg/planted").count() == 0
+
+    pre_p = str(tmp_path / "pre")
+    fork_dedup_filter(full).write.parquet(pre_p)
+    rc = main(
+        [
+            "--input", pre_p,
+            "--work-dir", str(tmp_path / "run2"),
+            "--n-batches", "2",
+        ]
+    )
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["kept_rows"] == out.count()

@@ -339,3 +339,77 @@ def test_release_run_tokenizer_artifact(spark, tmp_path):
         break
     assert killed.tokenizer_run.committed_merges() == want
     assert attempts >= 5
+
+
+def test_release_run_fork_dedup_gate_kill_resume(spark, tmp_path):
+    """ReleaseRun(fork_dedup=True): the repo-granularity fork gate drops
+    every file of the losing repo FIRST of the content stages, survives
+    kills bit-identically, matches build_release(fork_dedup=True), and
+    the manifest accounts for the stage."""
+    from curator_spark.operators.repo_ops import fork_dedup_filter
+
+    base = generate_spark(spark, ROWS, seed=42, partitions=4)
+    # plant a fork: copy every file but one of the largest repo under a
+    # new name, plus one unique file (containment > 60% of the fork)
+    src = (
+        base.groupBy("repo").count().orderBy(F.desc("count"), "repo").first().repo
+    )
+    forked = (
+        base.filter(F.col("repo") == src)
+        .orderBy("path")
+        .limit(12)
+        .withColumn("repo", F.lit("forkorg/planted"))
+    )
+    uniq = forked.limit(1).withColumn("path", F.lit("FORK_ONLY.py")).withColumn(
+        "content", F.lit("fork only marker")
+    )
+    p = str(tmp_path / "forked_corpus.parquet")
+    base.unionByName(forked).unionByName(uniq).write.mode("overwrite").parquet(p)
+    corpus = spark.read.parquet(p)
+
+    want_kept = {
+        r.commit for r in fork_dedup_filter(corpus).select("commit").collect()
+    }
+    assert 0 < len(want_kept) < corpus.count()
+    # the planted fork loses (smaller side), its unique file goes too
+    assert not fork_dedup_filter(corpus).filter(
+        F.col("repo") == "forkorg/planted"
+    ).count()
+
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, fork_dedup=True
+    )
+    attempts = 0
+    while True:
+        attempts += 1
+        assert attempts < 50
+        try:
+            run.run(spark, corpus, fail_after_batches=1)
+        except StageInterrupted:
+            continue
+        break
+
+    got_kept = {
+        r.commit for r in run.fork_stage.output(spark).select("commit").collect()
+    }
+    assert got_kept == want_kept
+
+    released, manifest = build_release(corpus, rates_ppm=RATES, fork_dedup=True)
+    assert _released_set(run.output(spark)) == _released_set(released)
+
+    m = run.manifest(spark, corpus)
+    ref_card = manifest.pop("datacard")
+    assert m.pop("datacard") == ref_card
+    assert m == manifest
+    assert m["removed_fork_dedup"] == corpus.count() - len(want_kept)
+    assert (
+        m["input_files"]
+        == m["removed_fork_dedup"] + m["removed_exact_dup"]
+        + m["removed_clone_dup"] + m["removed_semantic_dup"]
+        + m["removed_decontaminated"] + m["removed_quality_filter"]
+        + m["removed_mixture_downsample"] + m["released_files"]
+    )
+
+    # identical rerun: everything skips (pure metadata probe)
+    ran = run.run(spark, corpus)
+    assert "forkdedup" in ran and all(v == [] for v in ran.values())
