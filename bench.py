@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "fork_pairs",
     "fork_dedup_keep",
     "fork_incremental",
+    "fork_near_pairs",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

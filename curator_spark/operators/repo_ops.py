@@ -48,6 +48,7 @@ import os
 from pyspark.sql import functions as F
 
 from .dedup import BUCKET_CAP, _let, _SHINGLES_SPARK, cap_bucket_width
+from .para_dedup import WIN_GRAM, WIN_W
 from .registry import register
 from ..sources.corpus import generate_spark
 
@@ -1000,7 +1001,7 @@ def _fork_shared(rd):
     )
 
 
-def _fork_threshold(shared, rf):
+def _fork_threshold(shared, rf, min_shared: int = FORK_MIN_SHARED):
     """Apply the fork decision (min-shared + 60% integer containment of
     the smaller repo) to a (ra, rb, shared_files) frame given the
     per-repo distinct-file counts ``rf`` (repo, nf) — broadcast twice,
@@ -1015,7 +1016,7 @@ def _fork_threshold(shared, rf):
             "rb",
         )
         .filter(
-            (F.col("shared_files") >= FORK_MIN_SHARED)
+            (F.col("shared_files") >= min_shared)
             & (5 * F.col("shared_files") >= 3 * F.least("na", "nb"))
         )
     )
@@ -1081,6 +1082,124 @@ def fork_dedup_filter(corpus_df):
 )
 def fork_dedup_keep(spark, sf_dir):
     return fork_dedup_filter(_corpus(spark)).select("repo", "path", "commit")
+
+
+# ---------------------------------------------------------------------------
+# fork_near_pairs: NEAR-fork detection — forks whose files were EDITED
+# after the fork, which byte-exact containment (fork_pairs) misses
+# entirely. The posting unit swaps from the full-content digest to the
+# MOSS winnowing fingerprint (para_dedup's WIN_GRAM/WIN_W geometry over
+# file content): a lightly-edited copy still shares most of its
+# fingerprints, so containment over fingerprints degrades gracefully
+# with edit distance where digest containment falls off a cliff. The
+# REST of the machinery — fan-out exclusion (viral boilerplate
+# fingerprints carry no fork signal), pair-key aggregation, broadcast
+# per-repo counts, integer containment — is shared verbatim with
+# fork_pairs; only the posting generator and the min-shared floor
+# (fingerprints are ~denser than files) differ. shared_files / na / nb
+# count FINGERPRINTS here, not files.
+# ---------------------------------------------------------------------------
+NEARFORK_MIN_SHARED = 20
+
+_NEARFORK_FPS_SPARK = (
+    "array_distinct(CASE"
+    " WHEN size(ghs) = 0 THEN cast(array() as array<string>)"
+    f" WHEN size(ghs) <= {WIN_W} THEN array(array_min(ghs))"
+    f" ELSE transform(sequence(0, size(ghs) - {WIN_W}),"
+    f" i -> array_min(slice(ghs, i + 1, {WIN_W}))) END)"
+)
+
+
+def fork_near_rd(corpus_df):
+    """Distinct (repo, winnowing-fingerprint) postings over file content
+    — the near-fork analog of :func:`fork_rd`. Fingerprint selection is
+    a pure per-row expression (zero shuffle); the distinct is the same
+    single hash-aggregate."""
+    return (
+        corpus_df.select(
+            "repo",
+            F.expr(
+                "filter(split(content, '[ \\t\\n]+'), w -> w != '')"
+            ).alias("ws"),
+        )
+        .withColumn(
+            "ghs",
+            F.expr(
+                f"CASE WHEN size(ws) < {WIN_GRAM} THEN cast(array() as array<string>)"
+                f" ELSE transform(sequence(0, size(ws) - {WIN_GRAM}),"
+                f" i -> md5(concat_ws(' ', slice(ws, i + 1, {WIN_GRAM})))) END"
+            ),
+        )
+        .select("repo", F.explode(F.expr(_NEARFORK_FPS_SPARK)).alias("d"))
+        .distinct()
+    )
+
+
+_Q_NEARFORK_ORACLE = f"""
+WITH w AS (
+  SELECT repo,
+         list_filter(str_split_regex(content, '[ \\t\\n]+'), x -> x != '') AS ws
+  FROM {_CORPUS_DUCK}
+),
+b AS (
+  SELECT repo,
+         CASE WHEN len(ws) < {WIN_GRAM} THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(0, len(ws) - {WIN_GRAM - 1}),
+                                  i -> md5(array_to_string(ws[i+1:i+{WIN_GRAM}], ' ')))
+         END AS ghs
+  FROM w
+),
+fp AS (
+  SELECT repo,
+         CASE WHEN len(ghs) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(ghs) <= {WIN_W} THEN [list_min(ghs)]
+              ELSE list_transform(range(0, len(ghs) - {WIN_W - 1}),
+                                  i -> list_min(ghs[i+1:i+{WIN_W}]))
+         END AS fps
+  FROM b
+),
+rd AS (SELECT DISTINCT repo, unnest(fps) AS d FROM fp),
+rf AS (SELECT repo, count(*) AS nf FROM rd GROUP BY repo),
+elig AS (
+  SELECT repo, d FROM rd
+  WHERE d IN (SELECT d FROM rd GROUP BY d
+              HAVING count(*) BETWEEN 2 AND {FORK_FANOUT_CAP})
+),
+shared AS (
+  SELECT a.repo AS ra, b.repo AS rb, count(*) AS shared_files
+  FROM elig a JOIN elig b ON a.d = b.d AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT s.ra, s.rb, CAST(s.shared_files AS BIGINT) AS shared_files,
+       CAST(fa.nf AS BIGINT) AS na, CAST(fb.nf AS BIGINT) AS nb,
+       CAST((1000000 * s.shared_files) // least(fa.nf, fb.nf) AS BIGINT)
+         AS containment_ppm,
+       CASE WHEN fa.nf > fb.nf THEN s.ra
+            WHEN fb.nf > fa.nf THEN s.rb
+            ELSE least(s.ra, s.rb) END AS winner
+FROM shared s
+JOIN rf fa ON fa.repo = s.ra
+JOIN rf fb ON fb.repo = s.rb
+WHERE s.shared_files >= {NEARFORK_MIN_SHARED}
+  AND 5 * s.shared_files >= 3 * least(fa.nf, fb.nf)
+"""
+
+
+@register(
+    "fork_near_pairs",
+    _Q_NEARFORK_ORACLE,
+    "near-fork detection: containment over MOSS winnowing fingerprints catches forks whose files were edited after the fork",
+)
+def fork_near_pairs(spark, sf_dir):
+    # NOTE: the fixture corpus contains no near-forks by construction
+    # (probed: max fingerprint containment 55% from tiny-repo noise), so
+    # this returns 0 rows at gate scale — oracle-verified EMPTY, which is
+    # the honest answer; the planted edited-fork fixture in test_fork.py
+    # is the positive-signal exercise (vs an independent python
+    # winnowing reference).
+    rd = fork_near_rd(_corpus(spark))
+    rf = rd.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    return _fork_threshold(_fork_shared(rd), rf, min_shared=NEARFORK_MIN_SHARED)
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,97 @@ def test_fork_incremental_equals_full_recompute(spark, incr_pdfs):
     # (covered by the dict equality above); assert the overflow repo
     # formed no pair (its single shared blob is now ineligible)
     assert not any("incr/overflow" in k for k in union_pairs), "retraction"
+
+# ---------------------------------------------------------------------------
+# Near-fork detection (winnowing-fingerprint containment): the fixture
+# corpus has no near-forks by construction (fork_near_pairs returns 0
+# rows at gate scale — verified empty against the oracle), so the planted
+# fixture here is the real exercise: a fork whose every file got EDITED
+# (so byte-exact fork_pairs misses it) must still pair by fingerprint
+# containment, verified against an independent python winnowing
+# implementation.
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow_fps(text, gram, w):
+    ws = [x for x in __import__("re").split(r"[ \t\n]+", text) if x != ""]
+    if len(ws) < gram:
+        return set()
+    ghs = [
+        hashlib.md5(" ".join(ws[i : i + gram]).encode()).hexdigest()
+        for i in range(len(ws) - gram + 1)
+    ]
+    if len(ghs) <= w:
+        return {min(ghs)}
+    return {min(ghs[i : i + w]) for i in range(len(ghs) - w + 1)}
+
+
+@pytest.fixture(scope="module")
+def near_fork_pdf(corpus_pdf):
+    """Corpus plus an EDITED fork: every copied file gets one word
+    changed mid-file, so no content digest survives but most winnowing
+    fingerprints do."""
+    src = (
+        corpus_pdf[corpus_pdf.content.str.split().str.len() >= 60]
+        .groupby("repo")
+        .size()
+    )
+    src = src[src >= 4].index.sort_values()[0]
+    rows = corpus_pdf[corpus_pdf.repo == src].sort_values("path").copy()
+    edited = rows.copy()
+    edited["repo"] = "nearorg/editedfork"
+    edited["content"] = [
+        c + "\nedited fork trailing marker line\n" for c in edited["content"]
+    ]
+    import pandas as pd
+
+    return pd.concat([corpus_pdf, edited], ignore_index=True), src
+
+
+def test_fork_near_pairs_catch_edited_fork(spark, near_fork_pdf):
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.repo_ops import (
+        NEARFORK_MIN_SHARED,
+        _fork_shared,
+        _fork_threshold,
+        fork_near_rd,
+        fork_pairs_frame,
+    )
+    from curator_spark.operators.para_dedup import WIN_GRAM, WIN_W
+
+    pdf, src = near_fork_pdf
+    corpus = spark.createDataFrame(pdf).localCheckpoint(eager=True)
+    rd = fork_near_rd(corpus)
+    rf = rd.groupBy("repo").agg(F.count(F.lit(1)).alias("nf"))
+    near = {
+        (r.ra, r.rb): r
+        for r in _fork_threshold(
+            _fork_shared(rd), rf, min_shared=NEARFORK_MIN_SHARED
+        ).collect()
+    }
+    pair = tuple(sorted((src, "nearorg/editedfork")))
+    assert pair in near, near
+    # byte-exact fork detection must MISS the edited fork
+    exact = {(r.ra, r.rb) for r in fork_pairs_frame(corpus).collect()}
+    assert pair not in exact
+
+    # fingerprint counts vs the independent python winnowing reference
+    repo_fps = defaultdict(set)
+    for r in pdf.itertuples():
+        repo_fps[r.repo] |= _py_winnow_fps(r.content, WIN_GRAM, WIN_W)
+    got = near[pair]
+    assert got.na == len(repo_fps[pair[0]])
+    assert got.nb == len(repo_fps[pair[1]])
+    # shared count: fan-capped eligibility, so recompute with the cap
+    fan = defaultdict(set)
+    for repo, fps in repo_fps.items():
+        for f in fps:
+            fan[f].add(repo)
+    shared = sum(
+        1
+        for f in repo_fps[pair[0]] & repo_fps[pair[1]]
+        if 2 <= len(fan[f]) <= FORK_FANOUT_CAP
+    )
+    assert got.shared_files == shared >= NEARFORK_MIN_SHARED
+    assert 5 * shared >= 3 * min(got.na, got.nb)
