@@ -279,3 +279,81 @@ def decontam_span_manifest(spark, sf_dir):
             F.conv(F.substring(F.md5("content"), 1, 12), 16, 10).cast("bigint")
         ).alias("content_hash_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The FORK-FIRST release chain (repo-granularity fork dedup -> exact dedup
+# -> clone dedup -> filter+scrub -> split) as a fourth composed 1-row
+# manifest: the rel-forkdedup release stage driver-verified end-to-end.
+# The oracle splices repo_ops.fork_pairs_duck (one definition with the
+# standalone fork_pairs oracle) ahead of the dedup window; everything
+# downstream is the release_manifest oracle over the fork survivors.
+# ---------------------------------------------------------------------------
+def _release_fork_oracle() -> str:
+    from .repo_ops import fork_pairs_duck
+
+    return f"""
+WITH base AS (SELECT * FROM {_CORPUS_DUCK}),
+{fork_pairs_duck('base')},
+losers AS (
+  SELECT DISTINCT CASE WHEN winner = ra THEN rb ELSE ra END AS repo FROM forks
+),
+fkept AS (SELECT * FROM base WHERE repo NOT IN (SELECT repo FROM losers)),
+ded AS (
+  SELECT * FROM fkept
+  QUALIFY row_number() OVER (PARTITION BY content ORDER BY repo, path, commit) = 1
+),
+pairs AS ({clone_pairs_sql("ded")}),
+dropped AS (SELECT DISTINCT fid_b AS c FROM pairs),
+cloned AS (SELECT * FROM ded WHERE commit NOT IN (SELECT c FROM dropped)),
+kept AS (
+  SELECT d.repo, d.path, d.commit, g.scrubbed_sha256
+  FROM cloned d JOIN read_parquet('{_GOLDEN}') g ON d.commit = g.commit
+),
+split AS (
+  SELECT *,
+         CASE WHEN {_SPLIT_BUCKET_DUCK} < 80 THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT (SELECT count(*) FROM base) AS input_files,
+       (SELECT count(*) FROM base) - (SELECT count(*) FROM fkept) AS removed_fork_dedup,
+       (SELECT count(*) FROM fkept) - (SELECT count(*) FROM ded) AS removed_exact_dup,
+       (SELECT count(*) FROM ded) - (SELECT count(*) FROM cloned) AS removed_clone_dup,
+       (SELECT count(*) FROM cloned) - (SELECT count(*) FROM kept) AS removed_quality_filter,
+       (SELECT count(*) FROM kept) AS released_files,
+       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       cast(sum(('0x' || substr(scrubbed_sha256, 1, 12))::BIGINT) AS BIGINT) AS sha_sum
+FROM split
+"""
+
+
+@register(
+    "release_manifest_fork",
+    None,  # assigned below (builder imports repo_ops at def time)
+    "composed release with the repo-granularity fork stage FIRST (fork->dedup->clone->filter+scrub->split), 1-row bit-exact manifest",
+)
+def release_manifest_fork(spark, sf_dir):
+    from ..plans.release import build_release
+
+    released, manifest = build_release(
+        _corpus(spark), benchmarks=None, rates_ppm={}, fork_dedup=True
+    )
+    return released.agg(
+        F.lit(manifest["input_files"]).cast("long").alias("input_files"),
+        F.lit(manifest["removed_fork_dedup"]).cast("long").alias("removed_fork_dedup"),
+        F.lit(manifest["removed_exact_dup"]).cast("long").alias("removed_exact_dup"),
+        F.lit(manifest["removed_clone_dup"]).cast("long").alias("removed_clone_dup"),
+        F.lit(manifest["removed_quality_filter"]).cast("long").alias("removed_quality_filter"),
+        F.lit(manifest["released_files"]).cast("long").alias("released_files"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+        F.sum(F.conv(F.substring("scrubbed_sha256", 1, 12), 16, 10).cast("bigint")).alias("sha_sum"),
+    )
+
+
+_Q["release_manifest_fork"].oracle = _release_fork_oracle()

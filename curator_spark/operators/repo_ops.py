@@ -932,8 +932,12 @@ def repo_tfidf_keywords(spark, sf_dir):
 FORK_MIN_SHARED = 2
 FORK_FANOUT_CAP = 10
 
-_FORK_PAIRS_DUCK = f"""
-rd AS (SELECT DISTINCT repo, md5(content) AS d FROM {_CORPUS_DUCK}),
+def fork_pairs_duck(src: str) -> str:
+    """The fork-decision CTE chain (rd/rf/elig/shared/forks) over any
+    DuckDB source expression — shared by the standalone oracles and the
+    composed release-manifest oracle."""
+    return f"""
+rd AS (SELECT DISTINCT repo, md5(content) AS d FROM {src}),
 rf AS (SELECT repo, count(*) AS nf FROM rd GROUP BY repo),
 elig AS (
   SELECT repo, d FROM rd
@@ -959,6 +963,9 @@ forks AS (
   WHERE s.shared_files >= {FORK_MIN_SHARED}
     AND 5 * s.shared_files >= 3 * least(fa.nf, fb.nf)
 )"""
+
+
+_FORK_PAIRS_DUCK = fork_pairs_duck(_CORPUS_DUCK)
 
 _Q_FORK_PAIRS_ORACLE = f"""
 WITH {_FORK_PAIRS_DUCK}
