@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "fork_dedup_keep",
     "fork_incremental",
     "fork_near_pairs",
+    "corpus_rule_ablation",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -116,3 +116,85 @@ def ppl_calibration(spark, sf_dir):
         F.round(F.expr("percentile(pq, 0.9)"), 6).alias("p90_ppl_q"),
         F.round(F.expr("percentile(pq, 0.99)"), 6).alias("p99_ppl_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_rule_ablation: the per-rule MARGINAL analysis over the FULL
+# code-corpus rule set (all nine RULE_ORDER rules, including the Arrow-map
+# PYTHON_RULES and the model rules langid/perplexity — the documents-table
+# rule_ablation_report only ever trips langid). For each rule: n_flagged
+# (files it fires on), n_sole (files it is the ONLY reason for — exactly
+# the rows recovered if the rule were deleted), sole_ppm (integer recovery
+# fraction). The oracle aggregates the ALL-ROWS reasons golden
+# (tests/golden/corpus_reasons_2000.parquet, produced by the independent
+# single-process pandas oracle via scripts/make_golden.py — the same
+# provenance as the kept-rows golden; test_golden_pipeline pins Spark's
+# annotate to it per-row). Scale shape: ONE annotate pass + two
+# hash-aggregates on the 9-value rule key, rules frame joined broadcast.
+# ---------------------------------------------------------------------------
+_REASONS_GOLDEN = _GOLDEN.replace("corpus_golden_2000", "corpus_reasons_2000")
+
+_Q_CORPUS_ABLATION_ORACLE = f"""
+WITH f AS (SELECT reasons FROM read_parquet('{_REASONS_GOLDEN}')),
+t AS (SELECT count(*) AS n_total FROM f),
+rules AS (
+  SELECT unnest(['too_short', 'too_long', 'long_lines', 'low_alnum',
+                 'high_digit', 'repetition', 'boilerplate', 'langid',
+                 'perplexity']) AS rule
+),
+fl AS (SELECT unnest(str_split(reasons, ',')) AS rule
+       FROM f WHERE reasons != ''),
+agg AS (SELECT rule, count(*) AS n_flagged FROM fl GROUP BY rule),
+sole AS (SELECT reasons AS rule, count(*) AS n_sole
+         FROM f WHERE reasons != '' AND NOT contains(reasons, ',')
+         GROUP BY reasons)
+SELECT r.rule,
+       CAST(coalesce(a.n_flagged, 0) AS BIGINT) AS n_flagged,
+       CAST(coalesce(s.n_sole, 0) AS BIGINT) AS n_sole,
+       CAST((1000000 * coalesce(s.n_sole, 0)) // t.n_total AS BIGINT)
+         AS sole_ppm
+FROM rules r
+LEFT JOIN agg a ON a.rule = r.rule
+LEFT JOIN sole s ON s.rule = r.rule, t
+"""
+
+
+@register(
+    "corpus_rule_ablation",
+    _Q_CORPUS_ABLATION_ORACLE,
+    "per-rule ablation marginals over the FULL nine-rule corpus pipeline: flagged / sole-reason / integer-ppm recovery per rule",
+)
+def corpus_rule_ablation(spark, sf_dir):
+    from ..functions.rules import RULE_ORDER
+    from ..plans.quality_pipeline import annotate
+    from ..sources.corpus import generate_spark
+
+    ann = annotate(generate_spark(spark, _N_ROWS, seed=42, partitions=8)).select(
+        "drop_reasons"
+    ).localCheckpoint(eager=False)
+    tot = ann.agg(F.count(F.lit(1)).alias("n_total"))
+    rules = spark.createDataFrame([(r,) for r in RULE_ORDER], "rule string")
+    flagged = (
+        ann.select(F.explode("drop_reasons").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    sole = (
+        ann.filter(F.size("drop_reasons") == 1)
+        .select(F.element_at("drop_reasons", 1).alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_sole"))
+    )
+    return (
+        rules.join(F.broadcast(flagged), "rule", "left")
+        .join(F.broadcast(sole), "rule", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rule",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce(F.col("n_sole"), F.lit(0)).cast("long").alias("n_sole"),
+            F.expr("1000000 * coalesce(n_sole, 0) div n_total")
+            .cast("long")
+            .alias("sole_ppm"),
+        )
+    )

@@ -398,3 +398,76 @@ def drop_reason_stats(spark, sf_dir):
             F.round(F.col("n_docs") * 1.0 / F.col("n_total"), 6).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rule_ablation_report: the per-rule MARGINAL analysis drop_reason_stats
+# (a plain flag histogram) cannot give — the tuning-decision surface for
+# a rule set. For each rule: n_flagged (docs it fires on), n_sole (docs
+# it is the ONLY reason for — exactly the rows recovered if the rule were
+# deleted, because every other flagged doc stays dropped by some other
+# rule), and sole_ppm (that recovery as an integer fraction of the
+# corpus). Shape: the same one filter pass as the flagship query + two
+# hash-aggregates on the tiny rule key (#rules rows) joined broadcast —
+# per-rule marginals at 10^12 files cost one corpus scan.
+# ---------------------------------------------------------------------------
+_ABLATION_RULES = ["langid", "low_alnum", "repetition", "too_short"]
+
+_Q_RULE_ABLATION_ORACLE = f"""
+WITH f AS ({_Q_FLAGSHIP_ORACLE}),
+t AS (SELECT count(*) AS n_total FROM documents),
+rules AS (SELECT unnest({_ABLATION_RULES!r}) AS reason),
+fl AS (SELECT unnest(str_split(reasons, ',')) AS reason
+       FROM f WHERE reasons != ''),
+agg AS (SELECT reason, count(*) AS n_flagged FROM fl GROUP BY reason),
+sole AS (SELECT reasons AS reason, count(*) AS n_sole
+         FROM f WHERE reasons != '' AND NOT contains(reasons, ',')
+         GROUP BY reasons)
+SELECT r.reason,
+       CAST(coalesce(a.n_flagged, 0) AS BIGINT) AS n_flagged,
+       CAST(coalesce(s.n_sole, 0) AS BIGINT) AS n_sole,
+       CAST((1000000 * coalesce(s.n_sole, 0)) // t.n_total AS BIGINT)
+         AS sole_ppm
+FROM rules r
+LEFT JOIN agg a ON a.reason = r.reason
+LEFT JOIN sole s ON s.reason = r.reason, t
+"""
+
+
+@register(
+    "rule_ablation_report",
+    _Q_RULE_ABLATION_ORACLE,
+    "per-rule ablation marginals: flagged count, sole-reason count (rows recovered if the rule were deleted), integer-ppm recovery",
+)
+def rule_ablation_report(spark, sf_dir):
+    q = quality_filter_documents(spark, sf_dir).localCheckpoint(eager=False)
+    tot = q.agg(F.count(F.lit(1)).alias("n_total"))
+    # every rule appears, zero-fire included — the report is the full
+    # decision surface, not just the rules that happened to fire
+    rules = spark.createDataFrame(
+        [(r,) for r in _ABLATION_RULES], "reason string"
+    )
+    flagged = (
+        q.select(F.explode(F.split("reasons", ",")).alias("reason"))
+        .filter(F.col("reason") != "")
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    sole = (
+        q.filter((F.col("reasons") != "") & (~F.col("reasons").contains(",")))
+        .groupBy(F.col("reasons").alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n_sole"))
+    )
+    return (
+        rules.join(F.broadcast(flagged), "reason", "left")
+        .join(F.broadcast(sole), "reason", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "reason",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce(F.col("n_sole"), F.lit(0)).cast("long").alias("n_sole"),
+            F.expr("1000000 * coalesce(n_sole, 0) div n_total")
+            .cast("long")
+            .alias("sole_ppm"),
+        )
+    )

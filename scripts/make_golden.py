@@ -44,11 +44,26 @@ def _write(corpus, out) -> None:
     print(f"wrote {len(kept)} kept rows -> {out}")
 
 
+def _write_reasons(corpus, out) -> None:
+    """ALL-rows (commit, reasons) golden for the corpus rule-ablation
+    oracle — reasons comma-joined in RULE_ORDER, '' when kept. Same
+    independent pandas oracle as the kept-rows golden."""
+    labels = reference_labels(corpus)
+    reasons = labels[["commit"]].copy()
+    reasons["reasons"] = [",".join(r) for r in labels["drop_reasons"]]
+    pq.write_table(pa.Table.from_pandas(reasons, preserve_index=False), out)
+    print(f"wrote {len(reasons)} reason rows -> {out}")
+
+
 def main() -> None:
     _write(generate_pandas(2000, seed=42), OUT)
     # the drifted crawl window (rows [400, 2400)): the crawl-delta oracle
     # joins its fresh survivors against this window's reference labels
     _write(generate_pandas(2000, seed=42, start=400), OUT_W400)
+    _write_reasons(
+        generate_pandas(2000, seed=42),
+        OUT.replace("corpus_golden_2000", "corpus_reasons_2000"),
+    )
 
 
 if __name__ == "__main__":
