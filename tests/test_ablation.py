@@ -1,0 +1,52 @@
+"""Rule-ablation marginals: internal invariants plus an independent
+pandas recomputation from the reasons golden (corpus variant) and from
+the flagship frame (documents variant)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def test_rule_ablation_report_invariants(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from curator_spark.operators.text_analysis import (
+        quality_filter_documents,
+        rule_ablation_report,
+    )
+
+    rows = {r.reason: r for r in rule_ablation_report(spark, sf_dir).collect()}
+    assert set(rows) == {"langid", "low_alnum", "repetition", "too_short"}
+    q = quality_filter_documents(spark, sf_dir).toPandas()
+    n_total = len(q)
+    for reason, r in rows.items():
+        assert 0 <= r.n_sole <= r.n_flagged
+        assert r.sole_ppm == 1_000_000 * r.n_sole // n_total
+        want_flagged = int(
+            q.reasons.str.split(",").apply(lambda xs: reason in xs).sum()
+        )
+        assert r.n_flagged == want_flagged
+        assert r.n_sole == int((q.reasons == reason).sum())
+
+
+def test_corpus_rule_ablation_matches_golden(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    from curator_spark.functions.rules import RULE_ORDER
+    from curator_spark.operators.corpus_pipeline import (
+        _REASONS_GOLDEN,
+        corpus_rule_ablation,
+    )
+
+    rows = {r.rule: r for r in corpus_rule_ablation(spark, sf_dir).collect()}
+    assert set(rows) == set(RULE_ORDER)
+    g = pd.read_parquet(_REASONS_GOLDEN)
+    n_total = len(g)
+    lists = g.reasons.apply(lambda s: s.split(",") if s else [])
+    for rule in RULE_ORDER:
+        r = rows[rule]
+        assert 0 <= r.n_sole <= r.n_flagged
+        assert r.n_flagged == int(lists.apply(lambda xs: rule in xs).sum())
+        assert r.n_sole == int((g.reasons == rule).sum())
+        assert r.sole_ppm == 1_000_000 * r.n_sole // n_total
+    # at least three rules must carry nonzero sole-reason signal on the
+    # fixture corpus, or the report is vacuous
+    assert sum(1 for r in rows.values() if r.n_sole > 0) >= 3
