@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
         "the losing repo's every file goes)",
     )
     p.add_argument(
+        "--compact-output", action="store_true",
+        help="after the run, consolidate the final stage's committed "
+        "batch files into few large parquet files (atomic snapshot; "
+        "batch dirs stay the resume truth) — the small-files fix for "
+        "downstream consumers",
+    )
+    p.add_argument(
         "--clone-dedup", action="store_true",
         help="drop cross-repo near-duplicate files (capped MinHash LSH + "
         "exact Jaccard confirm) as a resumable global stage",
@@ -321,6 +328,9 @@ def main(argv: list[str] | None = None) -> int:
         pseudonymize=args.pseudonymize, entropy_redact=args.entropy_scrub,
     )
     r1, r2 = run.run(spark, corpus)
+    compact_stats = {}
+    if args.compact_output:
+        compact_stats = {"compaction": run.scrub_stage.compact(spark)}
     out = run.output(spark)
     n_out = out.count()
     if args.output:
@@ -375,6 +385,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows_per_sec_filter": round(proj["rows_per_sec"], 1),
                 "output": args.output,
                 **tokenizer_stats,
+                **compact_stats,
             }
         )
     )

@@ -360,7 +360,73 @@ class ResumableStage:
         return self.catalog.read_path(spark, d) if self.catalog.path_exists(d) else None
 
     # -- derived views ---------------------------------------------------------
+    # -- compaction -----------------------------------------------------------
+    # The small-files problem: at 10^12 files a stage commits thousands of
+    # batches × shuffle-partition files each — every DOWNSTREAM consumer
+    # then pays the per-file open/footer cost on millions of tiny parquet
+    # files (the problem Iceberg's rewrite_data_files exists for; reference
+    # analog: curator consolidates per-request responses into one dataset
+    # at base_request_processor.py:452-489). compact() rewrites the
+    # committed output as ONE consolidated snapshot whose name encodes the
+    # covered batch set; output() serves the snapshot only while that set
+    # matches the live committed set, so a retry batch committed AFTER
+    # compaction safely invalidates it (fallback to batch read — never a
+    # stale view). The snapshot publish is a single atomic rename into a
+    # never-existing name: a kill anywhere leaves the batch dirs (still
+    # the durable truth — committed_batches()/resume are untouched) and at
+    # worst an unpublished tmp. Space reclamation of superseded batch dirs
+    # is the catalog's retention job (Iceberg: expire_snapshots), not the
+    # stage's.
+    def _compacted_dir(self, committed: list[int]) -> str:
+        token = config_fingerprint("compact", {"batches": committed})
+        return os.path.join(self.stage_dir, f"compacted-{token}")
+
+    def compact(self, spark: SparkSession, target_files: int | None = None) -> dict:
+        """Consolidate the committed batch output into ``target_files``
+        parquet files (default: sized from committed bytes at
+        ``batch_target_bytes`` per file). Idempotent; returns
+        {files_before, files_after, rows}."""
+        committed = self.committed_batches()
+        if not committed:
+            return {"files_before": 0, "files_after": 0, "rows": 0}
+        dest = self._compacted_dir(committed)
+        df = self.catalog.read_batches(spark, self.stage_dir)
+        files = df.inputFiles()
+        if self.catalog.path_exists(dest):
+            return {
+                "files_before": len(files),
+                "files_after": len(
+                    self.catalog.read_path(spark, dest).inputFiles()
+                ),
+                "rows": -1,  # already compacted; no recount
+            }
+        if target_files is None:
+            try:
+                total = sum(
+                    os.path.getsize(u[len("file:") :] if u.startswith("file:") else u)
+                    for u in files
+                )
+                target_files = max(1, -(-total // self.batch_target_bytes))
+            except OSError:
+                target_files = 1
+        # drop superseded snapshots (their batch set no longer matches)
+        for d in self.catalog.list_dir(self.stage_dir):
+            if d.startswith("compacted-"):
+                self.catalog.remove(os.path.join(self.stage_dir, d))
+        tmp = dest + ".tmp"
+        self.catalog.write_staged(df.coalesce(target_files), tmp)
+        self._commit_dir(tmp, dest)
+        out = self.catalog.read_path(spark, dest)
+        return {
+            "files_before": len(files),
+            "files_after": len(out.inputFiles()),
+            "rows": out.count(),
+        }
+
     def output(self, spark: SparkSession) -> DataFrame:
+        comp = self._compacted_dir(self.committed_batches())
+        if self.catalog.path_exists(os.path.join(comp, "_SUCCESS")):
+            return self.catalog.read_path(spark, comp)
         return self.catalog.read_batches(spark, self.stage_dir)
 
     def output_with_origin(self, spark: SparkSession) -> DataFrame:

@@ -1,0 +1,126 @@
+"""ResumableStage.compact(): the small-files consolidation snapshot —
+output identity, resume untouched, stale-snapshot invalidation when a
+later batch commits, idempotence, and kill-safety of the publish."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from curator_spark.engine.checkpoint import ResumableStage
+
+
+def _keyset(df):
+    return {tuple(r) for r in df.select("id", "v").collect()}
+
+
+def _mkstage(tmp_path, name="cpt"):
+    return ResumableStage(name, ["id"], str(tmp_path / "w"), n_batches=6)
+
+
+def _run(spark, stage, n=500):
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") * 3).cast("long").alias("v")
+    )
+    stage.run(spark, df, lambda d: d)
+    return df
+
+
+def test_compact_preserves_output_and_shrinks_files(spark, tmp_path):
+    stage = _mkstage(tmp_path)
+    _run(spark, stage)
+    before = _keyset(stage.output(spark))
+    files_before = len(stage.output(spark).inputFiles())
+    stats = stage.compact(spark)
+    assert stats["files_before"] == files_before
+    assert 0 < stats["files_after"] < files_before
+    assert stats["rows"] == 500
+    # output() now serves the snapshot, bit-identical row set
+    out = stage.output(spark)
+    assert len(out.inputFiles()) == stats["files_after"]
+    assert _keyset(out) == before
+
+
+def test_compact_is_idempotent_and_resume_untouched(spark, tmp_path):
+    stage = _mkstage(tmp_path)
+    df = _run(spark, stage)
+    committed = stage.committed_batches()
+    stage.compact(spark)
+    again = stage.compact(spark)
+    assert again["rows"] == -1  # no rewrite
+    # committed set (the resume truth) is untouched by compaction
+    stage2 = _mkstage(tmp_path)
+    assert stage2.committed_batches() == committed
+    r = stage2.run(spark, df, lambda d: d)
+    assert r.batches_run == [] and sorted(r.batches_skipped) == committed
+
+
+def test_new_batch_invalidates_snapshot(spark, tmp_path):
+    stage = _mkstage(tmp_path)
+    _run(spark, stage)
+    stage.compact(spark)
+    # a retry batch commits AFTER compaction: batch ids >= n_batches
+    extra = spark.range(1000, 1010).select(
+        F.col("id"), (F.col("id") * 3).cast("long").alias("v")
+    )
+    stage.commit_retry_batch(spark, extra, attempt=0)
+    out = stage.output(spark)
+    # snapshot no longer matches the committed set -> batch-read fallback
+    # includes the new rows
+    assert (1000, 3000) in _keyset(out)
+    assert out.count() == 510
+    # re-compacting covers the extended set and supersedes the old snapshot
+    stats = stage.compact(spark)
+    assert stats["rows"] == 510
+    comps = [
+        d for d in os.listdir(stage.stage_dir) if d.startswith("compacted-")
+    ]
+    assert len(comps) == 1
+    assert stage.output(spark).count() == 510
+
+
+def test_unpublished_tmp_is_harmless(spark, tmp_path):
+    """A kill between staging and publish leaves only a .tmp dir — the
+    batch dirs stay the durable truth and output() ignores the tmp."""
+    stage = _mkstage(tmp_path)
+    _run(spark, stage)
+    committed = stage.committed_batches()
+    dest = stage._compacted_dir(committed)
+    stage.catalog.write_staged(stage.output(spark).coalesce(1), dest + ".tmp")
+    # (no publish — simulated kill)
+    out = stage.output(spark)
+    assert out.count() == 500
+    assert all("compacted" not in f for f in out.inputFiles())
+
+
+def test_cli_compact_output(spark, corpus_df, tmp_path, capsys):
+    import json
+
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    rc = main(
+        [
+            "--input", inp,
+            "--work-dir", str(tmp_path / "run"),
+            "--output", str(tmp_path / "out"),
+            "--compact-output",
+            "--n-batches", "4",
+        ]
+    )
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    c = stats["compaction"]
+    assert 0 < c["files_after"] < c["files_before"]
+    assert c["rows"] == stats["kept_rows"]
+    # the exported output equals the kept rows (read through the snapshot)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == stats["kept_rows"]
+    # a resumed re-run skips everything and keeps serving the snapshot
+    rc = main(["--input", inp, "--work-dir", str(tmp_path / "run"), "--n-batches", "4"])
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    stats2 = json.loads(line)
+    assert stats2["filter_batches_run"] == []
+    assert stats2["kept_rows"] == stats["kept_rows"]
