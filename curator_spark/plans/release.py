@@ -762,6 +762,12 @@ class ReleaseRun:
         """The released corpus (content scrubbed, split assigned)."""
         return self.finalize_stage.output(spark)
 
+    def compact(self, spark) -> dict:
+        """Consolidate the RELEASED corpus (the finalize stage's committed
+        batches — what training jobs read) into few large parquet files;
+        see ResumableStage.compact for the snapshot/invalidation rules."""
+        return self.finalize_stage.compact(spark)
+
     def manifest(self, spark, corpus: DataFrame) -> dict:
         """build_release's manifest, derived from the COMMITTED stage
         tables (cheap scans of materialized parquet, no recomputation)."""

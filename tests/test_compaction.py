@@ -124,3 +124,21 @@ def test_cli_compact_output(spark, corpus_df, tmp_path, capsys):
     stats2 = json.loads(line)
     assert stats2["filter_batches_run"] == []
     assert stats2["kept_rows"] == stats["kept_rows"]
+
+
+def test_release_run_compact(spark, corpus_df, tmp_path):
+    from curator_spark.plans.release import ReleaseRun
+
+    run = ReleaseRun(str(tmp_path / "w"), rates_ppm={}, n_batches=3)
+    run.run(spark, corpus_df)
+    before = {
+        tuple(r)
+        for r in run.output(spark).select("repo", "path", "commit", "split").collect()
+    }
+    stats = run.compact(spark)
+    assert 0 < stats["files_after"] < stats["files_before"]
+    after = {
+        tuple(r)
+        for r in run.output(spark).select("repo", "path", "commit", "split").collect()
+    }
+    assert after == before
