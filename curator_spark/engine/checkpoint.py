@@ -429,6 +429,36 @@ class ResumableStage:
             return self.catalog.read_path(spark, comp)
         return self.catalog.read_batches(spark, self.stage_dir)
 
+
+def gc_stale_stage_dirs(work_dir: str, live_stages: list["ResumableStage"]) -> list[str]:
+    """Remove SUPERSEDED stage dirs from a run's work_dir: every config
+    change forks a new ``<name>-<fingerprint>`` dir (by design — the old
+    committed output must not be silently reused), so long-lived work
+    dirs accumulate orphans. A dir is removed ONLY when its name prefix
+    matches a live stage's name but its fingerprint does not — dirs of
+    stages this run doesn't own (a co-located run, `_lineage`, input
+    shards of live stages) are never touched. Returns the removed paths.
+    Call AFTER a successful run: gc never runs implicitly, because a
+    stale dir is also the rollback target for a config revert."""
+    catalog = live_stages[0].catalog if live_stages else ParquetDirCatalog(work_dir)
+    live = {(s.name, os.path.basename(s.stage_dir)) for s in live_stages}
+    names = {s.name for s in live_stages}
+    removed = []
+    for d in catalog.list_dir(work_dir):
+        # stage dirs are "<name>-<16-hex-fingerprint>"
+        base, sep, fp = d.rpartition("-")
+        if (
+            not sep
+            or base not in names
+            or len(fp) != 16
+            or any(c not in "0123456789abcdef" for c in fp)
+        ):
+            continue
+        if (base, d) not in live:
+            catalog.remove(os.path.join(work_dir, d))
+            removed.append(d)
+    return sorted(removed)
+
     def output_with_origin(self, spark: SparkSession) -> DataFrame:
         """output() plus ``__origin_batch``: which commit (base shard or
         retry attempt — retries are batch ids >= n_batches) produced each

@@ -768,6 +768,17 @@ class ReleaseRun:
         see ResumableStage.compact for the snapshot/invalidation rules."""
         return self.finalize_stage.compact(spark)
 
+    def gc(self) -> list[str]:
+        """Remove stage dirs SUPERSEDED by config changes (each change
+        forks a new fingerprinted dir; old ones otherwise accumulate
+        forever). Only dirs whose name matches one of THIS run's stages
+        but whose fingerprint differs are removed — call after a
+        successful run (a stale dir is also the rollback target for a
+        config revert, so gc never runs implicitly)."""
+        from ..engine.checkpoint import gc_stale_stage_dirs
+
+        return gc_stale_stage_dirs(self.work_dir, self.stages)
+
     def manifest(self, spark, corpus: DataFrame) -> dict:
         """build_release's manifest, derived from the COMMITTED stage
         tables (cheap scans of materialized parquet, no recomputation)."""

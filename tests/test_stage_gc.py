@@ -1,0 +1,43 @@
+"""gc_stale_stage_dirs: superseded-stage-dir cleanup after config
+changes — removes exactly the orphaned fingerprints, never live stages,
+foreign dirs, lineage, or input shards."""
+
+from __future__ import annotations
+
+import os
+
+from curator_spark.plans.release import ReleaseRun
+
+
+def test_release_gc_removes_only_superseded_dirs(spark, corpus_df, tmp_path):
+    work = str(tmp_path / "w")
+    run1 = ReleaseRun(work, rates_ppm={}, n_batches=2)
+    run1.run(spark, corpus_df)
+    dirs_before = set(os.listdir(work))
+    old_finalize = os.path.basename(run1.finalize_stage.stage_dir)
+
+    # config change: finalize's fingerprint forks a new dir
+    run2 = ReleaseRun(work, rates_ppm={"python": 500_000}, n_batches=2)
+    run2.run(spark, corpus_df)
+    assert os.path.basename(run2.finalize_stage.stage_dir) != old_finalize
+    assert old_finalize in set(os.listdir(work))
+
+    removed = run2.gc()
+    assert removed == [old_finalize]
+    after = set(os.listdir(work))
+    # every live stage dir and the lineage table survive
+    for s in run2.stages:
+        assert os.path.basename(s.stage_dir) in after
+    assert "_lineage" in after
+    # foreign dirs are never touched
+    foreign = os.path.join(work, "rel-finalize-notahexfingerprnt")
+    os.makedirs(foreign)
+    alien = os.path.join(work, "someone-elses-stage-0123456789abcdef")
+    os.makedirs(alien)
+    assert run2.gc() == []
+    assert os.path.isdir(foreign) and os.path.isdir(alien)
+    # the run still resumes cleanly after gc (pure metadata probe)
+    ran = run2.run(spark, corpus_df)
+    assert all(v == [] for v in ran.values())
+    # idempotent
+    assert run2.gc() == []
