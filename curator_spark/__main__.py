@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
         "downstream consumers",
     )
     p.add_argument(
+        "--gc", action="store_true",
+        help="after the run, remove stage dirs superseded by config "
+        "changes (orphaned fingerprints of this run's own stages only)",
+    )
+    p.add_argument(
         "--clone-dedup", action="store_true",
         help="drop cross-repo near-duplicate files (capped MinHash LSH + "
         "exact Jaccard confirm) as a resumable global stage",
@@ -331,6 +336,8 @@ def main(argv: list[str] | None = None) -> int:
     compact_stats = {}
     if args.compact_output:
         compact_stats = {"compaction": run.scrub_stage.compact(spark)}
+    if args.gc:
+        compact_stats["gc_removed"] = run.gc()
     out = run.output(spark)
     n_out = out.count()
     if args.output:

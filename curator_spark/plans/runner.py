@@ -305,3 +305,20 @@ class QualityFilterRun:
 
     def output(self, spark: SparkSession) -> DataFrame:
         return self.scrub_stage.output(spark)
+
+    def gc(self) -> list[str]:
+        """Remove stage dirs superseded by config changes — see
+        engine.checkpoint.gc_stale_stage_dirs (explicit-only, never
+        touches live stages or foreign dirs)."""
+        from ..engine.checkpoint import gc_stale_stage_dirs
+
+        stages = [
+            s
+            for s in (
+                self.dedup_stage, self.clone_stage, self.linededup_stage,
+                self.embed_stage, self.semdedup_stage,
+                self.filter_stage, self.scrub_stage,
+            )
+            if s is not None
+        ]
+        return gc_stale_stage_dirs(self.work_dir, stages)

@@ -41,3 +41,26 @@ def test_release_gc_removes_only_superseded_dirs(spark, corpus_df, tmp_path):
     assert all(v == [] for v in ran.values())
     # idempotent
     assert run2.gc() == []
+
+
+def test_cli_gc_after_config_change(spark, corpus_df, tmp_path, capsys):
+    import json
+
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    work = str(tmp_path / "run")
+    assert main(["--input", inp, "--work-dir", work, "--n-batches", "2"]) == 0
+    n_dirs = len(os.listdir(work))
+    # threshold change forks the filter stage's fingerprint
+    rc = main(
+        ["--input", inp, "--work-dir", work, "--n-batches", "2",
+         "--min-chars", "5", "--gc"]
+    )
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    removed = json.loads(line)["gc_removed"]
+    assert len(removed) >= 1 and all(r.startswith("qf-") or "-" in r for r in removed)
+    # no accumulation: dir count back at (or below) the single-config level
+    assert len(os.listdir(work)) <= n_dirs
