@@ -429,6 +429,32 @@ class ResumableStage:
             return self.catalog.read_path(spark, comp)
         return self.catalog.read_batches(spark, self.stage_dir)
 
+    def output_with_origin(self, spark: SparkSession) -> DataFrame:
+        """output() plus ``__origin_batch``: which commit (base shard or
+        retry attempt — retries are batch ids >= n_batches) produced each
+        row. Lets callers order superseding attempts without a schema
+        change in the committed files (the ordinal IS the partition dir)."""
+        df = self.catalog.read_batches(spark, self.stage_dir, with_origin=True)
+        return df.withColumnRenamed("batch", "__origin_batch")
+
+    def failed_rows(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Input rows with no committed output — curator's
+        failed_requests.jsonl as a left-anti join."""
+        out_keys = self.output(spark).select(*self.key_cols)
+        return df.join(out_keys, on=self.key_cols, how="left_anti")
+
+    def assert_complete(self, spark: SparkSession, df: DataFrame) -> None:
+        """curator's ``require_all_responses`` strictness
+        (reference: request_processor/config.py:30, enforcement
+        base_request_processor.py:503-507): raise if any input row has no
+        committed output. Only meaningful for 1:1 stages (filters drop
+        rows by design — don't use it there)."""
+        n = self.failed_rows(spark, df).count()
+        if n:
+            raise RuntimeError(
+                f"stage {self.name}: {n} input rows have no committed output"
+            )
+
 
 def gc_stale_stage_dirs(work_dir: str, live_stages: list["ResumableStage"]) -> list[str]:
     """Remove SUPERSEDED stage dirs from a run's work_dir: every config
@@ -458,29 +484,3 @@ def gc_stale_stage_dirs(work_dir: str, live_stages: list["ResumableStage"]) -> l
             catalog.remove(os.path.join(work_dir, d))
             removed.append(d)
     return sorted(removed)
-
-    def output_with_origin(self, spark: SparkSession) -> DataFrame:
-        """output() plus ``__origin_batch``: which commit (base shard or
-        retry attempt — retries are batch ids >= n_batches) produced each
-        row. Lets callers order superseding attempts without a schema
-        change in the committed files (the ordinal IS the partition dir)."""
-        df = self.catalog.read_batches(spark, self.stage_dir, with_origin=True)
-        return df.withColumnRenamed("batch", "__origin_batch")
-
-    def failed_rows(self, spark: SparkSession, df: DataFrame) -> DataFrame:
-        """Input rows with no committed output — curator's
-        failed_requests.jsonl as a left-anti join."""
-        out_keys = self.output(spark).select(*self.key_cols)
-        return df.join(out_keys, on=self.key_cols, how="left_anti")
-
-    def assert_complete(self, spark: SparkSession, df: DataFrame) -> None:
-        """curator's ``require_all_responses`` strictness
-        (reference: request_processor/config.py:30, enforcement
-        base_request_processor.py:503-507): raise if any input row has no
-        committed output. Only meaningful for 1:1 stages (filters drop
-        rows by design — don't use it there)."""
-        n = self.failed_rows(spark, df).count()
-        if n:
-            raise RuntimeError(
-                f"stage {self.name}: {n} input rows have no committed output"
-            )
