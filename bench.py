@@ -113,6 +113,11 @@ BENCH_QUERIES = [
     "fork_incremental",
     "fork_near_pairs",
     "corpus_rule_ablation",
+    "split_leakage_report",
+    "dataset_split_clustered",
+    "soft_dedup_weights",
+    "distinct_estimate_report",
+    "repo_quality_report",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

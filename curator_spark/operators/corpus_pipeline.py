@@ -198,3 +198,106 @@ def corpus_rule_ablation(spark, sf_dir):
             .alias("sole_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repo_quality_report: REPO-level quality filtering — the two-level policy
+# web pipelines apply at domain granularity (drop a whole domain when most
+# of its pages fail row rules) transplanted to code at repo granularity:
+# a repo whose files mostly fail the row-level rules is probably generated
+# output, a crawler artifact, or a dump — drop ALL of it, including the
+# few files that individually pass. Policy: repos with >= REPO_MIN_FILES
+# files and a row-rule keep rate below REPO_MIN_KEEP_BP basis points are
+# dropped; smaller repos are exempt (too little evidence to condemn).
+#
+# Scale shape (10^12 files): ONE annotate pass (already needed by the
+# pipeline) -> hash-aggregate on repo (map-side combined; the monorepo hot
+# key arrives at the reducer as partial counts) -> the decision table is
+# repos-sized and broadcasts back for the actual filter. The report below
+# IS that decision table plus its row-impact accounting.
+#
+# Oracle: re-aggregates the ALL-ROWS reasons golden joined to the raw
+# corpus on the commit row key (same provenance as corpus_rule_ablation).
+# ---------------------------------------------------------------------------
+REPO_MIN_FILES = 5
+REPO_MIN_KEEP_BP = 5000
+
+_RAW_GOLDEN = _GOLDEN.replace("corpus_golden_2000", "corpus_raw_2000")
+
+_Q_REPO_QUALITY_ORACLE = f"""
+WITH per AS (
+  SELECT r.repo,
+         count(*) AS n_files,
+         sum(CASE WHEN g.reasons = '' THEN 1 ELSE 0 END) AS n_keep
+  FROM read_parquet('{_RAW_GOLDEN}') r
+  JOIN read_parquet('{_REASONS_GOLDEN}') g USING (commit)
+  GROUP BY r.repo
+)
+SELECT repo,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_keep AS BIGINT) AS n_keep,
+       CAST(n_keep * 10000 // n_files AS BIGINT) AS keep_bp,
+       (n_files < {REPO_MIN_FILES}
+        OR n_keep * 10000 // n_files >= {REPO_MIN_KEEP_BP}) AS repo_kept,
+       CAST(CASE WHEN n_files < {REPO_MIN_FILES}
+                 OR n_keep * 10000 // n_files >= {REPO_MIN_KEEP_BP}
+            THEN n_keep ELSE 0 END AS BIGINT) AS n_survivors
+FROM per
+"""
+
+
+@register(
+    "repo_quality_report",
+    _Q_REPO_QUALITY_ORACLE,
+    "repo-level quality filter: drop whole repos whose row-rule keep rate is below threshold",
+)
+def repo_quality_report(spark, sf_dir):
+    from ..plans.quality_pipeline import annotate
+    from .repo_ops import _corpus
+
+    # _corpus: the SAME (2000, seed=42, partitions=8) frame, materialized
+    # once per session — ten repo/NB queries share it, so the gate pays
+    # the python-side text synthesis once instead of per query
+    ann = annotate(_corpus(spark)).select(
+        "repo", F.col("keep").cast("long").alias("k")
+    )
+    per = ann.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("k").cast("long").alias("n_keep"),
+    )
+    kept = F.expr(
+        f"n_files < {REPO_MIN_FILES}"
+        f" OR n_keep * 10000 div n_files >= {REPO_MIN_KEEP_BP}"
+    )
+    return per.select(
+        "repo",
+        "n_files",
+        "n_keep",
+        F.expr("n_keep * 10000 div n_files").cast("long").alias("keep_bp"),
+        kept.alias("repo_kept"),
+        F.when(kept, F.col("n_keep")).otherwise(F.lit(0)).cast("long").alias("n_survivors"),
+    )
+
+
+def repo_quality_release_filter(df, min_files: int = REPO_MIN_FILES,
+                                min_keep_bp: int = REPO_MIN_KEEP_BP):
+    """The repo_quality_report policy applied to an ANNOTATED frame (needs
+    ``repo`` + boolean ``keep``): remove EVERY row of a condemned repo —
+    including its individually-passing files, which is the policy's point
+    (a repo that is mostly generated dumps poisons its survivors too).
+
+    Runs on the annotate output rather than raw content so the expensive
+    rule/model pass happens exactly once; the vote itself is one
+    map-side-combined hash-aggregate on repo plus a left-anti join against
+    the condemned set (dropped repos ≪ repos ≪ corpus — small enough that
+    AQE broadcasts it; not hinted, so a pathological corpus where most
+    repos fail still plans as a shuffled anti-join instead of an OOM)."""
+    per = df.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+    )
+    condemned = per.filter(
+        (F.col("n_files") >= min_files)
+        & (F.expr("n_keep * 10000 div n_files") < min_keep_bp)
+    ).select("repo")
+    return df.join(condemned, "repo", "left_anti")

@@ -1,0 +1,331 @@
+"""Split-hygiene QA + dedup-aware sampling + cardinality sketches.
+
+The final quality gate a training-data release needs AFTER dedup and split
+assignment have both run: do near-duplicate documents straddle the
+train/val/test boundary (benchmark leakage through the split, the failure
+The Stack / CodeParrot lineage guards against by deduplicating BEFORE
+splitting), and if so, how do you assign splits so they can't? Plus two
+companion tools for the same release step: soft dedup (keep every near-dup
+cluster at weight 1/cluster_size instead of hard-dropping — the
+RedPajama-v2-style reweighting alternative to dedup_fuzzy_keep) and a KMV
+(k-minimum-values) distinct sketch — the bounded-memory cardinality
+estimate a 10^12-row corpus uses where exact count(distinct) would shuffle
+every digest.
+
+Reference anchor: the reference's dedup-then-split discipline lives in its
+dataset fingerprint/cache keying (reference:
+src/bespokelabs/curator/llm/llm.py:240-268 fingerprints the dataset before
+any split consumer sees it); the reference has no split-leakage audit —
+these are Spark-native release-QA extensions in the spirit of its
+metrics/tracker surfaces.
+
+Scale shapes (10^12 docs):
+
+* ``split_leakage_report`` — reuses dedup_clusters' pointer-jumping CC
+  (cluster table ≪ corpus: only docs appearing in near-dup pairs), then
+  ONE hash-aggregate per cluster and a second tiny aggregate on the
+  split-signature key (≤ 7 distinct signatures). The split itself is a
+  pure per-row md5 expression — no join against the corpus at all.
+* ``dataset_split_clustered`` — the fix: hash the CLUSTER id, not the doc
+  id, so every member of a near-dup cluster lands in the same split by
+  construction. One left join corpus × cluster-membership (AQE picks
+  broadcast when the membership table is small; at high dup rates it is a
+  plain shuffled equi-join — both correct), then the same per-(lang,
+  split) rollup as ``dataset_split``.
+* ``soft_dedup_weights`` — weight_ppm = 1e6/cluster_size as a per-row
+  expression; survival is an md5 ppm window DISJOINT from both the split
+  slice (chars 9-16) and the mixture slice (chars 1-8) — chars 17-24 —
+  so soft dedup composes independently with split + downsample. One
+  groupBy on the (tiny-cardinality) cluster_size key.
+* ``distinct_estimate_report`` — KMV sketch: the k smallest 32-bit hash
+  values per language. Spark's WindowGroupLimit pushes the rn <= k filter
+  into a per-partition top-k (the ``topk_per_group`` plan shape), so no
+  language's full distinct-hash set is ever materialized on one task. The
+  exact count(distinct) column is the gate-scale truth the estimate is
+  audited against; at 10^12 rows you'd ship the sketch column alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .dedup import _MINHASH_PAIR_CTES, dedup_clusters
+from .registry import load, register
+from ..functions.hashing import md5_bucket
+
+# ---------------------------------------------------------------------------
+# Shared SQL: cluster assignment (the _Q_CLUSTERS_ORACLE recursive core)
+# and the hash split over an arbitrary key expression. The split window is
+# md5 hex chars 9-16 — identical to sampling._SPLIT_DUCK / dataset_split,
+# so the leakage this module reports is the leakage THAT split produces.
+# ---------------------------------------------------------------------------
+_ASSIGN_CTES = f"""{_MINHASH_PAIR_CTES},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.band = b.band
+           AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+assign AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u)"""
+
+
+def _split_duck(key_expr: str) -> str:
+    return f"""CASE
+  WHEN ('0x' || substr(md5({key_expr}), 9, 8))::BIGINT % 100 < 80 THEN 'train'
+  WHEN ('0x' || substr(md5({key_expr}), 9, 8))::BIGINT % 100 < 90 THEN 'val'
+  ELSE 'test' END"""
+
+
+def _split_spark(key_col):
+    b = md5_bucket(key_col.cast("string"), 100, start=9)
+    return (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise(F.lit("test"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_report: which near-dup clusters straddle a split boundary
+# under the doc-id hash split, grouped by the cluster's split signature
+# ('train', 'train+val', 'test+train+val', ...). A signature containing
+# '+' is leakage: a near-duplicate of a training doc sits in val or test.
+# ---------------------------------------------------------------------------
+_Q_LEAKAGE_ORACLE = f"""
+WITH RECURSIVE {_ASSIGN_CTES},
+spl AS (
+  SELECT cluster_id, {_split_duck("cast(doc_id AS VARCHAR)")} AS split
+  FROM assign
+),
+csig AS (
+  SELECT cluster_id,
+         array_to_string(list_sort(list(DISTINCT split)), '+') AS splits,
+         count(*) AS n_members
+  FROM spl GROUP BY cluster_id
+)
+SELECT splits,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_members) AS BIGINT) AS n_docs,
+       contains(splits, '+') AS leaking
+FROM csig GROUP BY splits
+"""
+
+
+@register(
+    "split_leakage_report",
+    _Q_LEAKAGE_ORACLE,
+    "near-dup clusters straddling train/val/test under the doc-id hash split, by split signature",
+)
+def split_leakage_report(spark, sf_dir):
+    clusters = dedup_clusters(spark, sf_dir)
+    per = clusters.select(
+        "cluster_id", _split_spark(F.col("doc_id")).alias("split")
+    )
+    sig = per.groupBy("cluster_id").agg(
+        F.array_join(F.array_sort(F.collect_set("split")), "+").alias("splits"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return sig.groupBy("splits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs"),
+        F.max(F.col("splits").contains("+")).alias("leaking"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset_split_clustered: the leakage-proof split. Hash key = the doc's
+# near-dup cluster id (its component's min doc_id), own doc_id for
+# singletons — every member of a cluster shares a key, hence a split.
+# Same 80/10/10 thresholds + per-language fraction audit as dataset_split.
+# ---------------------------------------------------------------------------
+_Q_SPLIT_CLUSTERED_ORACLE = f"""
+WITH RECURSIVE {_ASSIGN_CTES},
+keyed AS (
+  SELECT d.lang,
+         cast(coalesce(a.cluster_id, d.doc_id) AS VARCHAR) AS k
+  FROM documents d LEFT JOIN assign a ON d.doc_id = a.doc_id
+),
+assigned AS (SELECT lang, {_split_duck("k")} AS split FROM keyed),
+per AS (
+  SELECT lang, split, count(*) AS n_docs FROM assigned GROUP BY lang, split
+),
+tot AS (SELECT lang, count(*) AS n_lang FROM assigned GROUP BY lang)
+SELECT p.lang, p.split, p.n_docs,
+       cast(p.n_docs * 10000 // t.n_lang AS BIGINT) AS frac_bp
+FROM per p JOIN tot t ON p.lang = t.lang
+"""
+
+
+@register(
+    "dataset_split_clustered",
+    _Q_SPLIT_CLUSTERED_ORACLE,
+    "leakage-proof split: hash the near-dup cluster id, not the doc id (members share a split)",
+)
+def dataset_split_clustered(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    membership = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    # plain equi-join, NOT a forced broadcast: membership is only docs in
+    # near-dup pairs (usually ≪ corpus, AQE broadcasts it), but a 40%-dup
+    # web crawl would make it corpus-scale and a forced broadcast would OOM
+    keyed = d.join(membership, "doc_id", "left").select(
+        "lang", F.coalesce("cluster_id", "doc_id").alias("k")
+    )
+    assigned = keyed.select("lang", _split_spark(F.col("k")).alias("split"))
+    per = assigned.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .withColumn("frac_bp", F.expr("n_docs * 10000 div n_lang"))
+        .select("lang", "split", "n_docs", "frac_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# soft_dedup_weights: dedup as REWEIGHTING — every doc survives an
+# independent md5-ppm coin with p = floor(1e6/cluster_size)/1e6, so each
+# near-dup cluster contributes ~1 expected survivor while singletons pass
+# untouched. The report is the per-cluster-size census: docs, clusters,
+# realized survivors (expected ≈ n_clusters). ppm window start=17 —
+# disjoint from the split (9-16) and mixture (1-8) md5 slices.
+# ---------------------------------------------------------------------------
+_SOFT_PPM_DUCK = "('0x' || substr(md5(cast(doc_id AS VARCHAR)), 17, 8))::BIGINT % 1000000"
+
+_Q_SOFT_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_ASSIGN_CTES},
+full_t AS (
+  SELECT d.doc_id,
+         coalesce(a.cluster_id, d.doc_id) AS cluster_id,
+         CASE WHEN a.doc_id IS NULL THEN 1
+              ELSE count(*) OVER (PARTITION BY a.cluster_id) END AS cluster_size
+  FROM documents d LEFT JOIN assign a ON d.doc_id = a.doc_id
+),
+flagged AS (
+  SELECT cluster_id, cluster_size,
+         CASE WHEN {_SOFT_PPM_DUCK} < 1000000 // cluster_size
+              THEN 1 ELSE 0 END AS kept
+  FROM full_t
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM flagged GROUP BY cluster_size
+"""
+
+
+@register(
+    "soft_dedup_weights",
+    _Q_SOFT_DEDUP_ORACLE,
+    "soft dedup: keep each doc with p=1/cluster_size (md5 ppm) — per-size survivor census",
+)
+def soft_dedup_weights(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    full = d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    ppm = md5_bucket(F.col("doc_id").cast("string"), 1_000_000, start=17)
+    kept = (ppm < F.expr("1000000 div cluster_size")).cast("long")
+    return full.select("cluster_id", "cluster_size", kept.alias("kept")).groupBy(
+        "cluster_size"
+    ).agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_estimate_report: KMV cardinality sketch vs exact truth, per
+# language. h = first 8 md5 hex chars of the content digest as a uniform
+# 32-bit value; the sketch keeps the k=64 smallest DISTINCT h per lang and
+# estimates |distinct| = (k-1) * 2^32 / h_k (the classic KMV estimator).
+# If a language has fewer than k distinct values the sketch IS exact.
+# All arithmetic is integer (div), so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+_Q_KMV_ORACLE = f"""
+WITH dist AS (
+  SELECT DISTINCT lang, md5(text) AS dg,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+  FROM documents
+),
+exact AS (SELECT lang, count(DISTINCT dg) AS n_exact FROM dist GROUP BY lang),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM (SELECT DISTINCT lang, h FROM dist) t
+),
+sk AS (
+  SELECT lang, max(h) AS h_k, count(*) AS k_eff
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY lang
+)
+SELECT e.lang,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(s.k_eff AS BIGINT) AS k_eff,
+       CAST(CASE WHEN s.k_eff < {_KMV_K} THEN e.n_exact
+            ELSE ({_KMV_K} - 1) * 4294967296 // greatest(s.h_k, 1) END AS BIGINT)
+         AS n_estimate,
+       CAST(abs((CASE WHEN s.k_eff < {_KMV_K} THEN e.n_exact
+                 ELSE ({_KMV_K} - 1) * 4294967296 // greatest(s.h_k, 1) END)
+                - e.n_exact) * 1000 // greatest(e.n_exact, 1) AS BIGINT)
+         AS err_pml
+FROM exact e JOIN sk s ON e.lang = s.lang
+"""
+
+
+@register(
+    "distinct_estimate_report",
+    _Q_KMV_ORACLE,
+    "KMV (k-minimum-values) distinct-count sketch vs exact truth per language",
+)
+def distinct_estimate_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    dist = d.select(
+        "lang",
+        F.md5("text").alias("dg"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    ).distinct()
+    exact = dist.groupBy("lang").agg(F.countDistinct("dg").alias("n_exact"))
+    ranked = (
+        dist.select("lang", "h")
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("lang").orderBy("h"))
+        )
+        # WindowGroupLimit pushes this into a per-partition top-k: the
+        # sketch never sorts a language's full distinct-hash set on one task
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    sk = ranked.groupBy("lang").agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_eff")
+    )
+    est = F.expr(
+        f"CASE WHEN k_eff < {_KMV_K} THEN n_exact"
+        f" ELSE ({_KMV_K} - 1) * 4294967296 div greatest(h_k, 1) END"
+    )
+    return (
+        exact.join(sk, "lang")
+        .withColumn("n_estimate", est.cast("long"))
+        .select(
+            "lang",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("k_eff").cast("long").alias("k_eff"),
+            "n_estimate",
+            F.expr("abs(n_estimate - n_exact) * 1000 div greatest(n_exact, 1)")
+            .cast("long")
+            .alias("err_pml"),
+        )
+    )

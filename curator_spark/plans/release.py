@@ -188,6 +188,7 @@ def build_release(
     semantic_decontaminate: bool = False,
     decontam_policy: str = "drop",
     fork_dedup: bool = False,
+    repo_quality: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the full release chain; return (released DataFrame with a
     ``split`` column, manifest dict with per-stage row accounting and the
@@ -255,7 +256,21 @@ def build_release(
     annotated = annotate(s3, cfg, scorer_loader=scorer_loader).localCheckpoint(
         eager=False
     )
+    # datacard describes the ANNOTATED corpus (pre repo-vote, matching
+    # ReleaseRun.manifest, which builds it from the annotate stage output)
     card = build_datacard(annotated)
+    nrq = n3s
+    if repo_quality:
+        # repo-granularity vote over the row-rule keep column: condemn
+        # repos that are mostly rejects and drop ALL their rows (the
+        # domain-level filter at repo granularity; rule thresholds in
+        # operators/corpus_pipeline.py — same policy as repo_quality_report)
+        from ..operators.corpus_pipeline import repo_quality_release_filter
+
+        annotated = repo_quality_release_filter(annotated).localCheckpoint(
+            eager=False
+        )
+        nrq = annotated.count()
     kept = annotated.filter("keep").select(
         *KEY_COLS,
         "lang",
@@ -273,7 +288,7 @@ def build_release(
         "removed_clone_dup": n1 - n2,
         "removed_semantic_dup": n2l - n2s,
         "removed_decontaminated": n2s - n3,
-        "removed_quality_filter": n3s - n4,
+        "removed_quality_filter": nrq - n4,
         "removed_mixture_downsample": n4 - n5,
         "released_files": n5,
         "datacard": card,
@@ -293,6 +308,9 @@ def build_release(
     if fork_dedup:
         # only fork-dedup runs carry the key (same dict-equality rule)
         manifest["removed_fork_dedup"] = n0 - n0f
+    if repo_quality:
+        # only repo-quality runs carry the key (same dict-equality rule)
+        manifest["removed_repo_quality"] = n3s - nrq
     return released, manifest
 
 
@@ -334,6 +352,11 @@ class ReleaseRun:
         -> annotate (n_batches, 1:1 map — full rule/model/scrub
            annotation of every surviving row, keep column included;
            the datacard reads this committed table)
+        -> repoquality (global, only when repo_quality=True: the
+           repo-granularity keep-rate vote over the committed keep
+           column — repos that are mostly rejects lose ALL their rows,
+           passing files included; global because the vote must see
+           every file of a repo, the license stage's rationale)
         -> finalize (n_batches — keep-filter + mixture downsample +
            split assignment, all per-row expressions)
 
@@ -362,6 +385,7 @@ class ReleaseRun:
         license_filter: bool = False,
         opt_out: bool = False,
         fork_dedup: bool = False,
+        repo_quality: bool = False,
         train_tokenizer: int | None = None,
         pack_sequences: int | None = None,
         pack_seq_len: int = 128,
@@ -543,6 +567,26 @@ class ReleaseRun:
             },
             n_batches=n_batches, catalog=self.catalog,
         )
+        # optional repo-granularity quality vote AFTER annotate (it reads
+        # the committed keep column, so the rule/model pass runs exactly
+        # once) and BEFORE finalize; global (n_batches=1) because the
+        # keep-rate vote must see every file of a repo — the license
+        # stage's rationale
+        if repo_quality:
+            from ..operators.corpus_pipeline import (
+                REPO_MIN_FILES,
+                REPO_MIN_KEEP_BP,
+            )
+
+            self.repoquality_stage = ResumableStage(
+                "rel-repoquality", KEY_COLS, work_dir,
+                config={"method": "repo-keeprate-vote",
+                        "min_files": REPO_MIN_FILES,
+                        "min_keep_bp": REPO_MIN_KEEP_BP},
+                n_batches=1, catalog=self.catalog,
+            )
+        else:
+            self.repoquality_stage = None
         self.finalize_stage = ResumableStage(
             "rel-finalize", KEY_COLS, work_dir,
             config={"rates_ppm": self.rates_ppm, "split": "md5[9:16]%100/80/90"},
@@ -558,7 +602,8 @@ class ReleaseRun:
                 self.linededup_stage,
                 self.embed_stage, self.semdedup_stage,
                 self.decontam_stage, self.semdecontam_stage,
-                self.annotate_stage, self.finalize_stage,
+                self.annotate_stage, self.repoquality_stage,
+                self.finalize_stage,
             )
             if s is not None
         ]
@@ -721,9 +766,20 @@ class ReleaseRun:
             fail_after_batches=fail_after_batches,
         )
         ran["annotate"] = r.batches_run
+        cur = self.annotate_stage.output(spark)
+
+        if self.repoquality_stage is not None:
+            from ..operators.corpus_pipeline import repo_quality_release_filter
+
+            r = self.repoquality_stage.run(
+                spark, cur, repo_quality_release_filter,
+                fail_after_batches=fail_after_batches,
+            )
+            ran["repoquality"] = r.batches_run
+            cur = self.repoquality_stage.output(spark)
 
         r = self.finalize_stage.run(
-            spark, self.annotate_stage.output(spark), self._finalize_transform,
+            spark, cur, self._finalize_transform,
             fail_after_batches=fail_after_batches,
         )
         ran["finalize"] = r.batches_run
@@ -821,7 +877,13 @@ class ReleaseRun:
             else n3
         )
         annotated = self.annotate_stage.output(spark)
-        n4 = annotated.filter("keep").count()
+        post_vote = (
+            self.repoquality_stage.output(spark)
+            if self.repoquality_stage is not None
+            else annotated
+        )
+        nrq = post_vote.count() if self.repoquality_stage is not None else n3s
+        n4 = post_vote.filter("keep").count()
         n5 = self.output(spark).count()
         out = {
             "input_files": n0,
@@ -829,7 +891,7 @@ class ReleaseRun:
             "removed_clone_dup": n1 - n2,
             "removed_semantic_dup": n2l - n2s,
             "removed_decontaminated": n2s - n3,
-            "removed_quality_filter": n3s - n4,
+            "removed_quality_filter": nrq - n4,
             "removed_mixture_downsample": n4 - n5,
             "released_files": n5,
             "datacard": build_datacard(annotated),
@@ -853,6 +915,9 @@ class ReleaseRun:
         if self.fork_stage is not None:
             # only fork-dedup runs carry the key (same dict-equality rule)
             out["removed_fork_dedup"] = nl - nfk
+        if self.repoquality_stage is not None:
+            # only repo-quality runs carry the key (same dict-equality rule)
+            out["removed_repo_quality"] = n3s - nrq
         if self.tokenizer_run is not None:
             # the release artifact itself (tiny by construction); only
             # tokenizer runs carry the key (same dict-equality rule)

@@ -1,0 +1,129 @@
+"""ReleaseRun's optional repo-quality stage (repo-granularity keep-rate
+vote over the annotate output, before finalize): single-session parity
+with build_release, the vote actually condemning repos on the seed
+corpus, kill/resume convergence, and plain-manifest dict-equality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.operators.corpus_pipeline import (
+    REPO_MIN_FILES,
+    REPO_MIN_KEEP_BP,
+    repo_quality_release_filter,
+)
+from curator_spark.plans.release import ReleaseRun, build_release
+from curator_spark.sources.corpus import generate_spark
+
+ROWS = 400
+RATES = {"python": 600_000}
+
+
+def _corpus(spark, tmp_path):
+    p = str(tmp_path / "rq_corpus.parquet")
+    generate_spark(spark, ROWS, seed=42, partitions=4).write.mode(
+        "overwrite"
+    ).parquet(p)
+    return spark.read.parquet(p)
+
+
+def _released_set(df):
+    return {
+        tuple(r)
+        for r in df.select(
+            "repo", "path", "commit", "scrubbed_sha256", "split"
+        ).collect()
+    }
+
+
+def test_repo_quality_filter_semantics(spark):
+    """The vote drops exactly the rows of condemned repos — including
+    their individually-passing files — and nothing else. Uses the full
+    2000-row seed corpus (the 400-row slice has no repo with >= 5 files
+    below the keep-rate bar)."""
+    from curator_spark.operators.repo_ops import _corpus as corpus_2000
+    from curator_spark.plans.quality_pipeline import annotate
+
+    ann = annotate(corpus_2000(spark)).localCheckpoint(eager=False)
+    out = repo_quality_release_filter(ann)
+    per = (
+        ann.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .collect()
+    )
+    condemned = {
+        r["repo"]
+        for r in per
+        if r["n_files"] >= REPO_MIN_FILES
+        and r["n_keep"] * 10000 // r["n_files"] < REPO_MIN_KEEP_BP
+    }
+    assert condemned, "seed corpus must exercise the vote"
+    survivors = {r["repo"] for r in out.select("repo").distinct().collect()}
+    assert survivors.isdisjoint(condemned)
+    # row-exact: every non-condemned row survives untouched
+    exp = ann.filter(~F.col("repo").isin(list(condemned))).count()
+    assert out.count() == exp
+    # the policy's point: at least one condemned repo had passing files
+    assert any(
+        r["n_keep"] > 0 for r in per if r["repo"] in condemned
+    )
+
+
+def _planted_bad_repo(spark):
+    """Six distinct near-zero-alnum blobs in one repo: every file fails the
+    row rules, so the repo's keep rate is 0 and the vote must condemn it."""
+    import pandas as pd
+
+    rows = [
+        {
+            "repo": "planted/badrepo",
+            "path": f"blob{i}.py",
+            "commit": f"plantedsha{i:04d}",
+            "lang": "python",
+            "content": ("~!@#$%^&*()_+ " * 40) + f"#{i}",
+        }
+        for i in range(6)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_repoquality_release_matches_single_session_and_resumes(spark, tmp_path):
+    corpus = _corpus(spark, tmp_path).unionByName(_planted_bad_repo(spark))
+
+    run = ReleaseRun(
+        str(tmp_path / "w"), rates_ppm=RATES, n_batches=3, repo_quality=True
+    )
+    ran = run.run(spark, corpus)
+    assert len(ran["repoquality"]) == 1  # global vote: one batch
+
+    released, manifest = build_release(corpus, rates_ppm=RATES, repo_quality=True)
+    assert _released_set(run.output(spark)) == _released_set(released)
+    m = run.manifest(spark, corpus)
+    m.pop("datacard"), manifest.pop("datacard")
+    assert m == manifest
+    assert m["removed_repo_quality"] > 0  # the vote fired
+
+    # kill-after-every-batch in a fresh work dir converges to the same set
+    run2 = ReleaseRun(
+        str(tmp_path / "w2"), rates_ppm=RATES, n_batches=3, repo_quality=True
+    )
+    for _ in range(60):
+        try:
+            run2.run(spark, corpus, fail_after_batches=1)
+            break
+        except StageInterrupted:
+            continue
+    else:
+        pytest.fail("kill/resume loop did not converge")
+    assert _released_set(run2.output(spark)) == _released_set(run.output(spark))
+
+    # plain manifests never carry the key, and the released set with the
+    # vote is a strict subset of the plain release's
+    plain_released, plain = build_release(corpus, rates_ppm=RATES)
+    assert "removed_repo_quality" not in plain
+    assert _released_set(released) <= _released_set(plain_released)
