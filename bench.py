@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "soft_dedup_weights",
     "distinct_estimate_report",
     "repo_quality_report",
+    "curriculum_stages",
+    "curriculum_head",
+    "shard_mixture_report",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -1,0 +1,202 @@
+"""Training-order operators: curriculum staging, the ordered prefix, and
+shard-mixture parity — the last mile between a released corpus and the
+sequence a trainer actually consumes.
+
+Reference anchor: curator materializes datasets in arrival order and
+leaves consumption order to the trainer (reference:
+src/bespokelabs/curator/blocks/raft.py writes blocks in block order);
+these are the Spark-native scheduling extensions a 10^12-file corpus
+needs: a deterministic curriculum (short/simple files first — the
+standard warm-up curriculum), and a guarantee that every output shard is
+mixture-representative so data-parallel workers don't see skewed slices.
+
+The md5 digest of doc_id is carved into FOUR disjoint 8-hex windows
+across this engine — mixture downsample reads chars 1-8, the train/val/
+test split reads 9-16, soft dedup reads 17-24, and SHARD ASSIGNMENT here
+reads 25-32 — so all four per-row decisions are mutually independent by
+construction.
+
+Scale shapes (10^12 docs):
+
+* ``curriculum_stages`` — stage is a pure per-row CASE over cheap metric
+  expressions; one map-side-combined groupBy on the tiny (stage, lang)
+  key. No sort: the report sizes the stages, the trainer's writer does
+  ``repartitionByRange(stage, order_key)`` on materialization.
+* ``curriculum_head`` — the first K docs of the global training order
+  (stage ASC, md5 order key ASC): rank <= K over an unpartitioned window
+  collapses to a TakeOrderedAndProject-class top-K (each partition keeps
+  K candidates, one final merge of num_partitions × K rows), never a
+  full global sort.
+* ``shard_mixture_report`` — two hash-aggregates (shard×lang, lang) and
+  a broadcast of the languages-sized share table; deviation is integer
+  ppm arithmetic, so the parity check itself is engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+from ..functions.hashing import md5_bucket
+
+# -- curriculum staging -------------------------------------------------------
+# stage 0: short files (warm-up on quick, low-context samples);
+# stage 1: high lexical diversity (distinct_word_ratio >= 0.5);
+# stage 2: everything else (long, repetitive — hardest to digest).
+# Thresholds sit at non-degenerate points of the corpus distribution
+# (n_chars p10/p50/p90 = 114/306/484; dwr = 0.32/0.46/0.75 at sf0.01).
+_STAGE_CHARS = 200
+_STAGE_DWR = 0.5  # compared on integer-quantized dwr*10000 (portable)
+
+_DWR_DUCK = """len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 10000 //
+    greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)"""
+
+_STAGE_DUCK = f"""CASE
+  WHEN length(text) < {_STAGE_CHARS} THEN 0
+  WHEN {_DWR_DUCK} >= {int(_STAGE_DWR * 10000)} THEN 1
+  ELSE 2 END"""
+
+
+def _stage_spark():
+    # integer-quantized distinct-word ratio: identical floor arithmetic
+    # on both engines, no float-boundary ties
+    dwr_q = F.expr(
+        "size(array_distinct(filter(split(text, '[ \\t\\n]+'), w -> w != ''))) * 10000"
+        " div greatest(size(filter(split(text, '[ \\t\\n]+'), w -> w != '')), 1)"
+    )
+    return (
+        F.when(F.length("text") < _STAGE_CHARS, 0)
+        .when(dwr_q >= int(_STAGE_DWR * 10000), 1)
+        .otherwise(2)
+    )
+
+
+_Q_STAGES_ORACLE = f"""
+SELECT {_STAGE_DUCK} AS stage, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text) // 4) AS BIGINT) AS n_tokens_len4
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "curriculum_stages",
+    _Q_STAGES_ORACLE,
+    "curriculum staging census: per (stage, lang) docs + token mass (short -> diverse -> rest)",
+)
+def curriculum_stages(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(_stage_spark().alias("stage"), "lang", F.length("text").alias("nc"))
+        .groupBy("stage", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("nc div 4")).cast("long").alias("n_tokens_len4"),
+        )
+    )
+
+
+# -- the ordered training prefix ----------------------------------------------
+_HEAD_K = 100
+
+_Q_HEAD_ORACLE = f"""
+WITH ordered AS (
+  SELECT doc_id, {_STAGE_DUCK} AS stage, lang,
+         md5(cast(doc_id AS VARCHAR)) AS ok,
+         row_number() OVER (ORDER BY {_STAGE_DUCK}, md5(cast(doc_id AS VARCHAR))) AS order_idx
+  FROM documents
+)
+SELECT CAST(order_idx AS BIGINT) AS order_idx, doc_id, CAST(stage AS INT) AS stage, lang
+FROM ordered WHERE order_idx <= {_HEAD_K}
+"""
+
+
+@register(
+    "curriculum_head",
+    _Q_HEAD_ORACLE,
+    f"first {_HEAD_K} docs of the deterministic curriculum order (stage, then md5 key)",
+)
+def curriculum_head(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        _stage_spark().alias("stage"),
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("ok"),
+    ).withColumn(
+        # unpartitioned rank <= K: Spark plans this as a per-partition
+        # top-K + single merge (WindowGroupLimit / TakeOrdered class),
+        # not a global sort of the corpus
+        "order_idx",
+        F.row_number().over(W.orderBy("stage", "ok")),
+    )
+    return ranked.filter(F.col("order_idx") <= _HEAD_K).select(
+        F.col("order_idx").cast("long").alias("order_idx"),
+        "doc_id",
+        F.col("stage").cast("int").alias("stage"),
+        "lang",
+    )
+
+
+# -- shard-mixture parity -----------------------------------------------------
+N_SHARDS = 16
+
+_SHARD_DUCK = "('0x' || substr(md5(cast(doc_id AS VARCHAR)), 25, 8))::BIGINT % " + str(
+    N_SHARDS
+)
+
+_Q_SHARD_ORACLE = f"""
+WITH assigned AS (SELECT {_SHARD_DUCK} AS shard, lang FROM documents),
+sl AS (SELECT shard, lang, count(*) AS n_sl FROM assigned GROUP BY shard, lang),
+s AS (SELECT shard, count(*) AS n_s FROM assigned GROUP BY shard),
+l AS (SELECT lang, count(*) AS n_l FROM assigned GROUP BY lang),
+t AS (SELECT count(*) AS n FROM assigned),
+dev AS (
+  SELECT sl.shard,
+         abs(sl.n_sl * 1000000 // s.n_s - l.n_l * 1000000 // t.n) AS d
+  FROM sl JOIN s USING (shard) JOIN l USING (lang), t
+)
+SELECT CAST(s.shard AS BIGINT) AS shard,
+       CAST(s.n_s AS BIGINT) AS n_docs,
+       CAST(max(dev.d) AS BIGINT) AS max_dev_ppm
+FROM s JOIN dev ON s.shard = dev.shard
+GROUP BY s.shard, s.n_s
+"""
+
+
+@register(
+    "shard_mixture_report",
+    _Q_SHARD_ORACLE,
+    f"shard-mixture parity: per-shard (of {N_SHARDS}) doc count + max per-language share deviation (ppm) vs the global mix",
+)
+def shard_mixture_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    assigned = d.select(
+        md5_bucket(F.col("doc_id").cast("string"), N_SHARDS, start=25).alias("shard"),
+        "lang",
+    )
+    sl = assigned.groupBy("shard", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    s = assigned.groupBy("shard").agg(F.count(F.lit(1)).alias("n_s"))
+    lng = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    t = assigned.agg(F.count(F.lit(1)).alias("n"))
+    dev = (
+        sl.join(F.broadcast(s), "shard")
+        .join(F.broadcast(lng), "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "shard",
+            F.expr("abs(n_sl * 1000000 div n_s - n_l * 1000000 div n)").alias("d"),
+        )
+    )
+    return (
+        s.join(dev, "shard")
+        .groupBy("shard", "n_s")
+        .agg(F.max("d").cast("long").alias("max_dev_ppm"))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_s").cast("long").alias("n_docs"),
+            "max_dev_ppm",
+        )
+    )

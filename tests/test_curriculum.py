@@ -1,0 +1,109 @@
+"""Curriculum/shard-parity family: semantics vs independent Python
+recomputation, plan shape of the ordered prefix, four-window digest
+independence. Engine-vs-DuckDB equality is the oracle gate's job."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from curator_spark.operators import QUERIES
+from curator_spark.operators.curriculum import (
+    _HEAD_K,
+    _STAGE_CHARS,
+    _STAGE_DWR,
+    N_SHARDS,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage_of(text: str) -> int:
+    if len(text) < _STAGE_CHARS:
+        return 0
+    words = [w for w in text.replace("\t", " ").replace("\n", " ").split(" ") if w]
+    dwr_q = len(set(words)) * 10000 // max(len(words), 1)
+    return 1 if dwr_q >= int(_STAGE_DWR * 10000) else 2
+
+
+def test_curriculum_stages_match_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    exp = (
+        docs.assign(stage=docs["text"].map(_stage_of), tok=docs["text"].str.len() // 4)
+        .groupby(["stage", "lang"])
+        .agg(n_docs=("doc_id", "size"), n_tokens_len4=("tok", "sum"))
+        .reset_index()
+        .sort_values(["stage", "lang"])
+        .reset_index(drop=True)
+    )
+    got = (
+        QUERIES["curriculum_stages"].fn(spark, SF)
+        .toPandas().sort_values(["stage", "lang"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert sorted(got["stage"].unique()) == [0, 1, 2]  # non-degenerate
+
+
+def test_curriculum_head_is_the_true_prefix(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    order = sorted(
+        (
+            _stage_of(r.text),
+            hashlib.md5(str(r.doc_id).encode()).hexdigest(),
+            r.doc_id,
+        )
+        for r in docs.itertuples()
+    )[:_HEAD_K]
+    got = (
+        QUERIES["curriculum_head"].fn(spark, SF)
+        .toPandas().sort_values("order_idx").reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [d for _, _, d in order]
+    assert list(got["order_idx"]) == list(range(1, _HEAD_K + 1))
+    assert list(got["stage"]) == [s for s, _, _ in order]
+
+
+def test_shard_report_matches_python_and_windows_are_disjoint(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def shard_of(doc_id) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[24:32], 16) % N_SHARDS
+
+    docs = docs.assign(shard=docs["doc_id"].map(shard_of))
+    n = len(docs)
+    lang_share = {
+        l: c * 1_000_000 // n for l, c in docs["lang"].value_counts().items()
+    }
+    exp_rows = []
+    for shard, g in docs.groupby("shard"):
+        n_s = len(g)
+        dev = max(
+            abs(cnt * 1_000_000 // n_s - lang_share[l])
+            for l, cnt in g["lang"].value_counts().items()
+        )
+        exp_rows.append({"shard": shard, "n_docs": n_s, "max_dev_ppm": dev})
+    exp = pd.DataFrame(exp_rows).sort_values("shard").reset_index(drop=True)
+    got = (
+        QUERIES["shard_mixture_report"].fn(spark, SF)
+        .toPandas().sort_values("shard").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # the four digest windows (mixture 1-8, split 9-16, soft-dedup 17-24,
+    # shard 25-32) tile the whole 32-hex md5 without overlap
+    windows = [(1, 8), (9, 16), (17, 24), (25, 32)]
+    covered = []
+    for a, b in windows:
+        assert b - a == 7
+        covered.extend(range(a, b + 1))
+    assert sorted(covered) == list(range(1, 33))
+
+
+def test_curriculum_head_plan_avoids_global_sort(spark):
+    """The rank <= K filter must push a TakeOrdered-class limit below the
+    unpartitioned window, so the single-partition WindowExec only ever
+    sees K rows — the difference between a report and a corpus sort."""
+    df = QUERIES["curriculum_head"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
