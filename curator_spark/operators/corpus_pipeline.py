@@ -203,8 +203,14 @@ def corpus_rule_ablation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # repo_quality_report: REPO-level quality filtering — the two-level policy
 # web pipelines apply at domain granularity (drop a whole domain when most
-# of its pages fail row rules) transplanted to code at repo granularity:
-# a repo whose files mostly fail the row-level rules is probably generated
+# of its pages fail row rules) transplanted to code at repo granularity.
+# Sibling of corpus_hygiene.repo_blocklist_filter (cheap-rule keep-rate,
+# Laplace 0.5 gate, row-level output): THIS vote is over the FULL nine-rule
+# pipeline keep (model rules included), adds a min-files evidence guard,
+# returns the per-repo decision table, and is the form wired into
+# build_release / ReleaseRun as the optional rel-repoquality stage.
+#
+# A repo whose files mostly fail the row-level rules is probably generated
 # output, a crawler artifact, or a dump — drop ALL of it, including the
 # few files that individually pass. Policy: repos with >= REPO_MIN_FILES
 # files and a row-rule keep rate below REPO_MIN_KEEP_BP basis points are
