@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "curriculum_stages",
     "curriculum_head",
     "shard_mixture_report",
+    "contrastive_pairs",
+    "ann_hard_negatives",
+    "contrastive_triplets",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

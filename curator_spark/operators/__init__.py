@@ -50,3 +50,4 @@ from . import code_functions  # noqa: F401,E402
 from . import graph_rank  # noqa: F401,E402
 from . import split_qa  # noqa: F401,E402
 from . import curriculum  # noqa: F401,E402
+from . import contrastive  # noqa: F401,E402

@@ -1,0 +1,235 @@
+"""Contrastive training-pair mining — the export step that turns a curated
+corpus into embedding-model training data (the SimCSE / E5 / GTE data
+recipe, and the retrieval side of code models: CodeSearchNet-style
+positives + in-batch hard negatives).
+
+Three oracle-verified exports:
+
+* ``contrastive_pairs`` — POSITIVE pairs from near-dup clusters: two
+  members of the same MinHash connected component are paraphrase-grade
+  positives (the "duplicate text = free positive pair" trick used by E5's
+  CCPairs and by LASER mining). Members per cluster are CAPPED before the
+  pair self-join, so a 10^8-member boilerplate cluster contributes
+  C·(C-1)/2 pairs, never a quadratic explosion.
+* ``ann_hard_negatives`` — per query vector, the top-k most-similar
+  vectors with a DIFFERENT label: hardest negatives (the metric-learning
+  miner of Schroff et al. 2015, FaceNet; public paper). Broadcast query
+  side, so the corpus side streams with zero shuffle.
+* ``contrastive_triplets`` — (anchor, hardest-positive, hardest-negative,
+  margin): the triplet-miner output. Per-anchor argmax is a map-side-
+  combining ``max(struct(...))`` aggregate, NOT a window — a window
+  partitioned by q_id would funnel the full corpus×queries score table
+  through n_queries tasks; the struct-max aggregates partially on every
+  map task and meets only n_queries tiny rows at the reducer.
+
+Scale shape (10^12 files): the cluster cap bounds the positive fan-out per
+component; both ANN exports broadcast the (small) query side and fold the
+dot product JVM-side (``aggregate(zip_with(...))`` — whole-stage codegen,
+no Python); cosine is ROUNDED before ranking with id tie-breaks so a
+sub-ULP summation difference can never flip an engine comparison
+(similarity.py's float-robustness contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .dedup import dedup_clusters
+from .registry import load, register
+from .similarity import _DOT, _DOT_DUCK, _NONZERO_SPARK
+from .split_qa import _ASSIGN_CTES
+
+PAIR_CAP = 10  # members per cluster entering the positive-pair self-join
+_N_Q = 5  # query vectors (vec_id < _N_Q), matching the ann_* family
+_K = 10  # hard negatives per query
+
+# ---------------------------------------------------------------------------
+# contrastive_pairs: capped in-cluster positive pairs.
+# ---------------------------------------------------------------------------
+_Q_PAIRS_ORACLE = f"""
+WITH RECURSIVE {_ASSIGN_CTES},
+mem AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+  FROM assign
+)
+SELECT a.cluster_id, a.doc_id AS anchor_id, b.doc_id AS positive_id
+FROM mem a JOIN mem b
+  ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+WHERE a.rn <= {PAIR_CAP} AND b.rn <= {PAIR_CAP}
+"""
+
+
+@register(
+    "contrastive_pairs",
+    _Q_PAIRS_ORACLE,
+    "positive training pairs from near-dup clusters (capped per-cluster self-join)",
+)
+def contrastive_pairs(spark, sf_dir, cap: int = PAIR_CAP):
+    labels = dedup_clusters(spark, sf_dir)
+    # rank <= cap plans as WindowGroupLimit: each map task pre-limits its
+    # slice of every cluster to the cap, so the giant-cluster partition
+    # never materializes (the topk_per_group plan shape).
+    rn = F.row_number().over(W.partitionBy("cluster_id").orderBy("doc_id"))
+    # localCheckpoint: the self-join below reads mem TWICE — without it each
+    # branch re-runs the window over the CC labels (the double-subtree trap
+    # the r4 verdict flagged on pooled_doc_vectors). The capped table is
+    # tiny (<= cap rows per cluster), so eager materialization is cheap.
+    mem = (
+        labels.select("doc_id", "cluster_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    a = mem.select(F.col("cluster_id"), F.col("doc_id").alias("anchor_id"))
+    b = mem.select(F.col("cluster_id"), F.col("doc_id").alias("positive_id"))
+    return a.join(b, "cluster_id").filter(F.col("anchor_id") < F.col("positive_id"))
+
+
+# ---------------------------------------------------------------------------
+# ann_hard_negatives: top-k most-similar DIFFERENT-label vectors per query.
+# ---------------------------------------------------------------------------
+_Q_HARDNEG_ORACLE = f"""
+WITH embnz AS (SELECT vec_id, label, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb FROM embnz WHERE vec_id < {_N_Q}),
+c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb FROM embnz),
+scored AS (
+  SELECT q_id, q_label, c_id, c_label AS neg_label,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cos_sim
+  FROM q JOIN c ON q_label != c_label
+),
+ranked AS (
+  SELECT q_id, q_label, c_id AS neg_id, neg_label, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, q_label, neg_id, neg_label, cos_sim, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+def _scored(spark, sf_dir):
+    """(q_id, q_label, c_id, c_label, cos_sim): every query x corpus cosine,
+    query side broadcast, cosine rounded at 6dp before any ranking."""
+    e = load(spark, sf_dir, "embeddings").filter(F.expr(_NONZERO_SPARK))
+    q = e.filter(F.col("vec_id") < _N_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="q_emb", b="c_emb"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb")))
+            * F.sqrt(F.expr(_DOT.format(a="c_emb", b="c_emb")))
+        ),
+        6,
+    )
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_label", "c_id", "c_label", cos.alias("cos_sim"))
+    )
+
+
+@register(
+    "ann_hard_negatives",
+    _Q_HARDNEG_ORACLE,
+    "top-k most-similar different-label vectors per query (hard-negative miner)",
+)
+def ann_hard_negatives(spark, sf_dir, k: int = _K):
+    s = _scored(spark, sf_dir).filter(F.col("q_label") != F.col("c_label"))
+    rank = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    )
+    return (
+        s.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("c_id").alias("neg_id"),
+            F.col("c_label").alias("neg_label"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets: hardest positive + hardest negative per anchor.
+# margin_e6 is exact-integer micro-cosine (both cosines are already rounded
+# at 6dp, so the difference times 1e6 is integral up to float ulps; the
+# final round snaps it) — no raw float difference crosses the oracle hash.
+# ---------------------------------------------------------------------------
+_Q_TRIPLET_ORACLE = f"""
+WITH embnz AS (SELECT vec_id, label, embedding FROM embeddings WHERE list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) > 0),
+q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb FROM embnz WHERE vec_id < {_N_Q}),
+c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb FROM embnz),
+scored AS (
+  SELECT q_id, q_label, c_id, c_label,
+         round({_DOT_DUCK.format(a='q_emb', b='c_emb')} /
+               (sqrt({_DOT_DUCK.format(a='q_emb', b='q_emb')}) *
+                sqrt({_DOT_DUCK.format(a='c_emb', b='c_emb')})), 6) AS cos_sim
+  FROM q JOIN c ON q_id != c_id
+),
+pos AS (
+  SELECT q_id, c_id AS pos_id, cos_sim AS pos_cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+  FROM scored WHERE q_label = c_label
+),
+neg AS (
+  SELECT q_id, c_id AS neg_id, cos_sim AS neg_cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+  FROM scored WHERE q_label != c_label
+)
+SELECT p.q_id, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+       cast(round((p.pos_cos - n.neg_cos) * 1e6) AS BIGINT) AS margin_e6
+FROM pos p JOIN neg n ON p.q_id = n.q_id
+WHERE p.rn = 1 AND n.rn = 1
+"""
+
+
+def _argmax(df, flag):
+    """Per-q_id argmax of cos_sim (lowest c_id on ties) over rows where
+    ``flag`` holds — as ONE map-side-combining aggregate, not a window.
+    max(struct) compares fields left-to-right: cos_sim first, then -c_id
+    (so ties resolve to the SMALLEST id), and the winning id rides along."""
+    best = F.max(
+        F.struct(
+            F.col("cos_sim"),
+            (-F.col("c_id")).alias("tie"),
+            F.col("c_id").alias("cid"),
+        )
+    ).alias("best")
+    return df.filter(flag).groupBy("q_id").agg(best)
+
+
+@register(
+    "contrastive_triplets",
+    _Q_TRIPLET_ORACLE,
+    "(anchor, hardest positive, hardest negative, margin) triplet miner",
+)
+def contrastive_triplets(spark, sf_dir):
+    s = _scored(spark, sf_dir)
+    pos = _argmax(s, F.col("q_label") == F.col("c_label")).select(
+        "q_id",
+        F.col("best.cid").alias("pos_id"),
+        F.col("best.cos_sim").alias("pos_cos"),
+    )
+    neg = _argmax(s, F.col("q_label") != F.col("c_label")).select(
+        "q_id",
+        F.col("best.cid").alias("neg_id"),
+        F.col("best.cos_sim").alias("neg_cos"),
+    )
+    margin = F.round((F.col("pos_cos") - F.col("neg_cos")) * 1e6).cast("bigint")
+    return pos.join(neg, "q_id").select(
+        "q_id", "pos_id", "neg_id", "pos_cos", "neg_cos", margin.alias("margin_e6")
+    )

@@ -1,0 +1,107 @@
+"""Contrastive-mining family: semantics vs independent Python/numpy
+recomputation. Engine-vs-DuckDB equality is the oracle gate's job; here we
+check the NEW logic (pair generation from cluster labels, argmax mining)
+against a second implementation that shares no code with the engine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from curator_spark.operators import QUERIES
+from curator_spark.operators.contrastive import _K, _N_Q, PAIR_CAP
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    # Spark F.round = HALF_UP (away from zero), not numpy's banker's round
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _cosine_table() -> pd.DataFrame:
+    """(q_id, q_label, c_id, c_label, cos_sim) for q_id < _N_Q, nonzero
+    norms, cosine HALF_UP-rounded at 6dp — the numpy mirror of _scored."""
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    nz = norms > 0
+    emb, mat, norms = emb[nz].reset_index(drop=True), mat[nz], norms[nz]
+    qmask = emb["vec_id"] < _N_Q
+    rows = []
+    for qi in np.flatnonzero(qmask.to_numpy()):
+        cos = _round6(mat @ mat[qi] / (norms * norms[qi]))
+        for ci in range(len(emb)):
+            if ci == qi:
+                continue
+            rows.append(
+                (
+                    emb["vec_id"][qi],
+                    emb["label"][qi],
+                    emb["vec_id"][ci],
+                    emb["label"][ci],
+                    cos[ci],
+                )
+            )
+    return pd.DataFrame(rows, columns=["q_id", "q_label", "c_id", "c_label", "cos"])
+
+
+def test_contrastive_pairs_match_python(spark):
+    labels = QUERIES["dedup_clusters"].fn(spark, SF).toPandas()
+    exp = set()
+    for cid, grp in labels.groupby("cluster_id"):
+        mem = sorted(grp["doc_id"])[:PAIR_CAP]
+        for i, a in enumerate(mem):
+            for b in mem[i + 1 :]:
+                exp.add((cid, a, b))
+    got = QUERIES["contrastive_pairs"].fn(spark, SF).toPandas()
+    assert set(map(tuple, got.to_numpy())) == exp
+    assert len(got) == len(exp)  # no duplicate pairs
+    assert (got["anchor_id"] < got["positive_id"]).all()
+
+
+def test_hard_negatives_match_numpy(spark):
+    tab = _cosine_table()
+    exp = []
+    for q_id, grp in tab[tab["q_label"] != tab["c_label"]].groupby("q_id"):
+        grp = grp.sort_values(["cos", "c_id"], ascending=[False, True]).head(_K)
+        for rank, r in enumerate(grp.itertuples(), start=1):
+            exp.append((q_id, r.c_id, rank))
+    got = QUERIES["ann_hard_negatives"].fn(spark, SF).toPandas()
+    assert (got["q_label"] != got["neg_label"]).all()
+    got_keys = set(zip(got["q_id"], got["neg_id"], got["rank"]))
+    assert got_keys == set(exp)
+
+
+def test_triplets_match_numpy(spark):
+    tab = _cosine_table()
+    got = (
+        QUERIES["contrastive_triplets"].fn(spark, SF)
+        .toPandas()
+        .set_index("q_id")
+        .sort_index()
+    )
+    assert len(got) == _N_Q
+    for q_id, grp in tab.groupby("q_id"):
+        pos = grp[grp["q_label"] == grp["c_label"]].sort_values(
+            ["cos", "c_id"], ascending=[False, True]
+        )
+        neg = grp[grp["q_label"] != grp["c_label"]].sort_values(
+            ["cos", "c_id"], ascending=[False, True]
+        )
+        row = got.loc[q_id]
+        assert row["pos_id"] == pos.iloc[0]["c_id"]
+        assert row["neg_id"] == neg.iloc[0]["c_id"]
+        assert row["margin_e6"] == round(
+            (pos.iloc[0]["cos"] - neg.iloc[0]["cos"]) * 1e6
+        )
+
+
+def test_triplet_margin_vs_hard_negatives(spark):
+    """The triplet's neg_cos must equal the rank-1 hard negative's cos."""
+    hn = QUERIES["ann_hard_negatives"].fn(spark, SF).toPandas()
+    tr = QUERIES["contrastive_triplets"].fn(spark, SF).toPandas()
+    top1 = hn[hn["rank"] == 1].set_index("q_id")
+    for r in tr.itertuples():
+        assert top1.loc[r.q_id, "neg_id"] == r.neg_id
+        assert top1.loc[r.q_id, "cos_sim"] == r.neg_cos
