@@ -51,3 +51,4 @@ from . import graph_rank  # noqa: F401,E402
 from . import split_qa  # noqa: F401,E402
 from . import curriculum  # noqa: F401,E402
 from . import contrastive  # noqa: F401,E402
+from . import scaling_plan  # noqa: F401,E402

@@ -1,0 +1,313 @@
+"""Data-constrained scaling planner + mergeable quantile sketch — the
+budgeting layer that decides HOW MANY TIMES each mixture component is
+repeated before the trainer sees it, and the bounded-memory distribution
+summary that sizing decisions read at corpus scale.
+
+Published basis: Muennighoff et al. 2023 ("Scaling Data-Constrained
+Language Models") showed repeated epochs of the same data have rapidly
+diminishing returns — the value of epoch e decays roughly geometrically.
+This module institutionalizes that as a deterministic integer-arithmetic
+plan: epoch e of a component contributes ``raw_e * 8^(e-1) / 10^(e-1)``
+effective tokens (decay ratio 0.8 per repeat, exact integer div, so the
+Spark plan and the DuckDB oracle agree bit-for-bit).
+
+Reference anchor: curator has no notion of epochs — it materializes a
+dataset once and leaves repetition to the trainer (reference:
+src/bespokelabs/curator/blocks/raft.py writes each block exactly once).
+These are the Spark-native budgeting extensions a 10^12-token mixture
+needs before committing GPU-months to a schedule.
+
+Queries:
+
+* ``repetition_value_report`` — per (lang, epoch): raw tokens consumed by
+  that epoch under a uniform per-language target, its decayed effective
+  value, and the cumulative effective mass. The marginal-value surface a
+  budget planner reads off ("epoch 4 of Lisp buys 51.2% tokens-worth").
+* ``epoch_schedule`` — the rollup: per lang, unique token mass, the
+  uniform target, epochs needed (capped at MAX_EPOCHS), raw consumed,
+  effective tokens, and efficiency (effective/raw, per-mille). Uniform
+  mixture over languages is the classic upsampling scenario: low-resource
+  languages repeat most and pay the steepest effective-token discount.
+* ``quantile_sketch_report`` — mergeable decimal-digit-binned histogram
+  quantiles (p50/p90/p99 of doc char length per lang) with linear
+  interpolation inside the hit bin, audited against the exact rank-based
+  quantile. The companion of split_qa's KMV sketch: KMV answers "how many
+  distinct", this answers "how is it distributed", both in O(bins) state.
+
+Scale shapes (10^12 docs):
+
+* unique-token census: one DISTINCT on (lang, digest) — the same
+  hash-aggregate exact dedup already pays — then a map-side-combined sum
+  into a ~|langs|-row table. Everything downstream (epoch expansion,
+  targets, schedule) is arithmetic over |langs| × MAX_EPOCHS rows.
+* quantile sketch: one groupBy on the (lang, digit-bin) key — ≤ ~8 bins
+  per lang, mergeable across partitions/shards by construction (counts
+  add). The EXACT column is the gate-scale audit baseline (a per-lang
+  rank, one range-sort); at 10^12 rows you'd ship the sketch alone, the
+  same division of labor distinct_estimate_report documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+MAX_EPOCHS = 8
+# decay 0.8 per repeated epoch as the exact rational 8/10: epoch e is worth
+# raw_e * 8^(e-1) div 10^(e-1) — pure integer arithmetic on both engines.
+_BUDGET_MULT = 3  # global budget = 3 x total unique token mass
+
+
+# ---------------------------------------------------------------------------
+# Shared CTE: per-language unique token mass (exact-dedup'd), the uniform
+# per-language target, and the per-epoch raw/effective expansion.
+# 8^(e-1) and 10^(e-1) go through double pow() on both engines — exact for
+# exponents <= 7 (representable well under 2^53) — then bigint cast.
+# ---------------------------------------------------------------------------
+_EPOCH_DUCK = f"""
+uniq AS (
+  SELECT lang, md5(text) AS dg, max(length(text) // 4) AS tok
+  FROM documents GROUP BY lang, md5(text)
+),
+mass AS (SELECT lang, CAST(sum(tok) AS BIGINT) AS u FROM uniq GROUP BY lang),
+tot AS (
+  SELECT CAST(sum(u) * {_BUDGET_MULT} AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM mass
+),
+tgt AS (
+  SELECT m.lang, m.u, t.budget // t.n_langs AS target
+  FROM mass m, tot t
+),
+ep AS (
+  SELECT g.lang, g.u, g.target, e.epoch,
+         CAST(least(g.u, greatest(g.target - (e.epoch - 1) * g.u, 0)) AS BIGINT)
+           AS raw_e,
+         CAST(least(g.u, greatest(g.target - (e.epoch - 1) * g.u, 0))
+              * CAST(pow(8, e.epoch - 1) AS BIGINT)
+              // CAST(pow(10, e.epoch - 1) AS BIGINT) AS BIGINT) AS value_e
+  FROM tgt g,
+       (SELECT unnest(range(1, {MAX_EPOCHS} + 1)) AS epoch) e
+)
+"""
+
+_Q_REP_VALUE_ORACLE = f"""
+WITH {_EPOCH_DUCK}
+SELECT lang, CAST(epoch AS INT) AS epoch, raw_e AS raw_tokens,
+       value_e AS effective_tokens,
+       CAST(sum(value_e) OVER (PARTITION BY lang ORDER BY epoch) AS BIGINT)
+         AS cum_effective
+FROM ep WHERE raw_e > 0
+"""
+
+_Q_SCHEDULE_ORACLE = f"""
+WITH {_EPOCH_DUCK}
+SELECT lang,
+       CAST(max(u) AS BIGINT) AS unique_tokens,
+       CAST(max(target) AS BIGINT) AS target_tokens,
+       CAST(count(*) FILTER (WHERE raw_e > 0) AS BIGINT) AS epochs,
+       CAST(sum(raw_e) AS BIGINT) AS raw_consumed,
+       CAST(sum(value_e) AS BIGINT) AS effective_tokens,
+       CAST(sum(value_e) * 1000 // greatest(sum(raw_e), 1) AS BIGINT)
+         AS efficiency_pml
+FROM ep
+GROUP BY lang
+"""
+
+
+def _epoch_frame(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    uniq = d.groupBy("lang", F.md5("text").alias("dg")).agg(
+        F.max(F.expr("length(text) div 4")).alias("tok")
+    )
+    mass = uniq.groupBy("lang").agg(F.sum("tok").cast("long").alias("u"))
+    tot = mass.agg(
+        (F.sum("u") * _BUDGET_MULT).cast("long").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    tgt = mass.crossJoin(F.broadcast(tot)).select(
+        "lang", "u", F.expr("budget div n_langs").alias("target")
+    )
+    return (
+        tgt.crossJoin(
+            F.broadcast(
+                spark.range(1, MAX_EPOCHS + 1).select(
+                    F.col("id").cast("int").alias("epoch")
+                )
+            )
+        )
+        .withColumn(
+            "raw_e",
+            F.expr("least(u, greatest(target - (epoch - 1) * u, 0L))").cast("long"),
+        )
+        .withColumn(
+            "value_e",
+            F.expr(
+                "raw_e * cast(pow(8, epoch - 1) as bigint)"
+                " div cast(pow(10, epoch - 1) as bigint)"
+            ).cast("long"),
+        )
+    )
+
+
+@register(
+    "repetition_value_report",
+    _Q_REP_VALUE_ORACLE,
+    "data-constrained scaling: per (lang, epoch) raw vs decayed effective token value (0.8^e repeats)",
+)
+def repetition_value_report(spark, sf_dir):
+    ep = _epoch_frame(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy("epoch")
+    return (
+        ep.filter(F.col("raw_e") > 0)
+        .select(
+            "lang",
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("raw_e").alias("raw_tokens"),
+            F.col("value_e").alias("effective_tokens"),
+            F.sum("value_e").over(w).cast("long").alias("cum_effective"),
+        )
+    )
+
+
+@register(
+    "epoch_schedule",
+    _Q_SCHEDULE_ORACLE,
+    f"per-language epoch plan for a uniform {_BUDGET_MULT}x-mass budget: epochs (cap {MAX_EPOCHS}), raw vs effective tokens",
+)
+def epoch_schedule(spark, sf_dir):
+    ep = _epoch_frame(spark, sf_dir)
+    return ep.groupBy("lang").agg(
+        F.max("u").cast("long").alias("unique_tokens"),
+        F.max("target").cast("long").alias("target_tokens"),
+        F.count(F.when(F.col("raw_e") > 0, 1)).cast("long").alias("epochs"),
+        F.sum("raw_e").cast("long").alias("raw_consumed"),
+        F.sum("value_e").cast("long").alias("effective_tokens"),
+        F.expr("sum(value_e) * 1000 div greatest(sum(raw_e), 1)")
+        .cast("long")
+        .alias("efficiency_pml"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch_report: decimal-digit log-binned histogram quantiles.
+# bin d = number of decimal digits of n_chars; [lo, hi] = [10^(d-1), 10^d-1]
+# (d=1 -> [0, 9]). Estimate for rank rk inside the hit bin: linear
+# interpolation on rank over the bin's integer value range. Exact side:
+# the value at 1-based rank ceil(q*n/100) under (n_chars, doc_id) order —
+# doc_id tiebreak makes the order total, so both engines pick the same row.
+# ---------------------------------------------------------------------------
+_QS = (50, 90, 99)
+
+_Q_QSKETCH_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang, length(text) AS n FROM documents
+),
+b AS (
+  SELECT lang, length(CAST(n AS VARCHAR)) AS d, count(*) AS cnt
+  FROM m GROUP BY lang, length(CAST(n AS VARCHAR))
+),
+cb AS (
+  SELECT lang, d, cnt,
+         CAST(CASE WHEN d = 1 THEN 0 ELSE pow(10, d - 1) END AS BIGINT) AS lo,
+         CAST(pow(10, d) AS BIGINT) - 1 AS hi,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM b
+),
+nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows FROM m GROUP BY lang),
+rk AS (
+  SELECT nl.lang, nl.n_rows, q.q,
+         (q.q * nl.n_rows + 99) // 100 AS rnk
+  FROM nl, (SELECT unnest([{", ".join(str(q) for q in _QS)}]) AS q) q
+),
+est AS (
+  SELECT r.lang, r.q, r.n_rows, r.rnk,
+         CAST(c.lo + (c.hi - c.lo) * (r.rnk - c.cum_before - 1)
+              // greatest(c.cnt - 1, 1) AS BIGINT) AS est_val
+  FROM rk r JOIN cb c
+    ON r.lang = c.lang
+   AND r.rnk > c.cum_before AND r.rnk <= c.cum_before + c.cnt
+),
+ordered AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn
+  FROM m
+)
+SELECT e.lang, CAST(e.q AS INT) AS q, e.n_rows,
+       CAST(o.n AS BIGINT) AS exact_val, e.est_val,
+       CAST(abs(e.est_val - o.n) * 1000 // greatest(o.n, 1) AS BIGINT)
+         AS err_pml
+FROM est e JOIN ordered o ON e.lang = o.lang AND o.rn = e.rnk
+"""
+
+
+@register(
+    "quantile_sketch_report",
+    _Q_QSKETCH_ORACLE,
+    "mergeable digit-binned quantile sketch (p50/p90/p99 doc length per lang) vs exact rank quantile",
+)
+def quantile_sketch_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    m = d.select("doc_id", "lang", F.length("text").alias("n"))
+    b = m.groupBy("lang", F.length(F.col("n").cast("string")).alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cb = b.select(
+        "lang",
+        "d",
+        "cnt",
+        F.expr("CASE WHEN d = 1 THEN 0L ELSE cast(pow(10, d - 1) as bigint) END").alias(
+            "lo"
+        ),
+        (F.expr("cast(pow(10, d) as bigint)") - 1).alias("hi"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    nl = m.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    qs = nl.crossJoin(
+        F.broadcast(
+            load(spark, sf_dir, "documents")
+            .sparkSession.range(1)
+            .select(F.explode(F.array(*[F.lit(q) for q in _QS])).alias("q"))
+        )
+    ).select("lang", "n_rows", "q", F.expr("(q * n_rows + 99) div 100").alias("rnk"))
+    est = qs.join(
+        F.broadcast(cb),
+        (qs.lang == cb.lang)
+        & (qs.rnk > cb.cum_before)
+        & (qs.rnk <= cb.cum_before + cb.cnt),
+    ).select(
+        qs.lang,
+        "q",
+        "n_rows",
+        "rnk",
+        F.expr("cast(lo + (hi - lo) * (rnk - cum_before - 1)"
+               " div greatest(cnt - 1, 1) as bigint)").alias("est_val"),
+    )
+    ordered = m.withColumn(
+        "rn", F.row_number().over(W.partitionBy("lang").orderBy("n", "doc_id"))
+    )
+    return (
+        est.join(
+            ordered.select("lang", "n", "rn"),
+            (est.lang == ordered.lang) & (ordered.rn == est.rnk),
+        )
+        .select(
+            est.lang,
+            F.col("q").cast("int").alias("q"),
+            "n_rows",
+            F.col("n").cast("long").alias("exact_val"),
+            "est_val",
+            F.expr("abs(est_val - n) * 1000 div greatest(n, 1)")
+            .cast("long")
+            .alias("err_pml"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Data-constrained epoch planner + quantile sketch: semantics vs
+independent Python recomputation, non-degeneracy, and sketch error
+bounds. Engine-vs-DuckDB equality is the oracle gate's job."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from curator_spark.operators import QUERIES
+from curator_spark.operators.scaling_plan import MAX_EPOCHS, _BUDGET_MULT, _QS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mass(docs: pd.DataFrame) -> dict:
+    """Per-lang unique token mass, exact-dedup'd by content digest."""
+    seen = {}
+    for _, r in docs.iterrows():
+        dg = hashlib.md5(r["text"].encode()).hexdigest()
+        seen[(r["lang"], dg)] = len(r["text"]) // 4
+    out = {}
+    for (lang, _), tok in seen.items():
+        out[lang] = out.get(lang, 0) + tok
+    return out
+
+
+def _schedule(docs: pd.DataFrame) -> pd.DataFrame:
+    mass = _mass(docs)
+    budget = sum(mass.values()) * _BUDGET_MULT
+    target = budget // len(mass)
+    rows = []
+    for lang, u in mass.items():
+        raw = eff = epochs = 0
+        for e in range(1, MAX_EPOCHS + 1):
+            raw_e = min(u, max(target - (e - 1) * u, 0))
+            if raw_e > 0:
+                epochs += 1
+            raw += raw_e
+            eff += raw_e * 8 ** (e - 1) // 10 ** (e - 1)
+        rows.append(
+            dict(
+                lang=lang,
+                unique_tokens=u,
+                target_tokens=target,
+                epochs=epochs,
+                raw_consumed=raw,
+                effective_tokens=eff,
+                efficiency_pml=eff * 1000 // max(raw, 1),
+            )
+        )
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+def test_epoch_schedule_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    exp = _schedule(docs)
+    got = (
+        QUERIES["epoch_schedule"].fn(spark, SF)
+        .toPandas().sort_values("lang").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    # non-degenerate: the uniform target forces multi-epoch repetition of
+    # at least one low-resource language, and repetition costs efficiency
+    assert got["epochs"].max() >= 2
+    multi = got[got["epochs"] >= 2]
+    assert (multi["efficiency_pml"] < 1000).all()
+    single = got[(got["epochs"] == 1)]
+    assert (single["efficiency_pml"] == 1000).all()
+
+
+def test_repetition_value_report_consistency(spark):
+    rep = QUERIES["repetition_value_report"].fn(spark, SF).toPandas()
+    sched = QUERIES["epoch_schedule"].fn(spark, SF).toPandas()
+    # rollup consistency: per-lang sums of the per-epoch surface equal the
+    # schedule's aggregates; cum_effective's last value is the total
+    agg = rep.groupby("lang").agg(
+        raw=("raw_tokens", "sum"), eff=("effective_tokens", "sum"),
+        n_ep=("epoch", "size"), cum_max=("cum_effective", "max"),
+    )
+    for lang, r in agg.iterrows():
+        s = sched[sched["lang"] == lang].iloc[0]
+        assert r["raw"] == s["raw_consumed"]
+        assert r["eff"] == s["effective_tokens"] == r["cum_max"]
+        assert r["n_ep"] == s["epochs"]
+    # decay: effective value strictly dominated by raw after the 1st epoch
+    later = rep[rep["epoch"] >= 2]
+    assert (later["effective_tokens"] < later["raw_tokens"]).all()
+
+
+def test_quantile_sketch_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = QUERIES["quantile_sketch_report"].fn(spark, SF).toPandas()
+    assert len(got) == docs["lang"].nunique() * len(_QS)
+    for (lang, q), row in got.set_index(["lang", "q"]).iterrows():
+        ns = sorted(docs.loc[docs["lang"] == lang, "text"].str.len())
+        rnk = (q * len(ns) + 99) // 100
+        assert row["exact_val"] == ns[rnk - 1]
+        assert row["n_rows"] == len(ns)
+        # independent sketch replay: digit-bin histogram + interpolation
+        from collections import Counter
+
+        bins = Counter(len(str(n)) for n in ns)
+        cum = 0
+        for d in sorted(bins):
+            if rnk <= cum + bins[d]:
+                lo = 0 if d == 1 else 10 ** (d - 1)
+                hi = 10**d - 1
+                est = lo + (hi - lo) * (rnk - cum - 1) // max(bins[d] - 1, 1)
+                break
+            cum += bins[d]
+        assert row["est_val"] == est
+        assert row["err_pml"] == abs(est - row["exact_val"]) * 1000 // max(
+            row["exact_val"], 1
+        )
+
+
+def test_quantile_sketch_error_bounded(spark):
+    # digit bins are coarse (one decade wide) but the interpolated estimate
+    # should still land within one decade of truth everywhere
+    got = QUERIES["quantile_sketch_report"].fn(spark, SF).toPandas()
+    assert (got["err_pml"] <= 10_000).all()  # within 10x
+    # and typically much closer: median error under 100% of the exact value
+    assert got["err_pml"].median() <= 1000
