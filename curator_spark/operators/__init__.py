@@ -52,3 +52,4 @@ from . import split_qa  # noqa: F401,E402
 from . import curriculum  # noqa: F401,E402
 from . import contrastive  # noqa: F401,E402
 from . import scaling_plan  # noqa: F401,E402
+from . import encoding_hygiene  # noqa: F401,E402

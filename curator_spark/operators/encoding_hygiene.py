@@ -1,0 +1,182 @@
+"""Encoding hygiene: binary-ish / mojibake / non-ASCII detection — the
+byte-level sanity gate that runs BEFORE any text-quality rule can be
+trusted. The Stack / CodeParrot lineage drops files whose decoded content
+still carries control characters (a binary file that slipped the decoder)
+or U+FFFD replacement characters (mojibake: the upstream crawler decoded
+with the wrong charset); CCNet tracks the non-ASCII share per language.
+
+Reference anchor: curator trusts its providers to hand it clean UTF-8
+(reference: src/bespokelabs/curator/request_processor/generic_response.py
+deserializes provider JSON and never inspects bytes); a 10^12-file crawl
+cannot — these are the Spark-native pre-filters that protect everything
+downstream.
+
+Fixture note: every parquet fixture in this harness is pure ASCII by
+construction (probed: zero control / zero U+FFFD / zero non-ASCII chars),
+so a report over ``documents`` would be all-zeros — correct but
+evidencing nothing. Instead the family runs over a deterministic
+adversarial table that BOTH engines synthesize identically from
+``range(N)`` with planted defects (BEL runs, U+FFFD runs, CJK runs on
+arithmetic schedules), so every signal and every rule fires on a known
+subset and the value-hash oracle checks real discrimination, not zeros.
+
+Scale shapes (10^12 docs): every signal is one per-row expression
+(length-difference against a regexp_replace strip — no explode, no UDF,
+no shuffle); the report is a single map-side-combined groupBy on a
+(bool, bool, bool) key with 8 possible groups. On a real corpus you'd
+point the same expressions at the Iceberg content column; the generated
+table here is only the fixture-side stand-in.
+
+Cross-engine gotcha this module pins down: DuckDB ``regexp_replace``
+replaces the FIRST match unless passed the ``'g'`` flag; Spark's is
+global by default. Both engines interpret ``\\x``-escapes inside the
+pattern themselves (RE2 and java.util.regex), so the SQL string carries
+literal backslash-x sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+N_ROWS = 512
+_BEL = chr(7)
+_FFFD = chr(0xFFFD)
+_CJK = chr(0x4E2D)  # 中
+_NONASCII_KEEP_PPM = 250_000  # drop if > 25% non-ASCII code points
+
+# control chars except \t \n \r — the binary-file tell
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_NONASCII_RE = r"[^\x00-\x7f]"
+
+# ---------------------------------------------------------------------------
+# The adversarial table, synthesized identically on both engines:
+#   base:   1 + i%7 repeats of an ASCII code line (length 11 each)
+#   ctrl:   i%5 == 0 -> i%4 BEL chars            (~1/5 of rows, 0-3 chars)
+#   moji:   i%3 == 0 -> i%3 U+FFFD chars         (exactly when i%3 == 0 the
+#           count i%3 is 0 — shift by one: use (i div 3) % 3 so some fire)
+#   cjk:    i%2 == 0 -> i%6 CJK chars            (short docs can exceed 30%)
+# ---------------------------------------------------------------------------
+_GEN_DUCK = f"""
+gen AS (
+  SELECT i,
+         repeat('let x = 1;' || chr(10), 1 + i % 7)
+         || CASE WHEN i % 5 = 0 THEN repeat(chr(7), i % 4) ELSE '' END
+         || CASE WHEN i % 3 = 0 THEN repeat(chr(65533), (i // 3) % 3) ELSE '' END
+         || CASE WHEN i % 2 = 0 THEN repeat(chr(20013), i % 6) ELSE '' END
+           AS content
+  FROM (SELECT unnest(range(0, {N_ROWS})) AS i)
+)
+"""
+
+_SIG_DUCK = f"""
+sig AS (
+  SELECT i,
+         length(content) AS n_chars,
+         length(content) - length(regexp_replace(content, '{_CTRL_RE}', '', 'g'))
+           AS n_ctrl,
+         length(content) - length(replace(content, chr(65533), '')) AS n_repl,
+         (length(content) - length(regexp_replace(content, '{_NONASCII_RE}', '', 'g')))
+           * 1000000 // greatest(length(content), 1) AS nonascii_ppm
+  FROM gen
+),
+flagged AS (
+  SELECT i, n_chars, n_ctrl, n_repl, nonascii_ppm,
+         n_ctrl > 0 AS is_binaryish,
+         n_repl > 0 AS is_mojibake,
+         (n_ctrl = 0 AND n_repl = 0 AND nonascii_ppm <= {_NONASCII_KEEP_PPM})
+           AS keep
+  FROM sig
+)
+"""
+
+_Q_DOCS_ORACLE = f"""
+WITH {_GEN_DUCK}, {_SIG_DUCK}
+SELECT CAST(i AS BIGINT) AS i, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_ctrl AS BIGINT) AS n_ctrl, CAST(n_repl AS BIGINT) AS n_repl,
+       CAST(nonascii_ppm AS BIGINT) AS nonascii_ppm,
+       is_binaryish, is_mojibake, keep
+FROM flagged
+"""
+
+_Q_REPORT_ORACLE = f"""
+WITH {_GEN_DUCK}, {_SIG_DUCK}
+SELECT is_binaryish, is_mojibake, keep,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ctrl) AS BIGINT) AS total_ctrl,
+       CAST(sum(n_repl) AS BIGINT) AS total_repl,
+       CAST(max(nonascii_ppm) AS BIGINT) AS max_nonascii_ppm
+FROM flagged
+GROUP BY is_binaryish, is_mojibake, keep
+"""
+
+
+def _gen_spark(spark):
+    base = F.expr("repeat(concat('let x = 1;', char(10)), 1 + id % 7)")
+    ctrl = F.when(
+        F.expr("id % 5 = 0"), F.expr(f"repeat('{_BEL}', id % 4)")
+    ).otherwise(F.lit(""))
+    moji = F.when(
+        F.expr("id % 3 = 0"), F.expr(f"repeat('{_FFFD}', (id div 3) % 3)")
+    ).otherwise(F.lit(""))
+    cjk = F.when(
+        F.expr("id % 2 = 0"), F.expr(f"repeat('{_CJK}', id % 6)")
+    ).otherwise(F.lit(""))
+    return spark.range(N_ROWS).select(
+        F.col("id").alias("i"), F.concat(base, ctrl, moji, cjk).alias("content")
+    )
+
+
+def _signals(g):
+    n = F.length("content")
+    n_ctrl = n - F.length(F.regexp_replace("content", _CTRL_RE, ""))
+    n_repl = n - F.length(F.regexp_replace("content", _FFFD, ""))
+    n_na = n - F.length(F.regexp_replace("content", _NONASCII_RE, ""))
+    sig = g.select(
+        "i",
+        n.cast("long").alias("n_chars"),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        n_repl.cast("long").alias("n_repl"),
+        (n_na * 1_000_000).cast("long").alias("_na_raw"),
+    ).withColumn(
+        "nonascii_ppm", F.expr("_na_raw div greatest(n_chars, 1)").cast("long")
+    ).drop("_na_raw")
+    return sig.select(
+        "i",
+        "n_chars",
+        "n_ctrl",
+        "n_repl",
+        "nonascii_ppm",
+        (F.col("n_ctrl") > 0).alias("is_binaryish"),
+        (F.col("n_repl") > 0).alias("is_mojibake"),
+        (
+            (F.col("n_ctrl") == 0)
+            & (F.col("n_repl") == 0)
+            & (F.col("nonascii_ppm") <= _NONASCII_KEEP_PPM)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "encoding_hygiene_docs",
+    _Q_DOCS_ORACLE,
+    "per-doc encoding hygiene signals (control chars, U+FFFD mojibake, non-ASCII ppm) + keep verdict on the planted adversarial table",
+)
+def encoding_hygiene_docs(spark, sf_dir):
+    return _signals(_gen_spark(spark))
+
+
+@register(
+    "encoding_hygiene_report",
+    _Q_REPORT_ORACLE,
+    "encoding-hygiene rollup: doc counts + defect mass per (binaryish, mojibake, keep) cell",
+)
+def encoding_hygiene_report(spark, sf_dir):
+    sig = _signals(_gen_spark(spark))
+    return sig.groupBy("is_binaryish", "is_mojibake", "keep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_ctrl").cast("long").alias("total_ctrl"),
+        F.sum("n_repl").cast("long").alias("total_repl"),
+        F.max("nonascii_ppm").cast("long").alias("max_nonascii_ppm"),
+    )

@@ -1,0 +1,100 @@
+"""Encoding-hygiene family: independent Python replay of the planted
+adversarial table + signal semantics + rule discrimination. Cross-engine
+equality is the oracle gate's job."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from curator_spark.operators import QUERIES
+from curator_spark.operators.encoding_hygiene import (
+    N_ROWS,
+    _NONASCII_KEEP_PPM,
+)
+
+SF = "/root/testdata/sf0.001"  # unused by the family; required by signature
+
+
+def _python_rows():
+    rows = []
+    for i in range(N_ROWS):
+        content = "let x = 1;\n" * (1 + i % 7)
+        if i % 5 == 0:
+            content += "\x07" * (i % 4)
+        if i % 3 == 0:
+            content += "�" * ((i // 3) % 3)
+        if i % 2 == 0:
+            content += "中" * (i % 6)
+        n = len(content)
+        n_ctrl = len(re.findall(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", content))
+        n_repl = content.count("�")
+        n_na = len(re.findall(r"[^\x00-\x7f]", content))
+        ppm = n_na * 1_000_000 // max(n, 1)
+        rows.append(
+            dict(
+                i=i,
+                n_chars=n,
+                n_ctrl=n_ctrl,
+                n_repl=n_repl,
+                nonascii_ppm=ppm,
+                is_binaryish=n_ctrl > 0,
+                is_mojibake=n_repl > 0,
+                keep=(n_ctrl == 0 and n_repl == 0 and ppm <= _NONASCII_KEEP_PPM),
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def test_hygiene_docs_match_python(spark):
+    exp = _python_rows()
+    got = (
+        QUERIES["encoding_hygiene_docs"].fn(spark, SF)
+        .toPandas().sort_values("i").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+def test_hygiene_rules_discriminate(spark):
+    got = QUERIES["encoding_hygiene_docs"].fn(spark, SF).toPandas()
+    # every defect class actually fires on the planted table...
+    assert got["is_binaryish"].any() and (~got["is_binaryish"]).any()
+    assert got["is_mojibake"].any() and (~got["is_mojibake"]).any()
+    assert (got["nonascii_ppm"] > _NONASCII_KEEP_PPM).any()
+    # ...including the non-ASCII rule firing ALONE (clean of ctrl/mojibake)
+    sole_na = got[
+        (~got["is_binaryish"])
+        & (~got["is_mojibake"])
+        & (got["nonascii_ppm"] > _NONASCII_KEEP_PPM)
+    ]
+    assert len(sole_na) > 0 and not sole_na["keep"].any()
+    # and plenty survives: the gate rejects defects, not the corpus
+    assert 0 < got["keep"].sum() < N_ROWS
+    # CJK alone below the ppm threshold is NOT dropped (multilingual text
+    # is not a defect — only disproportionate non-ASCII mass is)
+    ok_na = got[(got["nonascii_ppm"] > 0) & (got["keep"])]
+    assert len(ok_na) > 0
+    assert got["nonascii_ppm"].max() > _NONASCII_KEEP_PPM  # threshold is live
+
+
+def test_hygiene_report_consistent_with_docs(spark):
+    docs = QUERIES["encoding_hygiene_docs"].fn(spark, SF).toPandas()
+    rep = QUERIES["encoding_hygiene_report"].fn(spark, SF).toPandas()
+    exp = (
+        docs.groupby(["is_binaryish", "is_mojibake", "keep"])
+        .agg(
+            n_docs=("i", "size"),
+            total_ctrl=("n_ctrl", "sum"),
+            total_repl=("n_repl", "sum"),
+            max_nonascii_ppm=("nonascii_ppm", "max"),
+        )
+        .reset_index()
+    )
+    key = ["is_binaryish", "is_mojibake", "keep"]
+    pd.testing.assert_frame_equal(
+        rep.sort_values(key).reset_index(drop=True)[exp.columns],
+        exp.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert rep["n_docs"].sum() == N_ROWS
