@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     "contrastive_pairs",
     "ann_hard_negatives",
     "contrastive_triplets",
+    "epoch_schedule",
+    "repetition_value_report",
+    "quantile_sketch_report",
+    "encoding_hygiene_docs",
+    "encoding_hygiene_report",
+    "doc_attributes",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

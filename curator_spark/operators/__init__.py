@@ -53,3 +53,4 @@ from . import curriculum  # noqa: F401,E402
 from . import contrastive  # noqa: F401,E402
 from . import scaling_plan  # noqa: F401,E402
 from . import encoding_hygiene  # noqa: F401,E402
+from . import attributes  # noqa: F401,E402

@@ -1,0 +1,133 @@
+"""Fused per-document attributes export — the Dolma-style "attributes
+file": every per-row quality signal the engine computes, emitted in ONE
+pass over the corpus as one wide row per document.
+
+The separate signal queries (doc_quality, gopher_repetition, langid,
+curriculum staging, fingerprint, token estimate) each re-scan the corpus;
+that is the right shape for interactive audits, but a production tagging
+run over 10^12 files wants exactly one scan that writes every attribute
+column side by side — downstream filters then combine attributes with
+pure column logic and never touch `text` again (the Dolma/RedPajama-v2
+tag-then-filter discipline: signals are computed once, filter policies
+iterate cheaply over the attribute table).
+
+Reference anchor: curator's per-row parsed/validated response columns
+(reference: src/bespokelabs/curator/request_processor/generic_response.py
+carries parsed fields beside raw output) — re-expressed as a single
+wide Project so every signal shares one pass.
+
+Scale shape (10^12 docs): ONE FileScan + one Project of per-row
+expressions (the langid score chain is let-bound so the normalization
+regex runs once per row; line/bigram folds are array expressions — no
+explode). Zero shuffle, zero Python, plan-golden `{FileScan: 1}`-class.
+Every expression is shared verbatim with the audited single-signal
+queries, so each attribute column is bit-identical to its standalone
+oracle-verified twin (the pytest cross-checks them column by column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .curriculum import _STAGE_DUCK, _stage_spark
+from .gopher import (
+    _DUP_LINE_EXPR,
+    _DUP_LINE_THRESHOLD,
+    _TOP_BIGRAM_EXPR,
+    _TOP_BIGRAM_THRESHOLD,
+)
+from .registry import load, register
+from .text_analysis import _CFG, _fast_text_metrics, natlang_pred_sql, natlang_pred_spark_fast
+
+_Q_ATTRS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
+             greatest(length(text), 1) AS alnum_ratio,
+         len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
+             greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)
+             AS distinct_word_ratio,
+         len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')) AS word_count
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
+  FROM (SELECT doc_id, trim(unnest(str_split(text, chr(10)))) AS l FROM documents)
+  WHERE l != ''
+  GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '') AS w
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+                 i -> w[i+1] || ' ' || w[i+2])) AS bg
+  FROM words
+),
+bg_stats AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.lang AS lang_claimed,
+       {natlang_pred_sql('d.text', 'duckdb')} AS lang_pred,
+       CAST(m.n_chars AS BIGINT) AS n_chars,
+       CAST(m.word_count AS BIGINT) AS word_count,
+       CAST(m.n_chars // 4 AS BIGINT) AS n_tokens_len4,
+       round(m.alnum_ratio, 4) AS alnum_ratio,
+       round(m.distinct_word_ratio, 4) AS distinct_word_ratio,
+       (m.n_chars >= {_CFG.min_chars} AND m.n_chars <= {_CFG.max_chars}
+        AND m.alnum_ratio >= {_CFG.min_alnum_ratio}
+        AND NOT (m.word_count >= {_CFG.repetition_min_words}
+                 AND m.distinct_word_ratio < {_CFG.min_distinct_word_ratio}))
+         AS quality_keep,
+       coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) AS dup_line_frac,
+       coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) AS top_bigram_frac,
+       (coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) > {_DUP_LINE_THRESHOLD}
+        OR coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) > {_TOP_BIGRAM_THRESHOLD})
+         AS repetition_drop,
+       CAST({_STAGE_DUCK.replace('text', 'd.text')} AS INT) AS stage,
+       md5(d.text) AS content_md5
+FROM documents d
+JOIN m ON d.doc_id = m.doc_id
+LEFT JOIN lines l ON d.doc_id = l.doc_id
+LEFT JOIN bg_stats b ON d.doc_id = b.doc_id
+"""
+
+
+@register(
+    "doc_attributes",
+    _Q_ATTRS_ORACLE,
+    "Dolma-style fused attributes export: every per-row signal (langid, quality, repetition, stage, fingerprint) in ONE scan",
+)
+def doc_attributes(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
+    quality_keep = (
+        (n_chars >= _CFG.min_chars)
+        & (n_chars <= _CFG.max_chars)
+        & (alnum_ratio >= _CFG.min_alnum_ratio)
+        & ~((wc >= _CFG.repetition_min_words) & (dr < _CFG.min_distinct_word_ratio))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_claimed"),
+        F.expr(natlang_pred_spark_fast("text")).alias("lang_pred"),
+        n_chars.cast("long").alias("n_chars"),
+        wc.cast("long").alias("word_count"),
+        F.expr("length(text) div 4").cast("long").alias("n_tokens_len4"),
+        F.round(alnum_ratio, 4).alias("alnum_ratio"),
+        F.round(dr, 4).alias("distinct_word_ratio"),
+        quality_keep.alias("quality_keep"),
+        F.expr(_DUP_LINE_EXPR).alias("dup_line_frac"),
+        F.expr(_TOP_BIGRAM_EXPR).alias("top_bigram_frac"),
+        (
+            (F.expr(_DUP_LINE_EXPR) > _DUP_LINE_THRESHOLD)
+            | (F.expr(_TOP_BIGRAM_EXPR) > _TOP_BIGRAM_THRESHOLD)
+        ).alias("repetition_drop"),
+        _stage_spark().cast("int").alias("stage"),
+        F.md5("text").alias("content_md5"),
+    )

@@ -1,0 +1,62 @@
+"""doc_attributes: the fused one-pass export must be column-for-column
+identical to the standalone oracle-verified signal queries, and its plan
+must stay a single scan with no shuffle/Python."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from curator_spark.operators import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_attributes_match_standalone_queries(spark):
+    attrs = (
+        QUERIES["doc_attributes"].fn(spark, SF)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dq = (
+        QUERIES["doc_quality"].fn(spark, SF)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(attrs["n_chars"], dq["n_chars"], check_dtype=False)
+    pd.testing.assert_series_equal(attrs["alnum_ratio"], dq["alnum_ratio"])
+    pd.testing.assert_series_equal(
+        attrs["distinct_word_ratio"], dq["distinct_word_ratio"]
+    )
+    pd.testing.assert_series_equal(
+        attrs["quality_keep"], dq["keep"], check_names=False
+    )
+    gr = (
+        QUERIES["gopher_repetition"].fn(spark, SF)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in ("dup_line_frac", "top_bigram_frac", "repetition_drop"):
+        pd.testing.assert_series_equal(attrs[c], gr[c])
+    li = (
+        QUERIES["langid_documents"].fn(spark, SF)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(attrs["lang_pred"], li["lang_pred"])
+
+
+def test_attributes_plan_is_one_scan(spark):
+    df = QUERIES["doc_attributes"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bFileScan\b", plan)) == 1
+    for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "Join", "Window"):
+        assert not re.search(rf"\b{bad}\b", plan), bad
+
+
+def test_attribute_filters_compose_without_text(spark):
+    # the tag-then-filter discipline: a downstream policy combining three
+    # attributes never touches `text`
+    attrs = QUERIES["doc_attributes"].fn(spark, SF)
+    kept = attrs.filter(
+        "quality_keep AND NOT repetition_drop AND lang_pred = lang_claimed"
+    ).count()
+    total = attrs.count()
+    assert 0 < kept < total
