@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "encoding_hygiene_docs",
     "encoding_hygiene_report",
     "doc_attributes",
+    "attribute_policy_sweep",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -131,3 +131,85 @@ def doc_attributes(spark, sf_dir):
         _stage_spark().cast("int").alias("stage"),
         F.md5("text").alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# attribute_policy_sweep: the payoff of tag-then-filter — evaluate a GRID
+# of candidate filter policies against the attribute table in one pass.
+# Tuning a web-scale filter is an iterate-on-policy loop (Dolma/RedPajama
+# publish exactly these sweeps); with attributes precomputed, each policy
+# is pure column logic: broadcast the policy grid (rows = |grid|, here 12),
+# fan each doc out against it map-side, and aggregate per policy. At 10^12
+# docs this is one scan + a 12-row broadcast + a map-side-combined groupBy
+# on policy_id — no shuffle of the corpus, no recompute of any signal.
+# The same Python list literal emits both the Spark rows and the DuckDB
+# VALUES, so the grid is identical by construction.
+# ---------------------------------------------------------------------------
+POLICIES = [
+    # (policy_id, min_chars, max_dup_line_frac, require_lang_match)
+    (pid, mc, mdl, rlm)
+    for pid, (mc, mdl, rlm) in enumerate(
+        (mc, mdl, rlm)
+        for mc in (32, 64, 128)
+        for mdl in (0.3, 0.5)
+        for rlm in (False, True)
+    )
+]
+
+_POL_VALUES = ",\n    ".join(
+    f"({pid}, {mc}, {mdl}, {str(rlm).upper()})" for pid, mc, mdl, rlm in POLICIES
+)
+
+_Q_POLICY_ORACLE = f"""
+WITH attrs AS ({_Q_ATTRS_ORACLE}),
+pol(policy_id, min_chars, max_dup_line_frac, require_lang_match) AS (
+  VALUES
+    {_POL_VALUES}
+),
+judged AS (
+  SELECT p.policy_id, a.n_tokens_len4,
+         (a.quality_keep AND NOT a.repetition_drop
+          AND a.n_chars >= p.min_chars
+          AND a.dup_line_frac <= p.max_dup_line_frac
+          AND (NOT p.require_lang_match OR a.lang_pred = a.lang_claimed))
+           AS kept
+  FROM attrs a, pol p
+)
+SELECT CAST(policy_id AS INT) AS policy_id,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(n_tokens_len4) FILTER (WHERE kept), 0) AS BIGINT)
+         AS kept_tokens_len4,
+       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_rejected
+FROM judged
+GROUP BY policy_id
+"""
+
+
+@register(
+    "attribute_policy_sweep",
+    _Q_POLICY_ORACLE,
+    f"filter-policy grid sweep over the attributes table: {len(POLICIES)} candidate policies scored in one pass",
+)
+def attribute_policy_sweep(spark, sf_dir):
+    attrs = doc_attributes(spark, sf_dir)
+    pol = spark.createDataFrame(
+        POLICIES, "policy_id int, min_chars int, max_dup_line_frac double, require_lang_match boolean"
+    )
+    judged = attrs.crossJoin(F.broadcast(pol)).select(
+        "policy_id",
+        "n_tokens_len4",
+        (
+            F.col("quality_keep")
+            & ~F.col("repetition_drop")
+            & (F.col("n_chars") >= F.col("min_chars"))
+            & (F.col("dup_line_frac") <= F.col("max_dup_line_frac"))
+            & (~F.col("require_lang_match") | (F.col("lang_pred") == F.col("lang_claimed")))
+        ).alias("kept"),
+    )
+    return judged.groupBy("policy_id").agg(
+        F.count(F.when(F.col("kept"), 1)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("n_tokens_len4"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens_len4"),
+        F.count(F.when(~F.col("kept"), 1)).cast("long").alias("n_rejected"),
+    )

@@ -60,3 +60,42 @@ def test_attribute_filters_compose_without_text(spark):
     ).count()
     total = attrs.count()
     assert 0 < kept < total
+
+
+def test_policy_sweep_semantics(spark):
+    import pandas as pd
+
+    from curator_spark.operators.attributes import POLICIES
+
+    sweep = (
+        QUERIES["attribute_policy_sweep"].fn(spark, SF)
+        .toPandas().set_index("policy_id").sort_index()
+    )
+    attrs = QUERIES["doc_attributes"].fn(spark, SF).toPandas()
+    total = len(attrs)
+    assert len(sweep) == len(POLICIES)
+    # partition invariant + independent pandas replay of every policy
+    for pid, mc, mdl, rlm in POLICIES:
+        row = sweep.loc[pid]
+        assert row["n_kept"] + row["n_rejected"] == total
+        kept = attrs[
+            attrs["quality_keep"]
+            & ~attrs["repetition_drop"]
+            & (attrs["n_chars"] >= mc)
+            & (attrs["dup_line_frac"] <= mdl)
+            & ((not rlm) | (attrs["lang_pred"] == attrs["lang_claimed"]))
+        ]
+        assert row["n_kept"] == len(kept)
+        assert row["kept_tokens_len4"] == kept["n_tokens_len4"].sum()
+    # monotonicity: tightening any knob never keeps MORE docs
+    by = {(mc, mdl, rlm): sweep.loc[pid, "n_kept"] for pid, mc, mdl, rlm in POLICIES}
+    for mdl in (0.3, 0.5):
+        for rlm in (False, True):
+            assert by[(32, mdl, rlm)] >= by[(64, mdl, rlm)] >= by[(128, mdl, rlm)]
+    for mc in (32, 64, 128):
+        for rlm in (False, True):
+            assert by[(mc, 0.5, rlm)] >= by[(mc, 0.3, rlm)]
+        for mdl in (0.3, 0.5):
+            assert by[(mc, mdl, False)] >= by[(mc, mdl, True)]
+    # the grid discriminates: not all policies agree
+    assert sweep["n_kept"].nunique() > 1
