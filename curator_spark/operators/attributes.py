@@ -98,13 +98,10 @@ LEFT JOIN bg_stats b ON d.doc_id = b.doc_id
 """
 
 
-@register(
-    "doc_attributes",
-    _Q_ATTRS_ORACLE,
-    "Dolma-style fused attributes export: every per-row signal (langid, quality, repetition, stage, fingerprint) in ONE scan",
-)
-def doc_attributes(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+def attributes_frame_of(d):
+    """The fused attribute Project over any frame with (doc_id, lang,
+    text) — shared by the registered query and the committed
+    plans.attributes_run.AttributesRun artifact."""
     n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
     quality_keep = (
         (n_chars >= _CFG.min_chars)
@@ -130,6 +127,32 @@ def doc_attributes(spark, sf_dir):
         ).alias("repetition_drop"),
         _stage_spark().cast("int").alias("stage"),
         F.md5("text").alias("content_md5"),
+    )
+
+
+@register(
+    "doc_attributes",
+    _Q_ATTRS_ORACLE,
+    "Dolma-style fused attributes export: every per-row signal (langid, quality, repetition, stage, fingerprint) in ONE scan",
+)
+def doc_attributes(spark, sf_dir):
+    return attributes_frame_of(load(spark, sf_dir, "documents"))
+
+
+def signals_token() -> str:
+    """Signal-set identity for artifact fingerprints, built from the LIVE
+    thresholds (the embed_run geometry-token lesson: a hardcoded token
+    lets a constant bump silently reuse batches computed under the old
+    rules)."""
+    from .curriculum import _STAGE_CHARS, _STAGE_DWR
+    from .gopher import _DUP_LINE_THRESHOLD as _DLT
+    from .gopher import _TOP_BIGRAM_THRESHOLD as _TBT
+
+    return (
+        f"attrs-v1-chars{_CFG.min_chars}-{_CFG.max_chars}"
+        f"-alnum{_CFG.min_alnum_ratio}-dwr{_CFG.min_distinct_word_ratio}"
+        f"-repw{_CFG.repetition_min_words}-dup{_DLT}-bg{_TBT}"
+        f"-stage{_STAGE_CHARS}-{_STAGE_DWR}"
     )
 
 

@@ -1,0 +1,64 @@
+"""AttributesRun — the attributes table as a COMMITTED, resumable
+artifact.
+
+The tag-then-filter discipline only pays off if the attribute table is
+materialized once and iterated over many times; doc_attributes (the
+registered query) is the plan, this is the job that commits it. One
+ResumableStage sharded by doc_id (every signal is per-row, so batches are
+independent by construction); the signal-set identity
+(operators.attributes.signals_token — built from the live rule/threshold
+constants) is part of the stage fingerprint, so a threshold bump
+re-computes while a re-run of the same rules resumes/skips.
+
+Reference anchor: stage-committed batch processing,
+reference: src/bespokelabs/curator/request_processor/
+base_request_processor.py:103-143 (resume from committed request files);
+the attributes artifact itself is the Dolma-style attributes file curator
+has no analog for.
+
+At 10^12 docs: the per-row signal pass is pure map work, so the commit
+granule bounds recompute-after-kill to one doc batch, a finished run is a
+metadata probe, and every downstream policy sweep reads the committed
+parquet instead of re-scanning text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..engine.checkpoint import ResumableStage, StageResult
+from ..operators.attributes import attributes_frame_of, signals_token
+
+
+class AttributesRun:
+    def __init__(self, work_dir: str, n_batches: int | None = 8, catalog=None) -> None:
+        self.stage = ResumableStage(
+            "attributes",
+            ["doc_id"],
+            work_dir,
+            config={"signals": signals_token()},
+            n_batches=n_batches,
+            catalog=catalog,
+        )
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return attributes_frame_of(df)
+
+    def run(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        fail_after_batches: int | None = None,
+        input_token: str | None = None,
+    ) -> StageResult:
+        return self.stage.run(
+            spark,
+            docs,
+            self._transform,
+            fail_after_batches=fail_after_batches,
+            input_token=input_token,
+        )
+
+    def output(self, spark: SparkSession) -> DataFrame:
+        """The committed attribute table (one wide row per doc)."""
+        return self.stage.output(spark)

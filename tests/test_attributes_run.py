@@ -1,0 +1,64 @@
+"""AttributesRun: the committed attributes artifact — kill/resume,
+signal-set fingerprinting, equality with the registered query."""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark.engine.checkpoint import StageInterrupted
+from curator_spark.operators import QUERIES
+from curator_spark.plans.attributes_run import AttributesRun
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _frozen(df):
+    return sorted(tuple(r) for r in df.toPandas().itertuples(index=False))
+
+
+def test_attributes_run_matches_query(spark, tmp_path):
+    run = AttributesRun(str(tmp_path / "w"), n_batches=4)
+    run.run(spark, _docs(spark))
+    got = _frozen(run.output(spark))
+    exp = _frozen(QUERIES["doc_attributes"].fn(spark, SF))
+    assert got == exp
+
+
+def test_attributes_run_kill_resume_bit_identical(spark, tmp_path):
+    docs = _docs(spark)
+    with pytest.raises(StageInterrupted):
+        AttributesRun(str(tmp_path / "w"), n_batches=4).run(
+            spark, docs, fail_after_batches=2
+        )
+    resumed = AttributesRun(str(tmp_path / "w"), n_batches=4)
+    res = resumed.run(spark, docs)
+    assert len(res.batches_skipped) == 2 and len(res.batches_run) == 2
+    # bit-identical to a single-session run in a fresh dir
+    single = AttributesRun(str(tmp_path / "s"), n_batches=4)
+    single.run(spark, docs)
+    assert _frozen(resumed.output(spark)) == _frozen(single.output(spark))
+    # a further run is a pure cache hit
+    assert AttributesRun(str(tmp_path / "w"), n_batches=4).run(
+        spark, docs
+    ).batches_run == []
+
+
+def test_signal_token_change_refingerprints(spark, tmp_path, monkeypatch):
+    docs = _docs(spark)
+    AttributesRun(str(tmp_path / "w"), n_batches=2).run(spark, docs)
+    # bump a threshold -> signals_token changes -> nothing is skipped
+    import curator_spark.operators.attributes as attrs_mod
+
+    monkeypatch.setattr(
+        attrs_mod, "signals_token", lambda: "attrs-v1-BUMPED"
+    )
+    import curator_spark.plans.attributes_run as run_mod
+
+    monkeypatch.setattr(run_mod, "signals_token", lambda: "attrs-v1-BUMPED")
+    res = AttributesRun(str(tmp_path / "w"), n_batches=2).run(spark, docs)
+    assert res.batches_skipped == []
+    assert len(res.batches_run) == 2
