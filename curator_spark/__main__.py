@@ -162,6 +162,17 @@ def main(argv: list[str] | None = None) -> int:
         help="packed sequence length (default 128; with --pack-sequences)",
     )
     p.add_argument(
+        "--attributes", action="store_true",
+        help="also commit the Dolma-style fused attributes table for the "
+        "RAW input corpus (every per-row signal in one pass, resumable "
+        "doc-sharded batches) — the tag-then-filter artifact downstream "
+        "policy sweeps read instead of re-scanning content",
+    )
+    p.add_argument(
+        "--attributes-out", default=None, metavar="PATH",
+        help="optional parquet export of the committed attributes table",
+    )
+    p.add_argument(
         "--train-langid", action="store_true",
         help="fit the in-engine NB language-ID model on the input corpus "
         "(one distributed pass, bounded model collect) and run it as the "
@@ -377,6 +388,27 @@ def main(argv: list[str] | None = None) -> int:
                 spark, out, merges, input_token=input_identity(out)
             )
             tokenizer_stats["packed"] = prun.manifest(spark)
+    attr_stats = {}
+    if args.attributes:
+        from pyspark.sql import functions as F
+
+        from .plans.attributes_run import AttributesRun
+
+        docs = corpus.select(
+            F.expr("xxhash64(concat_ws('|', repo, path, commit))").alias("doc_id"),
+            "lang",
+            F.col("content").alias("text"),
+        )
+        arun = AttributesRun(args.work_dir, n_batches=n_batches)
+        ares = arun.run(spark, docs)
+        aout = arun.output(spark)
+        attr_stats = {
+            "attribute_rows": aout.count(),
+            "attribute_batches_run": len(ares.batches_run),
+        }
+        if args.attributes_out:
+            aout.write.mode("overwrite").parquet(args.attributes_out)
+            attr_stats["attributes_out"] = args.attributes_out
     lineage = read_lineage(spark, f"{args.work_dir}/_lineage")
     # total_rows=None: the run is complete, so the committed input rows ARE
     # the total (passing the kept-output count here would mix row domains)
@@ -393,6 +425,7 @@ def main(argv: list[str] | None = None) -> int:
                 "output": args.output,
                 **tokenizer_stats,
                 **compact_stats,
+                **attr_stats,
             }
         )
     )

@@ -455,3 +455,42 @@ def test_cli_fork_dedup(spark, corpus_df, tmp_path, capsys):
     assert rc == 0
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     assert json.loads(line)["kept_rows"] == out.count()
+
+
+def test_cli_attributes(spark, corpus_df, tmp_path, capsys):
+    from curator_spark.__main__ import main
+
+    inp = str(tmp_path / "corpus")
+    corpus_df.write.parquet(inp)
+    rc = main(
+        [
+            "--input", inp,
+            "--work-dir", str(tmp_path / "run"),
+            "--attributes",
+            "--attributes-out", str(tmp_path / "attrs"),
+            "--n-batches", "4",
+        ]
+    )
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    stats = json.loads(line)
+    # attributes cover the RAW corpus (pre-filter), one wide row per file
+    n_in = spark.read.parquet(inp).count()
+    assert stats["attribute_rows"] == n_in
+    assert stats["attribute_batches_run"] == 4
+    attrs = spark.read.parquet(str(tmp_path / "attrs"))
+    assert attrs.count() == n_in
+    for c in ("doc_id", "lang_pred", "quality_keep", "repetition_drop",
+              "stage", "content_md5"):
+        assert c in attrs.columns
+    # resumable: re-invoking runs nothing
+    rc = main(
+        [
+            "--input", inp,
+            "--work-dir", str(tmp_path / "run"),
+            "--attributes",
+            "--n-batches", "4",
+        ]
+    )
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["attribute_batches_run"] == 0
