@@ -98,3 +98,45 @@ def test_hygiene_report_consistent_with_docs(spark):
         check_dtype=False,
     )
     assert rep["n_docs"].sum() == N_ROWS
+
+
+def test_hygiene_signals_adversarial_unicode(spark):
+    """Signal expressions vs Python re on adversarial unicode content —
+    one batched DataFrame, mixed scripts/controls/edge cases."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.encoding_hygiene import (
+        _CTRL_RE,
+        _NONASCII_RE,
+    )
+
+    cases = [
+        "",
+        "plain ascii only",
+        "\t\n\r",                      # allowed whitespace is NOT control
+        "\x00\x01\x08\x0b\x0c\x0e\x1f",  # the full flagged range edges
+        "\x1f\x20",                    # boundary: 0x1f flagged, space not
+        "mixed\x00text\x07here",
+        "�",                           # lone replacement char
+        "café résumé",  # latin-1 accents
+        "中文内容测试",                  # CJK
+        "עברית и русский",              # RTL + cyrillic
+        "emoji 🎉 and astral 𝕏",        # astral-plane code points
+        "a" * 1000 + "\x07",
+        "line1\r\nline2\r\n",          # CRLF: \r allowed
+        "\x7f",                        # DEL is NOT in the flagged range
+        "�" * 50,
+        "tab\tsep\tcols",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, content string")
+    n = F.length("content")
+    got = df.select(
+        "i",
+        (n - F.length(F.regexp_replace("content", _CTRL_RE, ""))).alias("n_ctrl"),
+        (n - F.length(F.regexp_replace("content", "�", ""))).alias("n_repl"),
+        (n - F.length(F.regexp_replace("content", _NONASCII_RE, ""))).alias("n_na"),
+    ).toPandas().set_index("i")
+    for i, c in enumerate(cases):
+        assert got.loc[i, "n_ctrl"] == len(re.findall(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", c)), repr(c)
+        assert got.loc[i, "n_repl"] == c.count("�"), repr(c)
+        assert got.loc[i, "n_na"] == len(re.findall(r"[^\x00-\x7f]", c)), repr(c)
