@@ -81,15 +81,23 @@ tgt AS (
   SELECT m.lang, m.u, t.budget // t.n_langs AS target
   FROM mass m, tot t
 ),
-ep AS (
+ep0 AS (
   SELECT g.lang, g.u, g.target, e.epoch,
          CAST(least(g.u, greatest(g.target - (e.epoch - 1) * g.u, 0)) AS BIGINT)
            AS raw_e,
-         CAST(least(g.u, greatest(g.target - (e.epoch - 1) * g.u, 0))
-              * CAST(pow(8, e.epoch - 1) AS BIGINT)
-              // CAST(pow(10, e.epoch - 1) AS BIGINT) AS BIGINT) AS value_e
+         CAST(pow(8, e.epoch - 1) AS BIGINT) AS num,
+         CAST(pow(10, e.epoch - 1) AS BIGINT) AS den
   FROM tgt g,
        (SELECT unnest(range(1, {MAX_EPOCHS} + 1)) AS epoch) e
+),
+ep AS (
+  -- overflow-safe (a*num)//den via a = q*den + r: raw_e can reach ~1e14
+  -- tokens per language at 10^12-file scale, and raw_e * 8^7 would blow
+  -- through bigint; (q*num) + (r*num)//den is the exact same integer.
+  SELECT lang, u, target, epoch, raw_e,
+         CAST((raw_e // den) * num + ((raw_e % den) * num) // den AS BIGINT)
+           AS value_e
+  FROM ep0
 )
 """
 
@@ -142,13 +150,18 @@ def _epoch_frame(spark, sf_dir):
             "raw_e",
             F.expr("least(u, greatest(target - (epoch - 1) * u, 0L))").cast("long"),
         )
+        .withColumn("num", F.expr("cast(pow(8, epoch - 1) as bigint)"))
+        .withColumn("den", F.expr("cast(pow(10, epoch - 1) as bigint)"))
         .withColumn(
+            # overflow-safe (raw_e*num) div den via raw_e = q*den + r —
+            # exact same integer, never exceeds bigint for any raw_e that
+            # itself fits (see the oracle CTE comment)
             "value_e",
             F.expr(
-                "raw_e * cast(pow(8, epoch - 1) as bigint)"
-                " div cast(pow(10, epoch - 1) as bigint)"
+                "(raw_e div den) * num + ((raw_e % den) * num) div den"
             ).cast("long"),
         )
+        .drop("num", "den")
     )
 
 

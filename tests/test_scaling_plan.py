@@ -123,3 +123,21 @@ def test_quantile_sketch_error_bounded(spark):
     assert (got["err_pml"] <= 10_000).all()  # within 10x
     # and typically much closer: median error under 100% of the exact value
     assert got["err_pml"].median() <= 1000
+
+
+def test_value_decomposition_is_exact_and_overflow_safe():
+    """(raw*8^k) // 10^k == (raw // 10^k)*8^k + ((raw % 10^k)*8^k) // 10^k
+    for ALL raw — and the decomposed intermediates stay inside int64 even
+    at 10^12-file-scale token masses where the naive product overflows."""
+    I64 = 2**63 - 1
+    for e in range(1, MAX_EPOCHS + 1):
+        num, den = 8 ** (e - 1), 10 ** (e - 1)
+        for raw in (0, 1, 7, den - 1, den, den + 1, 10**9, 137 * 10**12,
+                    4 * 10**14):
+            naive = raw * num // den
+            q, r = raw // den, raw % den
+            decomposed = q * num + (r * num) // den
+            assert decomposed == naive
+            assert q * num <= I64 and r * num <= I64
+    # the naive product really does overflow where the engine would run
+    assert 4 * 10**14 * 8**7 > I64
