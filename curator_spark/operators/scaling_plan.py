@@ -211,6 +211,10 @@ def epoch_schedule(spark, sf_dir):
 # interpolation on rank over the bin's integer value range. Exact side:
 # the value at 1-based rank ceil(q*n/100) under (n_chars, doc_id) order —
 # doc_id tiebreak makes the order total, so both engines pick the same row.
+# Interpolation bound: (hi-lo) * in-bin-offset stays inside int64 while
+# bin_width * bin_count < 2^63 — e.g. 1e12 rows in one decade of docs up
+# to 1e6 chars is 9e17; only an exabyte-in-one-bin corpus would need the
+# q/r decomposition the epoch planner uses.
 # ---------------------------------------------------------------------------
 _QS = (50, 90, 99)
 
