@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "encoding_hygiene_report",
     "doc_attributes",
     "attribute_policy_sweep",
+    "corpus_attributes",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

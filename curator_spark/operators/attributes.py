@@ -39,41 +39,50 @@ from .gopher import (
 from .registry import load, register
 from .text_analysis import _CFG, _fast_text_metrics, natlang_pred_sql, natlang_pred_spark_fast
 
-_Q_ATTRS_ORACLE = f"""
+def attrs_oracle_sql(src: str, keys: list[str], text: str) -> str:
+    """The attributes oracle templated on (source relation, key columns,
+    text column) — one SQL body serves the documents table AND the
+    corpus-shaped (repo, path, commit, lang, content) table."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"d.{k} = m.{k}" for k in keys)
+    on_l = " AND ".join(f"d.{k} = l.{k}" for k in keys)
+    on_b = " AND ".join(f"d.{k} = b.{k}" for k in keys)
+    sel_keys = ", ".join(f"d.{k}" for k in keys)
+    return f"""
 WITH m AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
-             greatest(length(text), 1) AS alnum_ratio,
-         len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
-             greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)
+  SELECT {ks},
+         length({text}) AS n_chars,
+         length(regexp_replace({text}, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
+             greatest(length({text}), 1) AS alnum_ratio,
+         len(list_distinct(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
+             greatest(len(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '')), 1)
              AS distinct_word_ratio,
-         len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')) AS word_count
-  FROM documents
+         len(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '')) AS word_count
+  FROM {src}
 ),
 lines AS (
-  SELECT doc_id, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
-  FROM (SELECT doc_id, trim(unnest(str_split(text, chr(10)))) AS l FROM documents)
+  SELECT {ks}, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
+  FROM (SELECT {ks}, trim(unnest(str_split({text}, chr(10)))) AS l FROM {src})
   WHERE l != ''
-  GROUP BY doc_id
+  GROUP BY {ks}
 ),
 words AS (
-  SELECT doc_id, list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '') AS w
-  FROM documents
+  SELECT {ks}, list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '') AS w
+  FROM {src}
 ),
 bigrams AS (
-  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+  SELECT {ks}, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
                  i -> w[i+1] || ' ' || w[i+2])) AS bg
   FROM words
 ),
 bg_stats AS (
-  SELECT doc_id, max(c) AS mx, sum(c) AS tot
-  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
-  GROUP BY doc_id
+  SELECT {ks}, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT {ks}, bg, count(*) AS c FROM bigrams GROUP BY {ks}, bg)
+  GROUP BY {ks}
 )
-SELECT d.doc_id,
+SELECT {sel_keys},
        d.lang AS lang_claimed,
-       {natlang_pred_sql('d.text', 'duckdb')} AS lang_pred,
+       {natlang_pred_sql(f'd.{text}', 'duckdb')} AS lang_pred,
        CAST(m.n_chars AS BIGINT) AS n_chars,
        CAST(m.word_count AS BIGINT) AS word_count,
        CAST(m.n_chars // 4 AS BIGINT) AS n_tokens_len4,
@@ -89,19 +98,25 @@ SELECT d.doc_id,
        (coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) > {_DUP_LINE_THRESHOLD}
         OR coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) > {_TOP_BIGRAM_THRESHOLD})
          AS repetition_drop,
-       CAST({_STAGE_DUCK.replace('text', 'd.text')} AS INT) AS stage,
-       md5(d.text) AS content_md5
-FROM documents d
-JOIN m ON d.doc_id = m.doc_id
-LEFT JOIN lines l ON d.doc_id = l.doc_id
-LEFT JOIN bg_stats b ON d.doc_id = b.doc_id
+       CAST({_STAGE_DUCK.replace('text', f'd.{text}')} AS INT) AS stage,
+       md5(d.{text}) AS content_md5
+FROM {src} d
+JOIN m ON {on}
+LEFT JOIN lines l ON {on_l}
+LEFT JOIN bg_stats b ON {on_b}
 """
 
 
-def attributes_frame_of(d):
-    """The fused attribute Project over any frame with (doc_id, lang,
-    text) — shared by the registered query and the committed
-    plans.attributes_run.AttributesRun artifact."""
+_Q_ATTRS_ORACLE = attrs_oracle_sql("documents", ["doc_id"], "text")
+
+
+def attributes_frame_of(d, keys: tuple = ("doc_id",), text_col: str = "text"):
+    """The fused attribute Project over any frame with (*keys, lang,
+    <text_col>) — shared by the registered queries (documents AND
+    corpus shapes) and the committed plans.attributes_run.AttributesRun
+    artifact."""
+    if text_col != "text":
+        d = d.withColumnRenamed(text_col, "text")
     n_chars, alnum_ratio, wc, dr = _fast_text_metrics()
     quality_keep = (
         (n_chars >= _CFG.min_chars)
@@ -110,7 +125,7 @@ def attributes_frame_of(d):
         & ~((wc >= _CFG.repetition_min_words) & (dr < _CFG.min_distinct_word_ratio))
     )
     return d.select(
-        "doc_id",
+        *keys,
         F.col("lang").alias("lang_claimed"),
         F.expr(natlang_pred_spark_fast("text")).alias("lang_pred"),
         n_chars.cast("long").alias("n_chars"),
@@ -137,6 +152,31 @@ def attributes_frame_of(d):
 )
 def doc_attributes(spark, sf_dir):
     return attributes_frame_of(load(spark, sf_dir, "documents"))
+
+
+# -- the same export over the corpus-shaped table (repo, path, commit,
+# lang, content) — the input_hint shape the CLI's --attributes commits;
+# registering it gates the CLI path's signal semantics against DuckDB on
+# the pre-materialized seed=42 golden (repo_ops pattern).
+def _corpus_attrs_oracle() -> str:
+    from .repo_ops import _RAW
+
+    return attrs_oracle_sql(f"read_parquet('{_RAW}')", ["repo", "path"], "content")
+
+
+@register(
+    "corpus_attributes",
+    _corpus_attrs_oracle(),
+    "the fused attributes export over the corpus-shaped (repo, path, ..., content) table — the CLI --attributes path, gated",
+)
+def corpus_attributes(spark, sf_dir):
+    from .repo_ops import _corpus
+
+    return attributes_frame_of(
+        _corpus(spark).select("repo", "path", "lang", "content"),
+        keys=("repo", "path"),
+        text_col="content",
+    )
 
 
 def signals_token() -> str:

@@ -99,3 +99,14 @@ def test_policy_sweep_semantics(spark):
             assert by[(mc, mdl, False)] >= by[(mc, mdl, True)]
     # the grid discriminates: not all policies agree
     assert sweep["n_kept"].nunique() > 1
+
+
+def test_corpus_attributes_consistent_with_doc_shape(spark):
+    # the corpus-shaped export carries the same signal columns, keyed by
+    # (repo, path), with non-degenerate verdicts on the generated corpus
+    got = QUERIES["corpus_attributes"].fn(spark, SF).toPandas()
+    assert {"repo", "path", "lang_pred", "quality_keep", "repetition_drop",
+            "stage", "content_md5"} <= set(got.columns)
+    assert "doc_id" not in got.columns
+    assert 0 < got["quality_keep"].sum() < len(got)
+    assert got.duplicated(["repo", "path"]).sum() == 0
