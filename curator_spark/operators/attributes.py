@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .curriculum import _STAGE_DUCK, _stage_spark
+from .curriculum import _stage_spark, stage_duck
 from .gopher import (
     _DUP_LINE_EXPR,
     _DUP_LINE_THRESHOLD,
@@ -42,7 +42,18 @@ from .text_analysis import _CFG, _fast_text_metrics, natlang_pred_sql, natlang_p
 def attrs_oracle_sql(src: str, keys: list[str], text: str) -> str:
     """The attributes oracle templated on (source relation, key columns,
     text column) — one SQL body serves the documents table AND the
-    corpus-shaped (repo, path, commit, lang, content) table."""
+    corpus-shaped (repo, path, commit, lang, content) table.
+
+    PRECONDITION: ``keys`` must uniquely identify rows of ``src`` — the
+    per-row ``m`` CTE joins back on them, so a duplicate key silently
+    fans out rows and merges the line/bigram stats of the duplicates."""
+    from .gopher import (
+        DUP_LINE_SEL_DUCK,
+        TOP_BIGRAM_SEL_DUCK,
+        repetition_ctes_duck,
+    )
+    from .text_analysis import quality_keep_duck, quality_metrics_cte_duck
+
     ks = ", ".join(keys)
     on = " AND ".join(f"d.{k} = m.{k}" for k in keys)
     on_l = " AND ".join(f"d.{k} = l.{k}" for k in keys)
@@ -50,36 +61,9 @@ def attrs_oracle_sql(src: str, keys: list[str], text: str) -> str:
     sel_keys = ", ".join(f"d.{k}" for k in keys)
     return f"""
 WITH m AS (
-  SELECT {ks},
-         length({text}) AS n_chars,
-         length(regexp_replace({text}, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
-             greatest(length({text}), 1) AS alnum_ratio,
-         len(list_distinct(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
-             greatest(len(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '')), 1)
-             AS distinct_word_ratio,
-         len(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '')) AS word_count
-  FROM {src}
+  {quality_metrics_cte_duck(src, ks, text)}
 ),
-lines AS (
-  SELECT {ks}, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
-  FROM (SELECT {ks}, trim(unnest(str_split({text}, chr(10)))) AS l FROM {src})
-  WHERE l != ''
-  GROUP BY {ks}
-),
-words AS (
-  SELECT {ks}, list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '') AS w
-  FROM {src}
-),
-bigrams AS (
-  SELECT {ks}, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
-                 i -> w[i+1] || ' ' || w[i+2])) AS bg
-  FROM words
-),
-bg_stats AS (
-  SELECT {ks}, max(c) AS mx, sum(c) AS tot
-  FROM (SELECT {ks}, bg, count(*) AS c FROM bigrams GROUP BY {ks}, bg)
-  GROUP BY {ks}
-)
+{repetition_ctes_duck(src, ks, text)}
 SELECT {sel_keys},
        d.lang AS lang_claimed,
        {natlang_pred_sql(f'd.{text}', 'duckdb')} AS lang_pred,
@@ -88,17 +72,13 @@ SELECT {sel_keys},
        CAST(m.n_chars // 4 AS BIGINT) AS n_tokens_len4,
        round(m.alnum_ratio, 4) AS alnum_ratio,
        round(m.distinct_word_ratio, 4) AS distinct_word_ratio,
-       (m.n_chars >= {_CFG.min_chars} AND m.n_chars <= {_CFG.max_chars}
-        AND m.alnum_ratio >= {_CFG.min_alnum_ratio}
-        AND NOT (m.word_count >= {_CFG.repetition_min_words}
-                 AND m.distinct_word_ratio < {_CFG.min_distinct_word_ratio}))
-         AS quality_keep,
-       coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) AS dup_line_frac,
-       coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) AS top_bigram_frac,
-       (coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) > {_DUP_LINE_THRESHOLD}
-        OR coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) > {_TOP_BIGRAM_THRESHOLD})
+       {quality_keep_duck('m.')} AS quality_keep,
+       {DUP_LINE_SEL_DUCK} AS dup_line_frac,
+       {TOP_BIGRAM_SEL_DUCK} AS top_bigram_frac,
+       ({DUP_LINE_SEL_DUCK} > {_DUP_LINE_THRESHOLD}
+        OR {TOP_BIGRAM_SEL_DUCK} > {_TOP_BIGRAM_THRESHOLD})
          AS repetition_drop,
-       CAST({_STAGE_DUCK.replace('text', f'd.{text}')} AS INT) AS stage,
+       CAST({stage_duck(f'd.{text}')} AS INT) AS stage,
        md5(d.{text}) AS content_md5
 FROM {src} d
 JOIN m ON {on}
@@ -161,7 +141,12 @@ def doc_attributes(spark, sf_dir):
 def _corpus_attrs_oracle() -> str:
     from .repo_ops import _RAW
 
-    return attrs_oracle_sql(f"read_parquet('{_RAW}')", ["repo", "path"], "content")
+    # keyed (repo, path, commit) — the full file identity the CLI hashes
+    # into doc_id, so the template precondition holds even for corpora
+    # carrying the same path at several commits
+    return attrs_oracle_sql(
+        f"read_parquet('{_RAW}')", ["repo", "path", "commit"], "content"
+    )
 
 
 @register(
@@ -173,8 +158,8 @@ def corpus_attributes(spark, sf_dir):
     from .repo_ops import _corpus
 
     return attributes_frame_of(
-        _corpus(spark).select("repo", "path", "lang", "content"),
-        keys=("repo", "path"),
+        _corpus(spark).select("repo", "path", "commit", "lang", "content"),
+        keys=("repo", "path", "commit"),
         text_col="content",
     )
 
@@ -183,16 +168,26 @@ def signals_token() -> str:
     """Signal-set identity for artifact fingerprints, built from the LIVE
     thresholds (the embed_run geometry-token lesson: a hardcoded token
     lets a constant bump silently reuse batches computed under the old
-    rules)."""
+    rules). Includes the langid model identity — lang_pred is an exported
+    column, so editing the stopword lists must invalidate committed
+    batches too."""
+    import hashlib
+
+    from ..functions.langid import NAT_LANG_ORDER, NAT_LANG_STOPWORDS
     from .curriculum import _STAGE_CHARS, _STAGE_DWR
     from .gopher import _DUP_LINE_THRESHOLD as _DLT
     from .gopher import _TOP_BIGRAM_THRESHOLD as _TBT
 
+    langid_id = hashlib.md5(
+        repr(
+            (NAT_LANG_ORDER, {k: NAT_LANG_STOPWORDS[k] for k in NAT_LANG_ORDER})
+        ).encode()
+    ).hexdigest()[:12]
     return (
         f"attrs-v1-chars{_CFG.min_chars}-{_CFG.max_chars}"
         f"-alnum{_CFG.min_alnum_ratio}-dwr{_CFG.min_distinct_word_ratio}"
         f"-repw{_CFG.repetition_min_words}-dup{_DLT}-bg{_TBT}"
-        f"-stage{_STAGE_CHARS}-{_STAGE_DWR}"
+        f"-stage{_STAGE_CHARS}-{_STAGE_DWR}-langid{langid_id}"
     )
 
 

@@ -49,13 +49,25 @@ from ..functions.hashing import md5_bucket
 _STAGE_CHARS = 200
 _STAGE_DWR = 0.5  # compared on integer-quantized dwr*10000 (portable)
 
-_DWR_DUCK = """len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 10000 //
-    greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)"""
+def dwr_duck(col: str = "text") -> str:
+    return (
+        f"len(list_distinct(list_filter(str_split_regex({col}, '[ \\t\\n]+'), w -> w != ''))) * 10000 //\n"
+        f"    greatest(len(list_filter(str_split_regex({col}, '[ \\t\\n]+'), w -> w != '')), 1)"
+    )
 
-_STAGE_DUCK = f"""CASE
-  WHEN length(text) < {_STAGE_CHARS} THEN 0
-  WHEN {_DWR_DUCK} >= {int(_STAGE_DWR * 10000)} THEN 1
+
+def stage_duck(col: str = "text") -> str:
+    """The curriculum-stage CASE expression over an arbitrary column —
+    parameterized like natlang_pred_sql so consumers never need substring
+    surgery on the SQL text."""
+    return f"""CASE
+  WHEN length({col}) < {_STAGE_CHARS} THEN 0
+  WHEN {dwr_duck(col)} >= {int(_STAGE_DWR * 10000)} THEN 1
   ELSE 2 END"""
+
+
+_DWR_DUCK = dwr_duck()
+_STAGE_DUCK = stage_duck()
 
 
 def _stage_spark():

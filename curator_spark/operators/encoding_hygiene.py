@@ -138,7 +138,10 @@ def _signals(g):
         n.cast("long").alias("n_chars"),
         n_ctrl.cast("long").alias("n_ctrl"),
         n_repl.cast("long").alias("n_repl"),
-        (n_na * 1_000_000).cast("long").alias("_na_raw"),
+        # long-FIRST: n_na is int32 and `n_na * 1e6` wraps negative for
+        # docs with >2147 non-ASCII chars (a ~3 KB CJK doc), silently
+        # passing the keep threshold; cast before multiplying
+        (n_na.cast("long") * 1_000_000).alias("_na_raw"),
     ).withColumn(
         "nonascii_ppm", F.expr("_na_raw div greatest(n_chars, 1)").cast("long")
     ).drop("_na_raw")

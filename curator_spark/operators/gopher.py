@@ -66,32 +66,46 @@ _TOP_BIGRAM_EXPR = _let(
     f" ELSE cast({_MAX_RUN_SORTED.format(a='sb')} as double) / size(sb) END",
 )
 
-_Q_GOPHER_ORACLE = f"""
-WITH lines AS (
-  SELECT doc_id, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
-  FROM (SELECT doc_id, trim(unnest(str_split(text, chr(10)))) AS l FROM documents)
+# the SELECT fragments over the joined lines (l) / bg_stats (b) aliases —
+# shared verbatim with the fused attributes oracle
+DUP_LINE_SEL_DUCK = "coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0)"
+TOP_BIGRAM_SEL_DUCK = "coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0)"
+
+
+def repetition_ctes_duck(src: str, keys: str, text: str) -> str:
+    """The lines/words/bigrams/bg_stats CTE chain templated on source,
+    key columns and text column — the SQL twin of the per-row
+    _DUP_LINE_EXPR/_TOP_BIGRAM_EXPR folds, shared by gopher_repetition
+    and the fused attributes oracle."""
+    return f"""lines AS (
+  SELECT {keys}, count(*) AS n_lines, count(DISTINCT l) AS n_distinct
+  FROM (SELECT {keys}, trim(unnest(str_split({text}, chr(10)))) AS l FROM {src})
   WHERE l != ''
-  GROUP BY doc_id
+  GROUP BY {keys}
 ),
 words AS (
-  SELECT doc_id, list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '') AS w
-  FROM documents
+  SELECT {keys}, list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '') AS w
+  FROM {src}
 ),
 bigrams AS (
-  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+  SELECT {keys}, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
                  i -> w[i+1] || ' ' || w[i+2])) AS bg
   FROM words
 ),
 bg_stats AS (
-  SELECT doc_id, max(c) AS mx, sum(c) AS tot
-  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
-  GROUP BY doc_id
-)
+  SELECT {keys}, max(c) AS mx, sum(c) AS tot
+  FROM (SELECT {keys}, bg, count(*) AS c FROM bigrams GROUP BY {keys}, bg)
+  GROUP BY {keys}
+)"""
+
+
+_Q_GOPHER_ORACLE = f"""
+WITH {repetition_ctes_duck("documents", "doc_id", "text")}
 SELECT d.doc_id,
-       coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) AS dup_line_frac,
-       coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) AS top_bigram_frac,
-       (coalesce(1.0 - cast(l.n_distinct AS DOUBLE) / l.n_lines, 0.0) > {_DUP_LINE_THRESHOLD}
-        OR coalesce(cast(b.mx AS DOUBLE) / b.tot, 0.0) > {_TOP_BIGRAM_THRESHOLD}) AS repetition_drop
+       {DUP_LINE_SEL_DUCK} AS dup_line_frac,
+       {TOP_BIGRAM_SEL_DUCK} AS top_bigram_frac,
+       ({DUP_LINE_SEL_DUCK} > {_DUP_LINE_THRESHOLD}
+        OR {TOP_BIGRAM_SEL_DUCK} > {_TOP_BIGRAM_THRESHOLD}) AS repetition_drop
 FROM documents d
 LEFT JOIN lines l USING (doc_id)
 LEFT JOIN bg_stats b USING (doc_id)

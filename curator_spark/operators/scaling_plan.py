@@ -291,9 +291,9 @@ def quantile_sketch_report(spark, sf_dir):
     nl = m.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     qs = nl.crossJoin(
         F.broadcast(
-            load(spark, sf_dir, "documents")
-            .sparkSession.range(1)
-            .select(F.explode(F.array(*[F.lit(q) for q in _QS])).alias("q"))
+            spark.range(1).select(
+                F.explode(F.array(*[F.lit(q) for q in _QS])).alias("q")
+            )
         )
     ).select("lang", "n_rows", "q", F.expr("(q * n_rows + 99) div 100").alias("rnk"))
     est = qs.join(

@@ -150,25 +150,43 @@ def token_stats(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _CFG = DEFAULT_RULES
 
+
+def quality_metrics_cte_duck(src: str, keys: str, text: str) -> str:
+    """The quality-metric CTE body (n_chars / alnum_ratio /
+    distinct_word_ratio / word_count per row) templated on source, key
+    columns and text column — the single SQL twin of
+    ``_fast_text_metrics`` shared by doc_quality and the fused
+    attributes oracle."""
+    return f"""SELECT {keys},
+         length({text}) AS n_chars,
+         length(regexp_replace({text}, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
+             greatest(length({text}), 1) AS alnum_ratio,
+         len(list_distinct(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
+             greatest(len(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '')), 1)
+             AS distinct_word_ratio,
+         len(list_filter(str_split_regex({text}, '[ \\t\\n]+'), w -> w != '')) AS word_count
+  FROM {src}"""
+
+
+def quality_keep_duck(p: str = "") -> str:
+    """The keep predicate over the metric columns, optionally prefixed
+    (e.g. ``m.``) — the SQL twin of doc_quality's rule conjunction."""
+    return (
+        f"({p}n_chars >= {_CFG.min_chars} AND {p}n_chars <= {_CFG.max_chars}\n"
+        f"        AND {p}alnum_ratio >= {_CFG.min_alnum_ratio}\n"
+        f"        AND NOT ({p}word_count >= {_CFG.repetition_min_words}\n"
+        f"                 AND {p}distinct_word_ratio < {_CFG.min_distinct_word_ratio}))"
+    )
+
+
 _Q_QUALITY_ORACLE = f"""
 WITH m AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 /
-             greatest(length(text), 1) AS alnum_ratio,
-         len(list_distinct(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != ''))) * 1.0 /
-             greatest(len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')), 1)
-             AS distinct_word_ratio,
-         len(list_filter(str_split_regex(text, '[ \\t\\n]+'), w -> w != '')) AS word_count
-  FROM documents
+  {quality_metrics_cte_duck("documents", "doc_id", "text")}
 )
 SELECT doc_id, n_chars,
        round(alnum_ratio, 4) AS alnum_ratio,
        round(distinct_word_ratio, 4) AS distinct_word_ratio,
-       (n_chars >= {_CFG.min_chars} AND n_chars <= {_CFG.max_chars}
-        AND alnum_ratio >= {_CFG.min_alnum_ratio}
-        AND NOT (word_count >= {_CFG.repetition_min_words}
-                 AND distinct_word_ratio < {_CFG.min_distinct_word_ratio})) AS keep
+       {quality_keep_duck()} AS keep
 FROM m
 """
 
