@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "doc_attributes",
     "attribute_policy_sweep",
     "corpus_attributes",
+    "attribute_audit_sample",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

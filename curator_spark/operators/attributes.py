@@ -271,3 +271,68 @@ def attribute_policy_sweep(spark, sf_dir):
         .alias("kept_tokens_len4"),
         F.count(F.when(~F.col("kept"), 1)).cast("long").alias("n_rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# attribute_audit_sample: the human review queue — a deterministic,
+# bounded exemplar sample from every (quality_keep, repetition_drop,
+# langid-agrees) verdict cell of the attributes table. Every curation
+# team ships this artifact next to a release: reviewers eyeball K docs
+# per cell instead of trusting aggregate counts. Deterministic rank =
+# md5 of the doc id within the cell (stable across runs/partitionings);
+# rank <= K plans as WindowGroupLimit (per-task partial top-K before the
+# shuffle), so a 10^12-doc cell moves only K rows per task.
+# ---------------------------------------------------------------------------
+AUDIT_K = 5
+
+_Q_AUDIT_ORACLE = f"""
+WITH attrs AS ({attrs_oracle_sql("documents", ["doc_id"], "text")}),
+cells AS (
+  SELECT doc_id, quality_keep, repetition_drop,
+         (lang_pred = lang_claimed) AS lang_agrees,
+         n_chars, dup_line_frac,
+         row_number() OVER (
+           PARTITION BY quality_keep, repetition_drop, (lang_pred = lang_claimed)
+           ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM attrs
+)
+SELECT quality_keep, repetition_drop, lang_agrees,
+       CAST(rk AS BIGINT) AS rk, doc_id, n_chars, dup_line_frac
+FROM cells WHERE rk <= {AUDIT_K}
+"""
+
+
+@register(
+    "attribute_audit_sample",
+    _Q_AUDIT_ORACLE,
+    f"deterministic audit queue: {AUDIT_K} md5-ranked exemplar docs per (keep, repetition, langid-agrees) verdict cell",
+)
+def attribute_audit_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    attrs = doc_attributes(spark, sf_dir)
+    cells = attrs.select(
+        "doc_id",
+        "quality_keep",
+        "repetition_drop",
+        (F.col("lang_pred") == F.col("lang_claimed")).alias("lang_agrees"),
+        "n_chars",
+        "dup_line_frac",
+        F.md5(F.col("doc_id").cast("string")).alias("_ok"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("quality_keep", "repetition_drop", "lang_agrees")
+            .orderBy("_ok", "doc_id")
+        ),
+    )
+    return cells.filter(F.col("rk") <= AUDIT_K).select(
+        "quality_keep",
+        "repetition_drop",
+        "lang_agrees",
+        F.col("rk").cast("long").alias("rk"),
+        "doc_id",
+        "n_chars",
+        "dup_line_frac",
+    )

@@ -110,3 +110,27 @@ def test_corpus_attributes_consistent_with_doc_shape(spark):
     assert "doc_id" not in got.columns
     assert 0 < got["quality_keep"].sum() < len(got)
     assert got.duplicated(["repo", "path"]).sum() == 0
+
+
+def test_audit_sample_semantics(spark):
+    import hashlib
+
+    from curator_spark.operators.attributes import AUDIT_K
+
+    sample = QUERIES["attribute_audit_sample"].fn(spark, SF).toPandas()
+    attrs = QUERIES["doc_attributes"].fn(spark, SF).toPandas()
+    attrs["lang_agrees"] = attrs["lang_pred"] == attrs["lang_claimed"]
+    attrs["_ok"] = attrs["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    cells = ["quality_keep", "repetition_drop", "lang_agrees"]
+    for key, grp in attrs.groupby(cells):
+        exp = grp.sort_values(["_ok", "doc_id"]).head(AUDIT_K)["doc_id"].tolist()
+        got = (
+            sample[(sample[cells] == key).all(axis=1)]
+            .sort_values("rk")["doc_id"].tolist()
+        )
+        assert got == exp, key
+    # bounded: never more than K per cell, and every populated cell sampled
+    assert sample.groupby(cells)["rk"].max().le(AUDIT_K).all()
+    assert set(map(tuple, sample[cells].drop_duplicates().values)) == set(
+        map(tuple, attrs[cells].drop_duplicates().values)
+    )
