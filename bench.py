@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "attribute_policy_sweep",
     "corpus_attributes",
     "attribute_audit_sample",
+    "attributes_incremental",
 ]
 
 CORPUS_ROWS = int(os.environ.get("CURATOR_BENCH_CORPUS_ROWS", "200000"))

@@ -336,3 +336,67 @@ def attribute_audit_sample(spark, sf_dir):
         "n_chars",
         "dup_line_frac",
     )
+
+
+# ---------------------------------------------------------------------------
+# attributes_incremental: the incremental-crawl pattern applied to the
+# ATTRIBUTES table — crawl N+1 (rows [400, 2400)) shares 1,600 of 2,000
+# file versions with crawl N; carried rows reuse the previous run's
+# committed attribute table (semi-join on commit — AttributesRun.output
+# on a real deployment), only the 400 added files are re-tagged. The
+# oracle tags the CURRENT window directly from content, so value-hash
+# equality is the PROOF carry-forward equals recompute (every attribute
+# is a pure per-row function of content), with `carried` replayed by
+# prev-window membership. At 10^12 files this is the steady-state tagging
+# job: one anti-join to find the delta, signal expressions over the
+# delta only.
+# ---------------------------------------------------------------------------
+def _attrs_incr_oracle() -> str:
+    from .repo_ops import _CORPUS_DUCK, _RAW_W400
+
+    return f"""
+WITH prevw AS (SELECT commit FROM {_CORPUS_DUCK}),
+attrs AS ({attrs_oracle_sql(f"read_parquet('{_RAW_W400}')", ["commit"], "content")})
+SELECT commit, lang_pred, n_chars, quality_keep, repetition_drop,
+       stage, content_md5,
+       CAST(CASE WHEN commit IN (SELECT commit FROM prevw) THEN 1 ELSE 0 END
+            AS BIGINT) AS carried
+FROM attrs
+"""
+
+
+@register(
+    "attributes_incremental",
+    None,  # assigned below (builder imports repo_ops constants)
+    "incremental attribute tagging across crawl snapshots: carry stable commits' rows, re-tag only added files",
+)
+def attributes_incremental(spark, sf_dir):
+    from .repo_ops import _corpus, _corpus_w400
+
+    prev = _corpus(spark)
+    curr = _corpus_w400(spark)
+    cols = [
+        "commit", "lang_pred", "n_chars", "quality_keep",
+        "repetition_drop", "stage", "content_md5",
+    ]
+    # stands in for the committed attribute table of the previous run
+    prev_attrs = attributes_frame_of(
+        prev.select("commit", "lang", "content"), keys=("commit",),
+        text_col="content",
+    ).select(*cols)
+    carried = prev_attrs.join(
+        curr.select("commit"), "commit", "left_semi"
+    ).withColumn("carried", F.lit(1).cast("long"))
+    fresh = attributes_frame_of(
+        curr.join(prev.select("commit"), "commit", "left_anti").select(
+            "commit", "lang", "content"
+        ),
+        keys=("commit",),
+        text_col="content",
+    ).select(*cols).withColumn("carried", F.lit(0).cast("long"))
+    return carried.unionByName(fresh)
+
+
+from .registry import QUERIES as _QQ  # noqa: E402
+
+_QQ["attributes_incremental"].oracle = _attrs_incr_oracle()

@@ -134,3 +134,14 @@ def test_audit_sample_semantics(spark):
     assert set(map(tuple, sample[cells].drop_duplicates().values)) == set(
         map(tuple, attrs[cells].drop_duplicates().values)
     )
+
+
+def test_attributes_incremental_carry_equals_recompute(spark):
+    inc = QUERIES["attributes_incremental"].fn(spark, SF).toPandas()
+    # 2,000 current file versions, carried/fresh split per the 400-row
+    # window shift, and carried rows' attributes equal a full recompute's
+    # (the oracle gate proves values; here prove the carried accounting)
+    assert len(inc) == 2000
+    assert inc["carried"].sum() == 1600
+    assert (inc["carried"] == 0).sum() == 400
+    assert inc["commit"].is_unique
